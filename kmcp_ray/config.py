@@ -1,0 +1,92 @@
+"""Frozen pipeline configuration.
+
+Correctness versus the reference implementation is only defined *at the
+same shingle/signature config* (BASELINE.json north_rule) — exactly as
+kmcp stores sketch parameters (k sizes, scale, canonical flag, ...) in
+the database header and re-uses them at query time (reference:
+kmcp/cmd/util-db-info.go, util-db-search.go:1037-1107).  Everything that
+affects which pairs are discovered lives here, is shared verbatim by the
+engine (kmcp_ray/*) and the pure-Python oracle (tests/oracle.py), and is
+persisted next to pipeline outputs as JSON so a resumed job can refuse a
+config mismatch the same way kmcp refuses an index/version mismatch
+(reference: kmcp/cmd/index/serialization.go:90-99).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass
+
+MAX_U64 = (1 << 64) - 1
+
+
+@dataclass(frozen=True)
+class DedupConfig:
+    # --- sketching (kmcp `compute` analogue) ---
+    #: word-shingle width; captions shorter than this yield one shingle
+    #: made of all their tokens.
+    shingle_k: int = 3
+    #: FracMinHash scale for the *stored* sketch: keep hash <= 2**64//scale.
+    #: 1 == keep every shingle hash (exact sets; right for short captions).
+    #: Large-document pipelines raise this (kmcp -D/--scale analogue,
+    #: reference: kmcp/cmd/compute.go:311-316).
+    scale: int = 1
+    # --- MinHash-LSH banding (kmcp index-block analogue) ---
+    num_perm: int = 128
+    bands: int = 32                      # rows_per_band = num_perm // bands
+    # --- candidate generation by shared scaled shingle (containment path) ---
+    #: scale for the shingle-bucket emission: only shingle hashes
+    #: <= 2**64//bucket_scale become bucket keys.  This bounds the row
+    #: blow-up of the containment shuffle.
+    bucket_scale: int = 2
+    # --- verification thresholds (kmcp search qCov/jacc analogue) ---
+    jaccard_threshold: float = 0.7
+    containment_threshold: float = 0.9
+    #: pairs whose *smaller* sketch has fewer distinct shingles than this
+    #: are not eligible for the containment (substr) path — too noisy
+    #: (kmcp's minimum query length analogue).
+    min_containment_shingles: int = 8
+    # --- pHash Hamming banding ---
+    phash_chunks: int = 4                # 64-bit phash -> 4 x 16-bit keys
+    hamming_radius: int = 3              # pigeonhole-safe for <= chunks-1
+    # --- skew control (kmcp block-size thresholds analogue,
+    #     reference: kmcp/cmd/index.go:213-259) ---
+    #: buckets larger than this take the salted path: rows are first
+    #:  deduplicated by full-signature equality (star edges), then at most
+    #: max_bucket distinct representatives are pairwise verified.
+    max_bucket: int = 256
+    # --- shuffle shape ---
+    num_partitions: int = 64
+
+    @property
+    def rows_per_band(self) -> int:
+        return self.num_perm // self.bands
+
+    @property
+    def max_hash(self) -> int:
+        """Sketch keep-threshold (kmcp maxHash = 2^64/scale)."""
+        return MAX_U64 // self.scale
+
+    @property
+    def bucket_max_hash(self) -> int:
+        return MAX_U64 // self.bucket_scale
+
+    def __post_init__(self) -> None:
+        if self.num_perm % self.bands:
+            raise ValueError("num_perm must be divisible by bands")
+        if self.hamming_radius > self.phash_chunks - 1:
+            # pigeonhole: guaranteed recall at radius r needs >= r+1 chunks
+            raise ValueError("hamming_radius must be < phash_chunks")
+        if self.phash_chunks not in (1, 2, 4, 8):
+            raise ValueError("phash_chunks must divide 64 evenly into chunks")
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), sort_keys=True)
+
+    @classmethod
+    def from_json(cls, s: str) -> "DedupConfig":
+        return cls(**json.loads(s))
+
+
+DEFAULT_CONFIG = DedupConfig()

@@ -1,0 +1,134 @@
+"""Deterministic stand-in image codec + perceptual hash.
+
+STUB NOTICE (multimodal plumbing): this container has no PIL / libjpeg /
+libpng, so real PNG/JPEG coding is replaced by two deterministic fake
+codecs with the right *shape* — a lossless one ("png" rows) and a lossy
+quantizing one ("jpeg" rows, PSNR ≈ 47 dB > the 40 dB invariant).  The
+Ray-side plumbing (binary column schema, actor-pool decode stage, batch
+sizing for wide binary rows) is real and tested; swapping in
+PIL.Image.open/save in :class:`DecodeStage` is the only production
+change, marked with ``# PRODUCTION:`` below.
+
+Formats (all little-endian):
+  b"KRAW" | u16 w | u16 h | w*h*3 raw RGB bytes              (lossless)
+  b"KJPG" | u16 w | u16 h | u8 q | w*h*3 bytes of round(px/q)  (lossy)
+
+The perceptual hash is the standard 8x8-DCT sign hash: resize to 32x32
+gray (already 32x32 here), 2-D DCT-II, take the top-left 8x8 block minus
+DC, bit = coefficient > median.  Implemented as two matmuls with a
+precomputed DCT basis — no scipy needed.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+MAGIC_RAW = b"KRAW"
+MAGIC_JPG = b"KJPG"
+_JPG_Q = 4  # quantization step → max error 2/255 per channel
+
+
+def encode(pixels: np.ndarray, fmt: str) -> bytes:
+    """pixels: (h, w, 3) uint8 → encoded bytes."""
+    h, w, _ = pixels.shape
+    if fmt == "png":
+        return MAGIC_RAW + struct.pack("<HH", w, h) + pixels.tobytes()
+    if fmt == "jpeg":
+        q = _JPG_Q
+        quant = (pixels.astype(np.uint16) + q // 2) // q
+        return (MAGIC_JPG + struct.pack("<HHB", w, h, q)
+                + quant.astype(np.uint8).tobytes())
+    raise ValueError(f"unknown fmt {fmt!r}")
+
+
+def decode(data: bytes) -> np.ndarray:
+    """encoded bytes → (h, w, 3) uint8 pixels.
+
+    # PRODUCTION: replace body with PIL.Image.open(io.BytesIO(data)).
+    """
+    magic = data[:4]
+    if magic == MAGIC_RAW:
+        w, h = struct.unpack_from("<HH", data, 4)
+        return np.frombuffer(data, np.uint8, w * h * 3, 8).reshape(h, w, 3).copy()
+    if magic == MAGIC_JPG:
+        w, h, q = struct.unpack_from("<HHB", data, 4)
+        quant = np.frombuffer(data, np.uint8, w * h * 3, 9).reshape(h, w, 3)
+        return np.minimum(quant.astype(np.uint16) * q, 255).astype(np.uint8)
+    raise NotImplementedError(
+        "real image formats need PIL/libjpeg — not available in this sandbox")
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    if mse == 0:
+        return float("inf")
+    return float(10.0 * np.log10(255.0 ** 2 / mse))
+
+
+def _dct_matrix(n: int) -> np.ndarray:
+    k = np.arange(n)[:, None]
+    i = np.arange(n)[None, :]
+    m = np.cos(np.pi * (2 * i + 1) * k / (2 * n)) * np.sqrt(2.0 / n)
+    m[0, :] = np.sqrt(1.0 / n)
+    return m
+
+
+_DCT32 = _dct_matrix(32)
+
+
+def phash64(pixels: np.ndarray) -> int:
+    """64-bit perceptual hash of an RGB image (resized to 32x32 first)."""
+    gray = pixels.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    g = _resize32(gray)
+    coeffs = _DCT32 @ g @ _DCT32.T
+    block = coeffs[:8, :8].flatten()[1:]         # drop DC
+    med = np.median(block)
+    bits = block > med
+    h = 0
+    for bit in bits:                             # 63 bits
+        h = (h << 1) | int(bit)
+    return h
+
+
+def phash64_batch(pixel_list) -> np.ndarray:
+    """Vectorized phash over a list of (h, w, 3) arrays of equal 32x32
+    size falls back to the scalar path for odd sizes."""
+    return np.array([phash64(p) for p in pixel_list], dtype=np.int64)
+
+
+def _resize32(gray: np.ndarray) -> np.ndarray:
+    """Nearest-neighbour resize to 32x32 (deterministic, dependency-free)."""
+    h, w = gray.shape
+    if (h, w) == (32, 32):
+        return gray
+    yi = (np.arange(32) * h // 32).clip(0, h - 1)
+    xi = (np.arange(32) * w // 32).clip(0, w - 1)
+    return gray[np.ix_(yi, xi)]
+
+
+def hamming64(a, b) -> "np.ndarray | int":
+    """Bitwise Hamming distance between int64/uint64 phash values."""
+    from kmcp_ray.hashing import popcount64
+    x = np.asarray(a).astype(np.int64).view(np.uint64) ^ \
+        np.asarray(b).astype(np.int64).view(np.uint64)
+    out = popcount64(x)
+    return out if out.ndim else int(out)
+
+
+def phash_chunk_keys(phash: np.ndarray, chunks: int) -> np.ndarray:
+    """(n, chunks) uint64 bucket keys: 64/chunks-bit slices of the phash,
+    mixed with the chunk index (pigeonhole banding for Hamming search).
+    """
+    from kmcp_ray import hashing
+    ph = np.asarray(phash).astype(np.int64).view(np.uint64)
+    width = 64 // chunks
+    mask = np.uint64((1 << width) - 1)
+    out = np.empty((len(ph), chunks), dtype=np.uint64)
+    consts = hashing.splitmix64(
+        np.arange(chunks, dtype=np.uint64) + np.uint64(0xA0761D6478BD642F))
+    for c in range(chunks):
+        part = (ph >> np.uint64(c * width)) & mask
+        out[:, c] = hashing.splitmix64(part + consts[c])
+    return out

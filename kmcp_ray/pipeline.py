@@ -1,0 +1,187 @@
+"""End-to-end near-duplicate detection + clustering pipeline.
+
+    read (Lance/Parquet)
+      → sketch    map_batches, Arrow zero-copy       (kmcp `compute`)
+        [checkpoint 01_signatures]
+      → bands     map_batches fan-out                 (kmcp `index`)
+      → buckets   groupby(part) → vectorized verify   (kmcp `search`)
+        [checkpoint 02_edges]
+      → cc        spanning-forest reduce + driver UF  (kmcp `merge`)
+      → emit      broadcast cluster map → assignments (kmcp `profile`)
+        [checkpoint 03_clusters]
+
+Checkpoint/resume: each stage writes partitioned Parquet into
+``workdir/<stage>`` with a ``_DONE`` marker and the frozen config next
+to it; a rerun skips completed stages and refuses a config mismatch —
+the generalized ``_info.txt`` cache pattern of the reference
+(kmcp/cmd/index.go:301-419) plus its schema-compatibility check
+(kmcp/cmd/index/serialization.go:90-99).
+
+Scale notes (100 TB / 10^12 rows): image ``bytes`` are dropped at the
+sketch stage, so only (id, sketch, minhash, phash) ≈ 1.3 KB/row enters
+the one wide shuffle; the shuffle key is a single hash partition column
+(``num_partitions`` should be ≥ 4× total cores); the cluster map that is
+broadcast for emission covers only rows that occur in ≥1 duplicate pair
+— for worst-case dup-heavy corpora swap the broadcast for the bucketed
+hash join in ``assign_via_join`` (same result, one more shuffle).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+from typing import Any, Optional
+
+import pyarrow as pa
+import ray
+
+from kmcp_ray import bands as bands_mod
+from kmcp_ray import buckets as buckets_mod
+from kmcp_ray import cc as cc_mod
+from kmcp_ray import sketch as sketch_mod
+from kmcp_ray.config import DedupConfig
+
+ALL_GENERATORS = ("minhash", "contain", "phash", "exact")
+
+
+@dataclass
+class PipelineResult:
+    assignments: "ray.data.Dataset"   # (image_id, cluster_id)
+    edges: "ray.data.Dataset"         # (id_a, id_b, via, score)
+    signatures: "ray.data.Dataset"
+    cluster_map: dict                 # only rows touched by ≥1 edge
+
+
+# ---------------------------------------------------------------- checkpoints
+
+def _stage_dir(workdir: str, name: str) -> str:
+    return os.path.join(workdir, name)
+
+
+def _done(workdir: str, name: str) -> bool:
+    return os.path.exists(os.path.join(_stage_dir(workdir, name), "_DONE"))
+
+
+def _check_config(workdir: str, cfg: DedupConfig) -> None:
+    """Refuse resuming under a different sketch/signature config."""
+    path = os.path.join(workdir, "config.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            stored = f.read()
+        if stored != cfg.to_json():
+            raise ValueError(
+                f"checkpoint at {workdir} was produced with a different "
+                "DedupConfig — refusing to resume (kmcp compatibility-check "
+                "analogue). Delete the workdir or pass the original config.")
+    else:
+        os.makedirs(workdir, exist_ok=True)
+        with open(path, "w") as f:
+            f.write(cfg.to_json())
+
+
+def _checkpoint(ds: "ray.data.Dataset", workdir: str, name: str) -> "ray.data.Dataset":
+    """Write a stage to Parquet (partitioned part files), mark done,
+    and return a fresh Dataset reading from it (cheap lineage restart)."""
+    out = _stage_dir(workdir, name)
+    os.makedirs(out, exist_ok=True)
+    ds.write_parquet(out)
+    with open(os.path.join(out, "_DONE"), "w") as f:
+        f.write("ok")
+    return ray.data.read_parquet(out)
+
+
+# ------------------------------------------------------------------- stages
+
+def sketch_stage(ds, cfg: DedupConfig, *, id_col="image_id", text_col="caption",
+                 phash_col="phash", bytes_col="bytes", batch_size: int = 1024):
+    """Input rows → signature table; drops every payload column."""
+    fn = sketch_mod.make_sketch_fn(cfg, id_col=id_col, text_col=text_col,
+                                   phash_col=phash_col, bytes_col=bytes_col)
+    # modest batch_size: each input batch may carry wide binary rows
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=batch_size,
+                          zero_copy_batch=True)
+
+
+def edges_stage(sig_ds, cfg: DedupConfig, enable=ALL_GENERATORS):
+    """Signatures → verified candidate-pair edges (the one wide shuffle)."""
+    band_fn = bands_mod.make_band_fn(cfg, enable=enable)
+    band_ds = sig_ds.map_batches(band_fn, batch_format="pyarrow",
+                                 batch_size=4096, zero_copy_batch=True)
+    verifier = buckets_mod.make_bucket_verifier(cfg)
+    return band_ds.groupby("part").map_groups(verifier, batch_format="pyarrow")
+
+
+def make_assign_fn(cluster_map_ref, id_col: str = "image_id"):
+    """Broadcast cluster-map lookup (ray.put once, local get per task)."""
+    import pandas as pd
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cmap = ray.get(cluster_map_ref)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        s = pd.Series(ids, dtype=object)
+        mapped = s.map(cmap)
+        mapped = mapped.where(mapped.notna(), s)
+        return pa.table({id_col: pa.array(ids, pa.string()),
+                         "cluster_id": pa.array(mapped.to_numpy(), pa.string())})
+
+    return assign
+
+
+def assign_stage(ids_ds, cluster_map: dict, id_col: str = "image_id"):
+    ref = ray.put(cluster_map)
+    return ids_ds.map_batches(make_assign_fn(ref, id_col),
+                              batch_format="pyarrow", batch_size=65536,
+                              zero_copy_batch=True)
+
+
+def cluster_stats(assignments):
+    """Per-cluster aggregates — the kmcp `profile` analogue (small)."""
+    from ray.data.aggregate import Count
+    return assignments.groupby("cluster_id").aggregate(Count(alias_name="size"))
+
+
+# ------------------------------------------------------------------ pipeline
+
+def dedup_pipeline(ds, cfg: DedupConfig = DedupConfig(), *,
+                   id_col: str = "image_id", text_col: str = "caption",
+                   phash_col: Optional[str] = "phash",
+                   bytes_col: Optional[str] = "bytes",
+                   enable=ALL_GENERATORS,
+                   workdir: Optional[str] = None,
+                   sketch_batch_size: int = 1024) -> PipelineResult:
+    """Run (or resume) the full near-dup pipeline on an input Dataset."""
+    if workdir:
+        _check_config(workdir, cfg)
+
+    # --- stage 1: signatures ---
+    if workdir and _done(workdir, "01_signatures"):
+        sig_ds = ray.data.read_parquet(_stage_dir(workdir, "01_signatures"))
+    else:
+        sig_ds = sketch_stage(ds, cfg, id_col=id_col, text_col=text_col,
+                              phash_col=phash_col, bytes_col=bytes_col,
+                              batch_size=sketch_batch_size)
+        if workdir:
+            sig_ds = _checkpoint(sig_ds, workdir, "01_signatures")
+
+    # --- stage 2: edges (band fan-out + partition shuffle + verify) ---
+    if workdir and _done(workdir, "02_edges"):
+        edges_ds = ray.data.read_parquet(_stage_dir(workdir, "02_edges"))
+    else:
+        gens = tuple(g for g in enable
+                     if not (g == "phash" and phash_col is None))
+        edges_ds = edges_stage(sig_ds, cfg, enable=gens)
+        if workdir:
+            edges_ds = _checkpoint(edges_ds, workdir, "02_edges")
+
+    # --- stage 3: connected components + emission ---
+    cluster_map = cc_mod.connected_components(edges_ds)
+    ids_ds = sig_ds.select_columns([id_col])
+    assignments = assign_stage(ids_ds, cluster_map, id_col=id_col)
+    if workdir and not _done(workdir, "03_clusters"):
+        assignments = _checkpoint(assignments, workdir, "03_clusters")
+    elif workdir:
+        assignments = ray.data.read_parquet(_stage_dir(workdir, "03_clusters"))
+
+    return PipelineResult(assignments=assignments, edges=edges_ds,
+                          signatures=sig_ds, cluster_map=cluster_map)

@@ -1,0 +1,99 @@
+"""Sketch stage: pairs batch → signature table (kmcp ``compute``).
+
+One vectorized ``map_batches`` transform (Arrow in / Arrow out,
+``zero_copy_batch=True``) turns each input row into its sketch record:
+
+  image_id, n_tokens, n_distinct, sketch(list<u64>), sk_fold(u64),
+  minhash(list<u64> x num_perm), phash(i64), exact_key(u64)
+
+This is the `.unik`-producing core of the reference
+(kmcp/cmd/compute.go:746-824: per-k sketch iterators → scale filter →
+sort+dedup → write) re-expressed columnar.  The heavy ``bytes`` payload
+is consumed here (exact-dup key + optional decode checks) and DROPPED —
+image bytes never enter the LSH shuffle, mirroring how kmcp never moves
+sequences past ``compute``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from kmcp_ray import hashing, text
+from kmcp_ray.config import DedupConfig
+
+_EXACT_SALT = np.uint64(0x71D67FFFEDA60000)
+
+SIGNATURE_SCHEMA_COLS = [
+    "image_id", "n_tokens", "n_distinct", "sketch", "sk_fold",
+    "minhash", "phash", "exact_key",
+]
+
+
+def _list_array(values: np.ndarray, offsets: np.ndarray) -> pa.ListArray:
+    return pa.ListArray.from_arrays(
+        pa.array(offsets, type=pa.int32()),
+        pa.array(values, type=pa.uint64()))
+
+
+def sketch_fold(sketch_values: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """Per-row order-sensitive fold of the (sorted-unique) sketch —
+    a cheap whole-sketch identity used by the salted-bucket path."""
+    n = len(offsets) - 1
+    out = np.empty(n, dtype=np.uint64)
+    lens = (offsets[1:] - offsets[:-1]).astype(np.uint64)
+    h = lens * hashing._MIX_A
+    # iterate position-within-row, vectorized across rows (max len passes)
+    maxlen = int(lens.max()) if n else 0
+    idx = offsets[:-1].copy()
+    for j in range(maxlen):
+        active = (offsets[:-1] + j) < offsets[1:]
+        pos = offsets[:-1][active] + j
+        h[active] = hashing.splitmix64(
+            h[active] + sketch_values[pos] * hashing._MIX_B)
+    out[:] = h
+    return out
+
+
+def make_sketch_fn(cfg: DedupConfig, id_col: str = "image_id",
+                   text_col: str = "caption", phash_col: "str | None" = "phash",
+                   bytes_col: "str | None" = "bytes"):
+    """Factory for the stateless sketch ``map_batches`` function."""
+
+    def sketch_batch(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        texts = batch.column(text_col)
+        ss = text.shingle_sets(texts, cfg.shingle_k, cfg.max_hash)
+        sig = text.minhash_signatures(ss["hashes"], ss["offsets"], cfg.num_perm)
+
+        cap_np = texts.combine_chunks().to_numpy(zero_copy_only=False) \
+            if isinstance(texts, pa.ChunkedArray) else texts.to_numpy(zero_copy_only=False)
+        cap_h = hashing.hash_strings(np.where(cap_np == None, "", cap_np))  # noqa: E711
+        if bytes_col is not None and bytes_col in batch.column_names:
+            bts = batch.column(bytes_col).combine_chunks() \
+                if isinstance(batch.column(bytes_col), pa.ChunkedArray) \
+                else batch.column(bytes_col)
+            byte_h = hashing.hash_strings(bts.to_numpy(zero_copy_only=False))
+        else:
+            byte_h = np.zeros(n, dtype=np.uint64)
+        exact_key = hashing.combine3(cap_h, byte_h, np.full(n, _EXACT_SALT))
+
+        if phash_col is not None and phash_col in batch.column_names:
+            phash = batch.column(phash_col)
+        else:
+            phash = pa.array(np.zeros(n, dtype=np.int64), type=pa.int64())
+
+        mh_offsets = np.arange(n + 1, dtype=np.int64) * cfg.num_perm
+        return pa.table({
+            "image_id": batch.column(id_col),
+            "n_tokens": pa.array(ss["n_tokens"], type=pa.int64()),
+            "n_distinct": pa.array(ss["n_distinct"], type=pa.int64()),
+            "sketch": _list_array(ss["hashes"], ss["offsets"]),
+            "sk_fold": pa.array(sketch_fold(ss["hashes"], ss["offsets"]),
+                                type=pa.uint64()),
+            "minhash": _list_array(sig.reshape(-1), mh_offsets),
+            "phash": phash,
+            "exact_key": pa.array(exact_key, type=pa.uint64()),
+        })
+
+    return sketch_batch

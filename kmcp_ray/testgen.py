@@ -1,0 +1,251 @@
+"""Deterministic synthetic image+caption corpus with planted duplicate
+clusters (FIXTURES.md).
+
+Mirrors the reference's test strategy — a small mock community with
+known ground truth (kmcp demo-profiling/: 15 genomes + mock.gs.profile
+golden) — as a seeded generator: every byte is a function of (n, seed),
+no external data.  Planted categories:
+
+  exact     identical caption + identical bytes
+  minhash   caption with word substitutions, true shingle-Jaccard ≥ 0.75
+  contain   contiguous caption sub-/super-sequence (≥16-token small side)
+  phash     perturbed pixels with Hamming(phash) ≤ 3, unrelated caption
+  hot       one near-constant caption template cluster (~1% of rows;
+            the skew probe)
+  negatives hard non-dups: shuffled-word captions (J < 0.55) and images
+            at Hamming ∈ [8, 16] — must NOT cluster
+
+The generator *verifies plantability at generation time* (true Jaccard /
+containment / Hamming computed with the frozen engine semantics) and
+retries deterministically, so recall targets are exact, not
+probabilistic.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from kmcp_ray import imagecodec, text
+from kmcp_ray.config import DedupConfig
+
+_SYLL = ["ka", "lo", "mi", "ta", "re", "su", "ne", "vo", "pa", "zi",
+         "du", "fe", "go", "hy", "ja", "qu", "xa", "we", "bo", "cho"]
+
+
+def make_vocab(size: int = 500, seed: int = 42) -> list:
+    rng = np.random.default_rng(seed * 7919 + 13)
+    words, seen = [], set()
+    while len(words) < size:
+        k = rng.integers(2, 5)
+        w = "".join(_SYLL[i] for i in rng.integers(0, len(_SYLL), k))
+        if w not in seen:
+            seen.add(w)
+            words.append(w)
+    return words
+
+
+def _shingle_set(caption: str, cfg: DedupConfig) -> np.ndarray:
+    ss = text.shingle_sets(pa.array([caption]), cfg.shingle_k, cfg.max_hash)
+    return ss["hashes"]
+
+
+def _true_jaccard(a: str, b: str, cfg: DedupConfig) -> float:
+    sa, sb = _shingle_set(a, cfg), _shingle_set(b, cfg)
+    if len(sa) == 0 or len(sb) == 0:
+        return 0.0
+    c = np.intersect1d(sa, sb, assume_unique=True).size
+    return c / float(len(sa) + len(sb) - c)
+
+
+def _base_pixels(rng: np.random.Generator, w: int = 32, h: int = 32) -> np.ndarray:
+    """Random low-frequency image via inverse DCT of random 8x8 coeffs —
+    gives near-uniform phashes across rows (unrelated rows land at
+    Hamming ≈ 32)."""
+    d = imagecodec._dct_matrix(32)
+    coeffs = np.zeros((32, 32))
+    coeffs[:8, :8] = rng.normal(0, 60, (8, 8))
+    coeffs[0, 0] = 400 + rng.normal(0, 40)
+    g = d.T @ coeffs @ d
+    g = np.clip(g + 128, 0, 255)
+    img = np.stack([g, np.roll(g, 1, 0), np.roll(g, 1, 1)], axis=-1)
+    if (h, w) != (32, 32):
+        yi = (np.arange(h) * 32 // h).clip(0, 31)
+        xi = (np.arange(w) * 32 // w).clip(0, 31)
+        img = img[np.ix_(yi, xi)]
+    return img.astype(np.uint8)
+
+
+def _perturb_to_hamming(pixels: np.ndarray, rng: np.random.Generator,
+                        lo: int, hi: int, fmt: str):
+    """Deterministically search a noise amplitude whose decoded-pixel
+    phash lands at Hamming distance in [lo, hi] from the original's."""
+    ref = imagecodec.phash64(imagecodec.decode(imagecodec.encode(pixels, fmt)))
+    noise = rng.normal(0, 1, pixels.shape)
+    for amp in ([0.5, 1, 2, 3, 4, 6, 8, 12, 16, 24, 32, 48, 64, 96]
+                if hi <= 4 else [8, 16, 24, 32, 48, 64, 96, 128, 160, 200]):
+        cand = np.clip(pixels.astype(np.float64) + amp * noise, 0, 255).astype(np.uint8)
+        dec = imagecodec.decode(imagecodec.encode(cand, fmt))
+        d = imagecodec.hamming64(ref, imagecodec.phash64(dec))
+        if lo <= d <= hi:
+            return cand, int(d)
+    return None, -1
+
+
+def make_pairs_corpus(n: int = 2000, seed: int = 42, dup_frac: float = 0.30,
+                      cfg: DedupConfig = DedupConfig(), vocab=None,
+                      captions=None):
+    """Build the synthetic corpus.
+
+    Returns ``(table, planted, negatives)``:
+      table      pyarrow Table (image_id, bytes, w, h, fmt, caption, phash)
+      planted    list of (id_a, id_b, category) true-dup pairs
+      negatives  list of (id_a, id_b, category) must-NOT-cluster pairs
+    """
+    rng = np.random.default_rng(seed)
+    vocab = vocab or make_vocab(500, seed)
+    n_hot = max(3, n // 100)
+    n_dup = int(n * dup_frac)
+    n_base = n - n_dup - n_hot
+
+    def rand_caption(lo=5, hi=40):
+        m = int(rng.integers(lo, hi + 1))
+        return " ".join(vocab[i] for i in rng.integers(0, len(vocab), m))
+
+    rows = []          # dicts: caption, pixels, fmt, w, h
+    for i in range(n_base):
+        if captions is not None and i < len(captions):
+            cap = captions[i]
+        elif rng.random() < 0.01:
+            cap = "" if rng.random() < 0.5 else "   "
+        else:
+            cap = rand_caption()
+        w = 48 if rng.random() < 0.05 else 32
+        fmt = "jpeg" if rng.random() < 0.2 else "png"
+        rows.append({"caption": cap, "pixels": _base_pixels(rng, w=w), "fmt": fmt,
+                     "w": w, "h": 32})
+
+    planted, negatives = [], []
+
+    # ---- planted duplicate rows referencing earlier seeds ----
+    categories = ["exact", "minhash", "contain", "phash", "neg_caption", "neg_phash"]
+    weights = np.array([0.22, 0.26, 0.2, 0.16, 0.08, 0.08])
+    made = 0
+    guard = 0
+    while made < n_dup and guard < n_dup * 50:
+        guard += 1
+        cat = categories[int(rng.choice(len(categories), p=weights))]
+        si = int(rng.integers(0, n_base))
+        seed_row = rows[si]
+        toks = seed_row["caption"].split()
+        new = None
+        if cat == "exact":
+            new = dict(seed_row)
+        elif cat == "minhash":
+            if len(toks) < 8:
+                continue
+            n_edit = max(1, len(toks) // 15)
+            for _ in range(6):
+                t2 = list(toks)
+                for pos in rng.integers(0, len(t2), n_edit):
+                    t2[int(pos)] = vocab[int(rng.integers(0, len(vocab)))]
+                cap2 = " ".join(t2)
+                if _true_jaccard(seed_row["caption"], cap2, cfg) >= 0.75:
+                    new = {"caption": cap2, "pixels": _base_pixels(rng),
+                           "fmt": "png", "w": 32, "h": 32}
+                    break
+            if new is None:
+                continue
+        elif cat == "contain":
+            if len(toks) < 18:
+                continue
+            if rng.random() < 0.5:
+                m = int(rng.integers(16, len(toks)))
+                s0 = int(rng.integers(0, len(toks) - m + 1))
+                cap2 = " ".join(toks[s0:s0 + m])
+            else:
+                extra = [vocab[int(j)] for j in rng.integers(0, len(vocab), 6)]
+                cap2 = " ".join(extra + toks) if rng.random() < 0.5 \
+                    else " ".join(toks + extra)
+            # plantability: small side must keep >=1 bucket shingle
+            small = _shingle_set(cap2, cfg) if len(cap2.split()) <= len(toks) \
+                else _shingle_set(seed_row["caption"], cfg)
+            if (small <= np.uint64(cfg.bucket_max_hash)).sum() < 1:
+                continue
+            if cap2 == seed_row["caption"]:
+                continue
+            new = {"caption": cap2, "pixels": _base_pixels(rng),
+                   "fmt": "png", "w": 32, "h": 32}
+        elif cat == "phash":
+            px, d = _perturb_to_hamming(seed_row["pixels"], rng, 1,
+                                        cfg.hamming_radius, seed_row["fmt"])
+            if px is None:
+                continue
+            new = {"caption": rand_caption(), "pixels": px,
+                   "fmt": seed_row["fmt"], "w": seed_row["w"], "h": seed_row["h"]}
+        elif cat == "neg_caption":
+            if len(toks) < 10:
+                continue
+            perm = list(toks)
+            ok = False
+            for _ in range(6):
+                rng.shuffle(perm)
+                cap2 = " ".join(perm)
+                if _true_jaccard(seed_row["caption"], cap2, cfg) < 0.5 and \
+                        cap2 != seed_row["caption"]:
+                    ok = True
+                    break
+            if not ok:
+                continue
+            rows.append({"caption": cap2, "pixels": _base_pixels(rng),
+                         "fmt": "png", "w": 32, "h": 32})
+            negatives.append((si, len(rows) - 1, "neg_caption"))
+            made += 1
+            continue
+        else:  # neg_phash
+            px, d = _perturb_to_hamming(seed_row["pixels"], rng, 8, 16,
+                                        seed_row["fmt"])
+            if px is None:
+                continue
+            rows.append({"caption": rand_caption(), "pixels": px,
+                         "fmt": seed_row["fmt"], "w": seed_row["w"],
+                         "h": seed_row["h"]})
+            negatives.append((si, len(rows) - 1, "neg_phash"))
+            made += 1
+            continue
+        rows.append(new)
+        planted.append((si, len(rows) - 1, cat))
+        made += 1
+
+    # ---- hot cluster (skew probe): near-constant caption template ----
+    template = [vocab[i] for i in rng.integers(0, len(vocab), 12)]
+    hot_first = len(rows)
+    for j in range(n_hot):
+        t2 = list(template)
+        t2[-1] = vocab[int(rng.integers(0, len(vocab)))]
+        rows.append({"caption": " ".join(t2), "pixels": _base_pixels(rng),
+                     "fmt": "png", "w": 32, "h": 32})
+        if j > 0:
+            planted.append((hot_first, hot_first + j, "hot"))
+
+    # ---- materialize ----
+    ids = [f"img{i:08d}" for i in range(len(rows))]
+    bts, phashes, fmts, ws, hs, caps = [], [], [], [], [], []
+    for r in rows:
+        data = imagecodec.encode(r["pixels"], r["fmt"])
+        bts.append(data)
+        phashes.append(imagecodec.phash64(imagecodec.decode(data)))
+        fmts.append(r["fmt"]); ws.append(r["w"]); hs.append(r["h"])
+        caps.append(r["caption"])
+    table = pa.table({
+        "image_id": pa.array(ids, pa.string()),
+        "bytes": pa.array(bts, pa.binary()),
+        "w": pa.array(ws, pa.int32()),
+        "h": pa.array(hs, pa.int32()),
+        "fmt": pa.array(fmts, pa.string()),
+        "caption": pa.array(caps, pa.string()),
+        "phash": pa.array(phashes, pa.int64()),
+    })
+    planted_ids = [(ids[a], ids[b], c) for a, b, c in planted]
+    negative_ids = [(ids[a], ids[b], c) for a, b, c in negatives]
+    return table, planted_ids, negative_ids

@@ -1,0 +1,166 @@
+"""Vectorized caption/document shingling → scaled shingle-hash sets.
+
+This is the kmcp ``compute`` core re-expressed for text: sliding k-word
+windows (k-mers → word k-shingles), 64-bit hash per window (ntHash →
+fold of SipHash token hashes), FracMinHash scale filter
+(code <= 2^64/scale, reference: kmcp/cmd/compute.go:311-316, 768-771)
+and per-row sort+unique (reference: kmcp/cmd/compute.go:813-824).
+
+Everything operates on a whole Arrow batch at once — tokenization with
+``pyarrow.compute`` (RE2), hashing with numpy/pandas C kernels; there is
+no per-row Python loop on the hot path (short rows with fewer tokens
+than the shingle width are the one, rare, per-row fallback).
+
+Semantics contract (shared with tests/oracle.py):
+- tokens  = maximal runs of ``[a-z0-9]`` in the lower-cased text
+- shingle = ``hashing.fold`` of the k consecutive token hashes;
+  texts with 1..k-1 tokens produce ONE shingle folding all their tokens;
+  empty texts produce none
+- sketch  = sorted distinct shingle hashes <= max_hash
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from kmcp_ray import hashing
+from kmcp_ray.hashing import U64, _MIX_A, _MIX_B, splitmix64
+
+_TOKEN_SPLIT = "[^a-z0-9]+"
+
+
+def tokenize(texts: "pa.Array | pa.ChunkedArray"):
+    """Lower-case + split a string array into tokens.
+
+    Returns ``(flat_tokens, row_ids, n_rows)`` where ``flat_tokens`` is an
+    object ndarray of all non-empty tokens and ``row_ids`` maps each token
+    to its source row.
+    """
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    n = len(texts)
+    lowered = pc.utf8_lower(pc.fill_null(texts, ""))
+    lists = pc.split_pattern_regex(lowered, pattern=_TOKEN_SPLIT)
+    flat = pc.list_flatten(lists)
+    parents = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+    keep = pc.greater(pc.utf8_length(flat), 0).to_numpy(zero_copy_only=False)
+    toks = flat.to_numpy(zero_copy_only=False)
+    return toks[keep], parents[keep].astype(np.int64), n
+
+
+def _window_hashes(token_hashes: np.ndarray, row_ids: np.ndarray, k: int):
+    """fold() of every within-row window of width k, vectorized.
+
+    Returns (hashes, window_row_ids).
+    """
+    m = len(token_hashes)
+    if m < k:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    nw = m - k + 1
+    with np.errstate(over="ignore"):          # uint64 wraparound is intended
+        h = np.full(nw, U64(k) * _MIX_A, dtype=np.uint64)
+        for j in range(k):
+            h = splitmix64(h + token_hashes[j:j + nw] * _MIX_B)
+    valid = row_ids[:nw] == row_ids[k - 1:]
+    return h[valid], row_ids[:nw][valid]
+
+
+def shingle_sets(texts, k: int, max_hash: int):
+    """texts → per-row sorted-unique scaled shingle-hash sets.
+
+    Returns a dict of numpy arrays:
+      ``hashes``   flat uint64, all rows concatenated, sorted unique per row
+      ``offsets``  int64 (n_rows+1,) row boundaries into ``hashes``
+      ``n_tokens`` int64 per row
+      ``n_distinct`` int64 per row: distinct shingles BEFORE the scale
+      filter (kmcp's exact distinct-kmer count, compute.go:813-824)
+    """
+    flat_tokens, row_ids, n = tokenize(texts)
+    th = hashing.hash_tokens(flat_tokens)
+    n_tokens = np.bincount(row_ids, minlength=n).astype(np.int64) if len(row_ids) \
+        else np.zeros(n, dtype=np.int64)
+
+    wh, wrow = _window_hashes(th, row_ids, k)
+
+    # rows with 1..k-1 tokens: one shingle folding all tokens (rare path)
+    short_rows = np.nonzero((n_tokens > 0) & (n_tokens < k))[0]
+    if len(short_rows):
+        order = np.argsort(row_ids, kind="stable")
+        starts = np.searchsorted(row_ids[order], short_rows, side="left")
+        ends = np.searchsorted(row_ids[order], short_rows, side="right")
+        sh = np.array([hashing.fold(th[order[s:e]]) for s, e in zip(starts, ends)],
+                      dtype=np.uint64)
+        wh = np.concatenate([wh, sh])
+        wrow = np.concatenate([wrow, short_rows.astype(np.int64)])
+
+    n_distinct = np.zeros(n, dtype=np.int64)
+    if len(wh):
+        # global (row, hash) sort → per-row unique, fully vectorized
+        order = np.lexsort((wh, wrow))
+        wh, wrow = wh[order], wrow[order]
+        first = np.ones(len(wh), dtype=bool)
+        first[1:] = (wrow[1:] != wrow[:-1]) | (wh[1:] != wh[:-1])
+        wh, wrow = wh[first], wrow[first]
+        n_distinct = np.bincount(wrow, minlength=n).astype(np.int64)
+        if max_hash < int(hashing.MAX_U64):
+            keep = wh <= U64(max_hash)
+            wh, wrow = wh[keep], wrow[keep]
+
+    counts = np.bincount(wrow, minlength=n).astype(np.int64) if len(wrow) \
+        else np.zeros(n, dtype=np.int64)
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    return {"hashes": wh, "offsets": offsets,
+            "n_tokens": n_tokens, "n_distinct": n_distinct}
+
+
+def minhash_signatures(hashes: np.ndarray, offsets: np.ndarray,
+                       num_perm: int, perm_chunk: int = 32) -> np.ndarray:
+    """(n_rows, num_perm) uint64 MinHash signature matrix.
+
+    perm_i(x) = splitmix64(x ^ seed_i); rows with empty sketches get
+    all-MAX_U64 signatures (never banded — degenerate-row filter).
+    Permutations are processed in chunks to bound the (chunk, n_hashes)
+    temporary.
+    """
+    n = len(offsets) - 1
+    sig = np.full((n, num_perm), hashing.MAX_U64, dtype=np.uint64)
+    if len(hashes) == 0:
+        return sig
+    seeds = hashing.perm_seeds(num_perm)
+    nonempty = offsets[1:] > offsets[:-1]
+    starts = offsets[:-1][nonempty]
+    for c0 in range(0, num_perm, perm_chunk):
+        chunk = seeds[c0:c0 + perm_chunk]
+        # (chunk, m): permuted hash values
+        pm = splitmix64(hashes[None, :] ^ chunk[:, None])
+        mins = np.minimum.reduceat(pm, starts, axis=1)
+        sig[np.nonzero(nonempty)[0], c0:c0 + len(chunk)] = mins.T
+    return sig
+
+
+def band_keys(sig: np.ndarray, bands: int) -> np.ndarray:
+    """(n_rows, bands) uint64 LSH band keys.
+
+    Band b's key folds the band's signature rows with a per-band constant
+    (kmcp M12/M13 analogue: deriving bucket addresses from one 64-bit
+    value, reference kmcp/cmd/util-hash.go:61-142).  Rows whose band
+    signature is all-MAX (empty sketch) get key MAX_U64 — callers drop it.
+    """
+    n, num_perm = sig.shape
+    r = num_perm // bands
+    consts = hashing.band_consts(bands)
+    out = np.empty((n, bands), dtype=np.uint64)
+    with np.errstate(over="ignore"):          # uint64 wraparound is intended
+        for b in range(bands):
+            h = np.full(n, U64(r) * _MIX_A, dtype=np.uint64) + consts[b]
+            for j in range(r):
+                h = splitmix64(h + sig[:, b * r + j] * _MIX_B)
+            out[:, b] = h
+    # degenerate: empty-sketch rows
+    empty = sig[:, 0] == hashing.MAX_U64
+    if empty.any():
+        out[empty, :] = hashing.MAX_U64
+    return out

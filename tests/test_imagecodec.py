@@ -1,0 +1,50 @@
+import numpy as np
+import pytest
+
+from kmcp_ray import imagecodec
+from kmcp_ray.config import DedupConfig
+
+
+def _pix(seed=0, w=32, h=32):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+
+
+def test_raw_roundtrip_lossless():
+    p = _pix(1)
+    assert (imagecodec.decode(imagecodec.encode(p, "png")) == p).all()
+
+
+def test_jpeg_roundtrip_psnr_above_40():
+    p = _pix(2)
+    q = imagecodec.decode(imagecodec.encode(p, "jpeg"))
+    assert imagecodec.psnr(p, q) >= 40.0
+
+
+def test_decode_unknown_format_raises():
+    with pytest.raises(NotImplementedError):
+        imagecodec.decode(b"\x89PNG\r\n\x1a\nxxxx")
+
+
+def test_phash_stability_and_sensitivity():
+    p = _pix(3)
+    h1 = imagecodec.phash64(p)
+    h2 = imagecodec.phash64(p.copy())
+    assert h1 == h2
+    other = _pix(4)
+    assert imagecodec.hamming64(h1, imagecodec.phash64(other)) > 8
+
+
+def test_phash_nonsquare_resize():
+    p = _pix(5, w=48, h=32)
+    assert isinstance(imagecodec.phash64(p), int)
+
+
+def test_phash_chunk_keys_pigeonhole():
+    cfg = DedupConfig()
+    # two hashes at hamming <= 3 must share at least one chunk key
+    a = np.int64(0x0123456789ABCDEF)
+    b = np.int64(a ^ 0b1011)  # 3 bit flips in low chunk
+    ka = imagecodec.phash_chunk_keys(np.array([a]), cfg.phash_chunks)[0]
+    kb = imagecodec.phash_chunk_keys(np.array([b]), cfg.phash_chunks)[0]
+    assert (ka == kb).sum() >= 1

@@ -1,0 +1,145 @@
+"""End-to-end pipeline tests vs the pure-Python oracle (FIXTURES.md).
+
+The engine's cluster assignments must EQUAL the oracle's (not just
+recall ≥ 0.99 — exact match at the same shingle/signature config),
+planted duplicate pairs must be recovered, hard negatives must not
+cluster, and runs must be deterministic and resumable.
+"""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from kmcp_ray import imagecodec, testgen
+from kmcp_ray.config import DedupConfig
+from kmcp_ray.pipeline import cluster_stats, dedup_pipeline
+
+from tests import oracle
+
+CFG = DedupConfig(num_partitions=16)
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return testgen.make_pairs_corpus(n=600, seed=42, cfg=CFG)
+
+
+@pytest.fixture(scope="module")
+def oracle_result(corpus):
+    table, _, _ = corpus
+    return oracle.oracle_cluster(table, CFG)
+
+
+@pytest.fixture(scope="module")
+def engine_result(ray_session, corpus):
+    import ray.data
+    table, _, _ = corpus
+    res = dedup_pipeline(ray.data.from_arrow(table), CFG)
+    adf = res.assignments.to_pandas()
+    return dict(zip(adf.image_id, adf.cluster_id)), res
+
+
+def test_engine_matches_oracle_exactly(engine_result, oracle_result, corpus):
+    eng, _ = engine_result
+    oassign, _ = oracle_result
+    table, _, _ = corpus
+    assert len(eng) == table.num_rows
+    mismatches = {k: (eng.get(k), oassign[k])
+                  for k in oassign if eng.get(k) != oassign[k]}
+    assert not mismatches, f"{len(mismatches)} mismatches: {list(mismatches.items())[:5]}"
+
+
+def test_dup_pair_recall(engine_result, corpus):
+    eng, _ = engine_result
+    _, planted, _ = corpus
+    hits = sum(1 for a, b, _c in planted if eng[a] == eng[b])
+    recall = hits / len(planted)
+    assert recall >= 0.99, f"recall {recall:.4f} ({hits}/{len(planted)})"
+
+
+def test_no_false_clusters_on_hard_negatives(engine_result, corpus):
+    eng, _ = engine_result
+    _, _, negatives = corpus
+    bad = [(a, b, c) for a, b, c in negatives if eng[a] == eng[b]]
+    assert not bad, f"hard negatives clustered: {bad[:5]}"
+
+
+def test_payload_invariants(corpus):
+    """decoded-pixel invariance (PSNR >= 40 lossy / exact lossless) and
+    caption integrity per row (BASELINE.json input_hint)."""
+    table, _, _ = corpus
+    caps = table.column("caption").to_pylist()
+    fmts = table.column("fmt").to_pylist()
+    bts = table.column("bytes").to_pylist()
+    phs = table.column("phash").to_pylist()
+    for i in range(0, table.num_rows, 17):
+        px = imagecodec.decode(bts[i])
+        assert px.shape == (table.column("h")[i].as_py(),
+                            table.column("w")[i].as_py(), 3)
+        # phash column matches the decoded pixels
+        assert imagecodec.phash64(px) == phs[i]
+        re_enc = imagecodec.encode(px, fmts[i])
+        px2 = imagecodec.decode(re_enc)
+        if fmts[i] == "png":
+            assert (px2 == px).all()
+        else:
+            assert imagecodec.psnr(px, px2) >= 40.0
+        assert isinstance(caps[i], str)
+
+
+def test_determinism_two_runs(ray_session, corpus):
+    import ray.data
+    table, _, _ = corpus
+    a = dedup_pipeline(ray.data.from_arrow(table), CFG).assignments.to_pandas()
+    b = dedup_pipeline(ray.data.from_arrow(table), CFG).assignments.to_pandas()
+    a = a.sort_values("image_id").reset_index(drop=True)
+    b = b.sort_values("image_id").reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_salted_buckets_still_match_oracle(ray_session):
+    """Tiny max_bucket forces the salted/representative path everywhere;
+    engine and oracle must still agree exactly."""
+    import ray.data
+    cfg = DedupConfig(num_partitions=8, max_bucket=8)
+    table, planted, _ = testgen.make_pairs_corpus(n=300, seed=7, cfg=cfg)
+    oassign, _ = oracle.oracle_cluster(table, cfg)
+    res = dedup_pipeline(ray.data.from_arrow(table), cfg)
+    adf = res.assignments.to_pandas()
+    eng = dict(zip(adf.image_id, adf.cluster_id))
+    assert eng == oassign
+
+
+def test_checkpoint_resume(ray_session, corpus, tmp_path):
+    import ray.data
+    table, _, _ = corpus
+    wd = str(tmp_path / "ckpt")
+    first = dedup_pipeline(ray.data.from_arrow(table), CFG, workdir=wd) \
+        .assignments.to_pandas().sort_values("image_id").reset_index(drop=True)
+    assert os.path.exists(os.path.join(wd, "01_signatures", "_DONE"))
+    assert os.path.exists(os.path.join(wd, "02_edges", "_DONE"))
+    # resume: feed an EMPTY input — completed signature/edge checkpoints
+    # must be reused, proving stages 1-2 are skipped
+    empty = ray.data.from_arrow(table.slice(0, 0))
+    resumed = dedup_pipeline(empty, CFG, workdir=wd) \
+        .assignments.to_pandas().sort_values("image_id").reset_index(drop=True)
+    assert first.equals(resumed)
+    # config mismatch must be refused
+    with pytest.raises(ValueError, match="different"):
+        dedup_pipeline(empty, DedupConfig(num_partitions=16, bands=16), workdir=wd)
+
+
+def test_cluster_stats(ray_session, engine_result):
+    _, res = engine_result
+    stats = cluster_stats(res.assignments).to_pandas()
+    assert stats["size"].sum() == res.assignments.count()
+    assert (stats["size"] >= 1).all()
+
+
+def test_empty_input(ray_session):
+    import ray.data
+    table, _, _ = testgen.make_pairs_corpus(n=50, seed=3, cfg=CFG)
+    res = dedup_pipeline(ray.data.from_arrow(table.slice(0, 0)), CFG)
+    assert res.assignments.count() == 0
