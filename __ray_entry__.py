@@ -1,16 +1,18 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the kmcp_ray graft (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver initialises Ray itself before importing this module; nothing
+here (nor in kmcp_ray) calls ``ray.init``/``ray.shutdown``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()``  — flagship near-dup pipeline on a deterministic synthetic
+  image+caption corpus seeded from /root/testdata/sf0.001 documents.
+- ``queries()`` — one callable per implemented operator (SURVEY.md §2);
+  each takes ``sf_dir`` and returns a Dataset / DataFrame / Table.
+- ``oracle_sql()`` — DuckDB-equivalent SQL for the SQL-expressible
+  subset; LSH/SimHash/fingerprint/clustering ops are rows-only checked.
+
+Column-name + float-parity rules: aggregates are integer units
+(floor(x*100)) and every computed column is aliased identically in the
+Ray code and the SQL.
 """
 
 from __future__ import annotations
@@ -18,27 +20,249 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+
+
+def _docs(sf_dir: str):
+    import ray.data
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+
+
+def _read(sf_dir: str, name: str, columns=None):
+    import ray.data
+    return ray.data.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+
+
+# --------------------------------------------------------------- flagship
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Near-dup detection + clustering over a synthetic image+caption
+    corpus whose captions are seeded from the sf0.001 documents table."""
+    import pyarrow.parquet as pq
+    import ray.data
 
+    from kmcp_ray.config import DedupConfig
+    from kmcp_ray.pipeline import dedup_pipeline
+    from kmcp_ray import testgen
+
+    texts = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                          columns=["text"]).column("text").to_pylist()
+    cfg = DedupConfig(num_partitions=16)
+    table, _planted, _neg = testgen.make_pairs_corpus(
+        n=800, seed=42, cfg=cfg, captions=texts)
+    res = dedup_pipeline(ray.data.from_arrow(table), cfg)
+    return res.assignments
+
+
+# ---------------------------------------------------------------- queries
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from kmcp_ray import ann, docs_dedup, relops, textops
+    from kmcp_ray.config import DedupConfig
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    cfg = DedupConfig(num_partitions=16)
 
+    def q_exact_dedup(sf):
+        return docs_dedup.exact_dedup(_docs(sf), num_partitions=16)
+
+    def q_token_count(sf):
+        return textops.token_count(_docs(sf))
+
+    def q_doc_stats(sf):
+        return textops.doc_stats(_docs(sf))
+
+    def q_lang_source_agg(sf):
+        return relops.lang_source_agg(
+            _read(sf, "documents", columns=["lang", "source", "n_chars"]))
+
+    def q_events_type_agg(sf):
+        return relops.events_type_agg(
+            _read(sf, "events", columns=["event_type", "value"]))
+
+    def q_events_hourly_user(sf):
+        return relops.events_hourly_user(
+            _read(sf, "events", columns=["user_id", "ts", "value"]))
+
+    def q_lineitem_pricing(sf):
+        return relops.lineitem_pricing(_read(sf, "lineitem", columns=[
+            "l_returnflag", "l_linestatus", "l_quantity",
+            "l_extendedprice", "l_discount"]))
+
+    def q_top_docs(sf):
+        return relops.top_docs_by_len(
+            _read(sf, "documents", columns=["doc_id", "n_chars", "lang"]))
+
+    def q_cov2simi(sf):
+        ds = relops.cov2simi(_read(sf, "lineitem", columns=[
+            "l_orderkey", "l_linenumber", "l_discount"]), col="l_discount")
+        return ds.select_columns(["l_orderkey", "l_linenumber", "simi_u"])
+
+    def q_ann_topk(sf):
+        import pyarrow.parquet as pq
+        emb = pq.read_table(f"{sf}/embeddings.parquet",
+                            columns=["vec_id", "embedding"])
+        ids = emb.column("vec_id").to_numpy().astype(np.int64)
+        mask = ids < 8
+        mat = np.stack([np.asarray(v, dtype=np.float64)
+                        for v in emb.column("embedding").to_pylist()])
+        ds = _read(sf, "embeddings", columns=["vec_id", "embedding"])
+        return ann.topk_cosine(ds, (ids[mask], mat[mask]), k=5)
+
+    def q_embedding_pairs(sf):
+        ds = _read(sf, "embeddings", columns=["vec_id", "embedding"])
+        return ann.cosine_pairs(ds, 0.4).select_columns(["id_a", "id_b"])
+
+    # ---- non-SQL-expressible (rows-only check) ----
+    def q_minhash_dedup(sf):
+        return docs_dedup.minhash_dedup(_docs(sf), cfg)
+
+    def q_simhash_dedup(sf):
+        return docs_dedup.simhash_dedup(_docs(sf), cfg)
+
+    def q_ngram_pairs(sf):
+        return docs_dedup.ngram_jaccard_pairs(_docs(sf), cfg)
+
+    def q_fingerprint(sf):
+        return textops.doc_fingerprint(_docs(sf))
+
+    def q_lang_id(sf):
+        return textops.lang_id(_docs(sf), concurrency=2)
+
+    def q_quality(sf):
+        return textops.quality_score(_docs(sf))
+
+    def q_lsh_cosine(sf):
+        ds = _read(sf, "embeddings", columns=["vec_id", "embedding"])
+        return ann.lsh_cosine_pairs(ds, 0.35, cfg)
+
+    def q_pairs_pipeline(sf):
+        import pyarrow.parquet as pq
+        import ray.data
+        from kmcp_ray import testgen
+        from kmcp_ray.pipeline import dedup_pipeline
+        texts = pq.read_table(f"{sf}/documents.parquet",
+                              columns=["text"]).column("text").to_pylist()
+        table, _p, _n = testgen.make_pairs_corpus(n=600, seed=42, cfg=cfg,
+                                                  captions=texts)
+        return dedup_pipeline(ray.data.from_arrow(table), cfg).assignments
+
+    return {
+        "exact_dedup_docs": q_exact_dedup,
+        "token_count": q_token_count,
+        "doc_stats": q_doc_stats,
+        "lang_source_agg": q_lang_source_agg,
+        "events_type_agg": q_events_type_agg,
+        "events_hourly_user": q_events_hourly_user,
+        "lineitem_pricing": q_lineitem_pricing,
+        "top_docs_by_len": q_top_docs,
+        "cov2simi": q_cov2simi,
+        "ann_topk": q_ann_topk,
+        "embedding_pairs": q_embedding_pairs,
+        "minhash_dedup_docs": q_minhash_dedup,
+        "simhash_dedup_docs": q_simhash_dedup,
+        "ngram_jaccard_pairs": q_ngram_pairs,
+        "doc_fingerprint": q_fingerprint,
+        "lang_id": q_lang_id,
+        "quality_score": q_quality,
+        "lsh_cosine_pairs": q_lsh_cosine,
+        "pairs_dedup_pipeline": q_pairs_pipeline,
+    }
+
+
+# ------------------------------------------------------------- oracle SQL
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "exact_dedup_docs": """
+            SELECT doc_id,
+                   min(doc_id) OVER (PARTITION BY text) AS keep_id,
+                   count(*)    OVER (PARTITION BY text) AS n_copies
+            FROM documents
+        """,
+        "token_count": """
+            SELECT doc_id,
+                   CAST(length(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                        AS BIGINT) AS n_tokens
+            FROM documents
+        """,
+        "doc_stats": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+                FROM documents
+            ), agg AS (
+                SELECT doc_id,
+                       count(*)            AS n_tokens,
+                       count(DISTINCT tok) AS n_uniq_tokens,
+                       sum(length(tok))    AS sum_token_len
+                FROM toks GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(length(d.text) AS BIGINT)          AS n_chars_m,
+                   CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+                   CAST(coalesce(a.n_uniq_tokens, 0) AS BIGINT) AS n_uniq_tokens,
+                   CAST(coalesce(a.sum_token_len, 0) AS BIGINT) AS sum_token_len
+            FROM documents d LEFT JOIN agg a USING (doc_id)
+        """,
+        "lang_source_agg": """
+            SELECT lang, source,
+                   count(*)     AS n_docs,
+                   sum(n_chars) AS sum_chars
+            FROM documents GROUP BY lang, source
+        """,
+        "events_type_agg": """
+            SELECT event_type,
+                   count(*) AS n_events,
+                   sum(CAST(floor(value * 100) AS BIGINT)) AS sum_value_cents,
+                   min(CAST(floor(value * 100) AS BIGINT)) AS min_value_cents,
+                   max(CAST(floor(value * 100) AS BIGINT)) AS max_value_cents
+            FROM events GROUP BY event_type
+        """,
+        "events_hourly_user": """
+            SELECT user_id,
+                   epoch_us(ts) // 3600000000 AS hour_id,
+                   count(*) AS n,
+                   sum(CAST(floor(value * 100) AS BIGINT)) AS sum_cents
+            FROM events GROUP BY user_id, hour_id
+        """,
+        "lineitem_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   count(*) AS n_rows,
+                   sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS sum_qty_x100,
+                   sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents,
+                   sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+                       AS sum_disc_price_cents
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "top_docs_by_len": """
+            SELECT doc_id, n_chars, lang FROM documents
+            ORDER BY n_chars DESC, doc_id ASC LIMIT 10
+        """,
+        "cov2simi": """
+            SELECT l_orderkey, l_linenumber,
+                   CAST(floor(
+                     least(100.0, greatest(0.0,
+                       87.456 + 26.410 * l_discount
+                       - 22.008 * l_discount * l_discount
+                       + 7.325 * l_discount * l_discount * l_discount)) * 1000000.0)
+                   AS BIGINT) AS simi_u
+            FROM lineitem
+        """,
+        "ann_topk": """
+            SELECT query_id, neighbor_id, rank FROM (
+                SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY list_cosine_similarity(q.embedding, e.embedding)
+                                    DESC, e.vec_id ASC) AS rank
+                FROM embeddings q, embeddings e
+                WHERE q.vec_id < 8 AND e.vec_id <> q.vec_id
+            ) WHERE rank <= 5
+        """,
+        "embedding_pairs": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM embeddings a, embeddings b
+            WHERE a.vec_id < b.vec_id
+              AND list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+        """,
+    }

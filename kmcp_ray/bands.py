@@ -55,14 +55,10 @@ def make_band_fn(cfg: DedupConfig, enable=("minhash", "contain", "phash", "exact
 
     def band_batch(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
-        ids = batch.column("image_id").combine_chunks() \
-            if isinstance(batch.column("image_id"), pa.ChunkedArray) \
-            else batch.column("image_id")
-        sketch_col = batch.column("sketch").combine_chunks() \
-            if isinstance(batch.column("sketch"), pa.ChunkedArray) \
-            else batch.column("sketch")
-        sk_offsets = sketch_col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-        sk_values = sketch_col.values.to_numpy(zero_copy_only=False).astype(np.uint64)
+        from kmcp_ray.arrowutil import column, list_to_numpy
+        ids = column(batch, "image_id")
+        sketch_col = column(batch, "sketch")
+        sk_values, sk_offsets = list_to_numpy(sketch_col, dtype=np.uint64)
         sk_fold = batch.column("sk_fold").to_numpy(zero_copy_only=False).astype(np.uint64)
         phash = batch.column("phash").to_numpy(zero_copy_only=False).astype(np.int64)
         exact_key = batch.column("exact_key").to_numpy(zero_copy_only=False).astype(np.uint64)
@@ -72,11 +68,9 @@ def make_band_fn(cfg: DedupConfig, enable=("minhash", "contain", "phash", "exact
         row_parts, key_parts, kind_parts = [], [], []
 
         if "minhash" in enabled:
-            mh = batch.column("minhash").combine_chunks() \
-                if isinstance(batch.column("minhash"), pa.ChunkedArray) \
-                else batch.column("minhash")
-            sig = mh.values.to_numpy(zero_copy_only=False).astype(np.uint64) \
-                .reshape(n, cfg.num_perm)
+            mh_values, _mh_off = list_to_numpy(column(batch, "minhash"),
+                                               dtype=np.uint64)
+            sig = mh_values.reshape(n, cfg.num_perm)
             keys = text.band_keys(sig, cfg.bands)          # (n, bands)
             rows = np.repeat(np.arange(n), cfg.bands)
             flat = keys.reshape(-1)

@@ -75,9 +75,8 @@ def make_bucket_verifier(cfg: DedupConfig):
         sk_fold = batch.column("sk_fold").to_numpy(zero_copy_only=False).astype(np.uint64)
         phash = batch.column("phash").to_numpy(zero_copy_only=False).astype(np.int64)
         n_sh = batch.column("n_sh").to_numpy(zero_copy_only=False).astype(np.int64)
-        sketch_col = batch.column("sketch").combine_chunks() \
-            if isinstance(batch.column("sketch"), pa.ChunkedArray) \
-            else batch.column("sketch")
+        from kmcp_ray.arrowutil import column, list_to_numpy
+        sketch_col = column(batch, "sketch")
 
         order = np.lexsort((keys, kinds))
         kinds_s, keys_s = kinds[order], keys[order]
@@ -167,8 +166,7 @@ def make_bucket_verifier(cfg: DedupConfig):
             sk_mask = (df["cls"] == "sk").to_numpy()
             if sk_mask.any():
                 sub = df[sk_mask]
-                sk_off = sketch_col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-                sk_val = sketch_col.values.to_numpy(zero_copy_only=False).astype(np.uint64)
+                sk_val, sk_off = list_to_numpy(sketch_col, dtype=np.uint64)
                 for a, b, i, j in zip(sub["a"].to_numpy(), sub["b"].to_numpy(),
                                       sub["i"].to_numpy(), sub["j"].to_numpy()):
                     na, nb = n_sh[i], n_sh[j]

@@ -1,0 +1,144 @@
+"""Deduplication operators over generic document tables
+(id + text), built from the same frozen machinery as the image+caption
+pipeline: exact (hash-partition + per-group min), MinHash-LSH,
+SimHash/Hamming, and n-gram-Jaccard pair extraction.
+
+Ids are carried as zero-padded strings through the union-find stage
+(canonical cluster id = min id) and returned as int64.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from kmcp_ray import hashing, textops
+from kmcp_ray.config import DedupConfig
+from kmcp_ray.pipeline import dedup_pipeline
+
+_ID_FMT = "d{:012d}"
+
+
+def _with_str_id(ds, id_col: str, text_col: str):
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        sid = np.array([_ID_FMT.format(int(i)) for i in ids], dtype=object)
+        return pa.table({"image_id": pa.array(sid, pa.string()),
+                         "caption": batch.column(text_col),
+                         "orig_id": pa.array(ids, pa.int64())})
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _to_int_assignments(assignments, id_col: str):
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch.column("image_id").to_numpy(zero_copy_only=False)
+        cl = batch.column("cluster_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            id_col: pa.array([int(s[1:]) for s in ids], pa.int64()),
+            "cluster_id": pa.array([int(s[1:]) for s in cl], pa.int64())})
+    return assignments.map_batches(fn, batch_format="pyarrow")
+
+
+# -------------------------------------------------------------- exact dedup
+
+def exact_dedup(ds, id_col="doc_id", text_col="text", num_partitions: int = 64):
+    """Every row annotated with its exact-dup group: (id, keep_id,
+    n_copies) where keep_id = min id among rows with identical text.
+
+    Pattern: content-hash column in map_batches → ONE hash-partition
+    groupby → vectorized per-partition segment processing (no per-group
+    Python calls) — the scalable exact-dedup shape from the Ray guide.
+    """
+    def add_hash(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_numpy(zero_copy_only=False)
+        th = hashing.hash_strings(np.where(texts == None, "", texts))  # noqa: E711
+        part = (th % np.uint64(num_partitions)).astype(np.int64)
+        return pa.table({id_col: batch.column(id_col),
+                         "th": pa.array(th, pa.uint64()),
+                         "part": pa.array(part, pa.int64())})
+
+    def per_partition(batch: pa.Table) -> pa.Table:
+        th = batch.column("th").to_numpy(zero_copy_only=False).astype(np.uint64)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(th) == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "keep_id": pa.array([], pa.int64()),
+                             "n_copies": pa.array([], pa.int64())})
+        order = np.lexsort((ids, th))
+        th_s, ids_s = th[order], ids[order]
+        seg = np.concatenate(([True], th_s[1:] != th_s[:-1]))
+        seg_id = np.cumsum(seg) - 1
+        n_seg = int(seg_id[-1]) + 1
+        keep = ids_s[np.nonzero(seg)[0]]        # first id per segment == min
+        counts = np.bincount(seg_id, minlength=n_seg)
+        return pa.table({id_col: pa.array(ids_s, pa.int64()),
+                         "keep_id": pa.array(keep[seg_id], pa.int64()),
+                         "n_copies": pa.array(counts[seg_id], pa.int64())})
+
+    hashed = ds.map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True)
+    return hashed.groupby("part").map_groups(per_partition, batch_format="pyarrow")
+
+
+# -------------------------------------------------------- minhash-LSH dedup
+
+def minhash_dedup(ds, cfg: DedupConfig = None, id_col="doc_id", text_col="text"):
+    """(id, cluster_id) via the full MinHash-LSH + containment pipeline."""
+    cfg = cfg or DedupConfig()
+    sds = _with_str_id(ds, id_col, text_col)
+    res = dedup_pipeline(sds, cfg, id_col="image_id", text_col="caption",
+                         phash_col=None, bytes_col=None,
+                         enable=("minhash", "contain", "exact"))
+    return _to_int_assignments(res.assignments, id_col)
+
+
+# ------------------------------------------------------------ simhash dedup
+
+def simhash_dedup(ds, cfg: DedupConfig = None, id_col="doc_id", text_col="text",
+                  k: int = 3):
+    """(id, cluster_id): SimHash-64 + Hamming-chunk banding.
+
+    Text SimHash distances for near-dups are larger than image pHash
+    ones (a 1-word edit flips ~3 shingles → ~6 bits), so this op runs at
+    8 chunks / radius 7 — still pigeonhole-exact."""
+    import dataclasses
+    cfg = dataclasses.replace(cfg or DedupConfig(),
+                              phash_chunks=8, hamming_radius=7)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        sid = np.array([_ID_FMT.format(int(i)) for i in ids], dtype=object)
+        sh = textops.simhash_batch(batch.column(text_col), k)
+        return pa.table({"image_id": pa.array(sid, pa.string()),
+                         "caption": batch.column(text_col),
+                         "phash": pa.array(sh, pa.int64())})
+
+    sds = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    res = dedup_pipeline(sds, cfg, id_col="image_id", text_col="caption",
+                         phash_col="phash", bytes_col=None, enable=("phash",))
+    return _to_int_assignments(res.assignments, id_col)
+
+
+# ------------------------------------------------------ n-gram-Jaccard pairs
+
+def ngram_jaccard_pairs(ds, cfg: DedupConfig = None, id_col="doc_id",
+                        text_col="text"):
+    """Verified near-dup pairs (id_a, id_b, via, score) with
+    shingle-Jaccard >= cfg.jaccard_threshold or containment >=
+    cfg.containment_threshold — the kmcp search-result analogue
+    (qCov/jacc rows, reference kmcp/cmd/search.go:84-104)."""
+    cfg = cfg or DedupConfig()
+    from kmcp_ray.pipeline import edges_stage, sketch_stage
+    sds = _with_str_id(ds, id_col, text_col)
+    sig = sketch_stage(sds, cfg, id_col="image_id", text_col="caption",
+                       phash_col=None, bytes_col=None, batch_size=4096)
+    edges = edges_stage(sig, cfg, enable=("minhash", "contain"))
+
+    def to_int(batch: pa.Table) -> pa.Table:
+        a = batch.column("id_a").to_numpy(zero_copy_only=False)
+        b = batch.column("id_b").to_numpy(zero_copy_only=False)
+        return pa.table({"id_a": pa.array([int(s[1:]) for s in a], pa.int64()),
+                         "id_b": pa.array([int(s[1:]) for s in b], pa.int64()),
+                         "via": batch.column("via"),
+                         "score": batch.column("score")})
+    return edges.map_batches(to_int, batch_format="pyarrow")

@@ -163,6 +163,11 @@ def dedup_pipeline(ds, cfg: DedupConfig = DedupConfig(), *,
                               batch_size=sketch_batch_size)
         if workdir:
             sig_ds = _checkpoint(sig_ds, workdir, "01_signatures")
+        else:
+            # consumed twice (edge generation + id emission): pin the
+            # (payload-free, much-smaller-than-input) signature table in
+            # the object store instead of recomputing the sketch stage
+            sig_ds = sig_ds.materialize()
 
     # --- stage 2: edges (band fan-out + partition shuffle + verify) ---
     if workdir and _done(workdir, "02_edges"):

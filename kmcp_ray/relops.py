@@ -1,0 +1,146 @@
+"""Relational operators over the synthetic star schema — the
+SQL-checkable face of the engine (driver correctness gate runs these
+against DuckDB oracles).
+
+Float-sum parity rule: every aggregated money/value column is converted
+to integer units (``floor(x * 100)``) BEFORE summing, so Ray's
+parallel summation and DuckDB's sequential summation agree exactly.
+Window ids use integer microsecond arithmetic for the same reason.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+from ray.data.aggregate import Count, Max, Min, Sum
+
+
+def _cents(col, factor: int = 100):
+    """floor(x * factor) as int64 — identical IEEE ops in DuckDB/numpy."""
+    return pc.cast(pc.floor(pc.multiply(col, pa.scalar(float(factor)))),
+                   pa.int64())
+
+
+# ------------------------------------------------------------ aggregations
+
+def lang_source_agg(docs):
+    """documents grouped by (lang, source): n_docs, sum_chars."""
+    return docs.groupby(["lang", "source"]).aggregate(
+        Count(alias_name="n_docs"), Sum("n_chars", alias_name="sum_chars"))
+
+
+def events_type_agg(events):
+    """events per event_type: n_events, sum_value_cents, min/max cents."""
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({"event_type": batch.column("event_type"),
+                         "value_cents": _cents(batch.column("value"))})
+    e = events.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    return e.groupby("event_type").aggregate(
+        Count(alias_name="n_events"),
+        Sum("value_cents", alias_name="sum_value_cents"),
+        Min("value_cents", alias_name="min_value_cents"),
+        Max("value_cents", alias_name="max_value_cents"))
+
+
+def events_hourly_user(events):
+    """Tumbling 1-hour windows per user: (user_id, hour_id, n, sum_cents).
+
+    hour_id = epoch_microseconds // 3_600_000_000 (integer arithmetic —
+    exact parity with DuckDB's epoch_us//3600000000).
+    """
+    def prep(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts")
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        us = ts.cast(pa.int64())
+        hour = pc.divide(us, pa.scalar(3_600_000_000, pa.int64()))
+        return pa.table({"user_id": batch.column("user_id"),
+                         "hour_id": pc.cast(hour, pa.int64()),
+                         "value_cents": _cents(batch.column("value"))})
+    e = events.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    return e.groupby(["user_id", "hour_id"]).aggregate(
+        Count(alias_name="n"), Sum("value_cents", alias_name="sum_cents"))
+
+
+def lineitem_pricing(li):
+    """TPC-H Q1-shaped summary with integer-cents sums."""
+    def prep(batch: pa.Table) -> pa.Table:
+        ep = batch.column("l_extendedprice")
+        disc = batch.column("l_discount")
+        disc_price = pc.multiply(ep, pc.subtract(pa.scalar(1.0), disc))
+        return pa.table({
+            "l_returnflag": batch.column("l_returnflag"),
+            "l_linestatus": batch.column("l_linestatus"),
+            "qty_x100": _cents(batch.column("l_quantity")),
+            "price_cents": _cents(ep),
+            "disc_price_cents": _cents(disc_price),
+        })
+    p = li.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    return p.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Count(alias_name="n_rows"),
+        Sum("qty_x100", alias_name="sum_qty_x100"),
+        Sum("price_cents", alias_name="sum_price_cents"),
+        Sum("disc_price_cents", alias_name="sum_disc_price_cents"))
+
+
+def top_docs_by_len(docs, k: int = 10):
+    """Top-k longest documents (ties by doc_id) — global sort + limit."""
+    return docs.select_columns(["doc_id", "n_chars", "lang"]) \
+        .sort(["n_chars", "doc_id"], descending=[True, False]).limit(k)
+
+
+# --------------------------------------------- kmcp scalar-function ports
+
+def cov2simi(ds, col: str = "qcov"):
+    """kmcp's coverage→similarity polynomial (reference:
+    kmcp/cmd/cov2simi.go:114-121, re-derived from its published formula):
+    simi = 87.456 + 26.410q - 22.008q^2 + 7.325q^3, clamped to [0,100].
+    Output keeps an integer micro-units column for exact comparison."""
+    def fn(batch: pa.Table) -> pa.Table:
+        q = batch.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        simi = 87.456 + 26.410 * q - 22.008 * q * q + 7.325 * q * q * q
+        simi = np.clip(simi, 0.0, 100.0)
+        return batch.append_column("simi", pa.array(simi, pa.float64())) \
+            .append_column("simi_u", pa.array(
+                np.floor(simi * 1e6).astype(np.int64), pa.int64()))
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def query_fpr_values(n_kmers: np.ndarray, m_matched: np.ndarray,
+                     p_fpr: float) -> np.ndarray:
+    """P(>= m chance matches out of n trials at per-k-mer FPR p) —
+    binomial upper tail (the kmcp query-FPR significance gate,
+    reference: kmcp/cmd/util-fpr.go:28-50, recomputed from the standard
+    binomial formula via log-gamma; no scipy in env)."""
+    from math import lgamma, exp, log
+    out = np.empty(len(n_kmers), dtype=np.float64)
+    lp, lq = log(p_fpr), log(1.0 - p_fpr)
+    cache = {}
+    for idx in range(len(n_kmers)):
+        n, m = int(n_kmers[idx]), int(m_matched[idx])
+        key = (n, m)
+        if key not in cache:
+            if m <= 0:
+                cache[key] = 1.0
+            elif m > n:
+                cache[key] = 0.0
+            else:
+                s = 0.0
+                for j in range(m, n + 1):
+                    s += exp(lgamma(n + 1) - lgamma(j + 1) - lgamma(n - j + 1)
+                             + j * lp + (n - j) * lq)
+                cache[key] = min(1.0, s)
+        out[idx] = cache[key]
+    return out
+
+
+def query_fpr(ds, n_col: str, m_col: str, p_fpr: float = 0.05):
+    """Adds ``fpr_tail`` — pair-level significance of m shared elements
+    out of n, used as an edge filter (kmcp M16 analogue)."""
+    def fn(batch: pa.Table) -> pa.Table:
+        n = batch.column(n_col).to_numpy(zero_copy_only=False)
+        m = batch.column(m_col).to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "fpr_tail", pa.array(query_fpr_values(n, m, p_fpr), pa.float64()))
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

@@ -1,0 +1,226 @@
+"""Text-analysis operators over document tables (training-data pipeline
+staples): token counting, quality stats, language ID, SimHash and
+winnowing fingerprints.
+
+All operators are vectorized ``map_batches`` transforms over Arrow
+batches; language ID is a stateful actor-pool stage (stopword tables
+built once per actor) — the kmcp T2/T3 broadcast-state analogue.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from kmcp_ray import hashing, text
+from kmcp_ray.hashing import U64
+
+_TOKEN_RE = "[a-z0-9]+"
+
+
+# ------------------------------------------------------------- token count
+
+def token_count_batch(batch: pa.Table, *, id_col="doc_id", text_col="text") -> pa.Table:
+    """(id, n_tokens): count of [a-z0-9]+ runs in the lower-cased text."""
+    lowered = pc.utf8_lower(pc.fill_null(batch.column(text_col), ""))
+    n = pc.count_substring_regex(lowered, pattern=_TOKEN_RE)
+    return pa.table({id_col: batch.column(id_col),
+                     "n_tokens": pc.cast(n, pa.int64())})
+
+
+def token_count(ds, id_col="doc_id", text_col="text"):
+    return ds.map_batches(
+        lambda b: token_count_batch(b, id_col=id_col, text_col=text_col),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ------------------------------------------------------------ quality stats
+
+def doc_stats_batch(batch: pa.Table, *, id_col="doc_id", text_col="text") -> pa.Table:
+    """Integer quality features per document:
+    n_chars_m(easured), n_tokens, n_uniq_tokens, sum_token_len."""
+    texts = batch.column(text_col)
+    flat_tokens, row_ids, n = text.tokenize(texts)
+    n_tokens = np.bincount(row_ids, minlength=n).astype(np.int64) if len(row_ids) \
+        else np.zeros(n, np.int64)
+    tok_len = np.array([len(t) for t in flat_tokens], dtype=np.int64)
+    sum_len = np.bincount(row_ids, weights=tok_len, minlength=n).astype(np.int64) \
+        if len(row_ids) else np.zeros(n, np.int64)
+    th = hashing.hash_tokens(flat_tokens)
+    n_uniq = np.zeros(n, np.int64)
+    if len(th):
+        order = np.lexsort((th, row_ids))
+        rr, hh = row_ids[order], th[order]
+        first = np.ones(len(hh), dtype=bool)
+        first[1:] = (rr[1:] != rr[:-1]) | (hh[1:] != hh[:-1])
+        n_uniq = np.bincount(rr[first], minlength=n).astype(np.int64)
+    n_chars = pc.cast(pc.utf8_length(pc.fill_null(texts, "")), pa.int64())
+    return pa.table({id_col: batch.column(id_col),
+                     "n_chars_m": n_chars,
+                     "n_tokens": pa.array(n_tokens, pa.int64()),
+                     "n_uniq_tokens": pa.array(n_uniq, pa.int64()),
+                     "sum_token_len": pa.array(sum_len, pa.int64())})
+
+
+def doc_stats(ds, id_col="doc_id", text_col="text"):
+    return ds.map_batches(
+        lambda b: doc_stats_batch(b, id_col=id_col, text_col=text_col),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+def quality_score_batch(batch: pa.Table, *, id_col="doc_id", text_col="text") -> pa.Table:
+    """Float quality score in [0,1]: token-diversity x length saturation
+    x mean-token-length plausibility (heuristic; rows-only check)."""
+    st = doc_stats_batch(batch, id_col=id_col, text_col=text_col)
+    nt = st.column("n_tokens").to_numpy().astype(np.float64)
+    nu = st.column("n_uniq_tokens").to_numpy().astype(np.float64)
+    sl = st.column("sum_token_len").to_numpy().astype(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        diversity = np.where(nt > 0, nu / nt, 0.0)
+        length_sat = 1.0 - np.exp(-nt / 32.0)
+        mean_len = np.where(nt > 0, sl / nt, 0.0)
+    len_plaus = np.clip(1.0 - np.abs(mean_len - 5.0) / 10.0, 0.0, 1.0)
+    score = diversity * length_sat * (0.5 + 0.5 * len_plaus)
+    return st.append_column("quality", pa.array(score, pa.float64()))
+
+
+def quality_score(ds, id_col="doc_id", text_col="text"):
+    return ds.map_batches(
+        lambda b: quality_score_batch(b, id_col=id_col, text_col=text_col),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+# -------------------------------------------------------------- language ID
+
+#: tiny per-language stopword lists (function words) — a deterministic
+#: n-gram/stopword heuristic, NOT a trained model (none available here).
+_LANG_MARKERS = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "it", "you", "that"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu", "ich"},
+    "fr": {"le", "la", "les", "et", "est", "un", "une", "pas", "pour", "que"},
+    "es": {"el", "la", "los", "las", "es", "un", "una", "por", "para", "que"},
+    "zh": set(),   # no-latin-script marker handled by char heuristic below
+}
+
+
+class LangIdStage:
+    """Actor-pool language classifier: marker tables built once per actor
+    (__init__), per-batch vectorized scoring (__call__)."""
+
+    def __init__(self, id_col="doc_id", text_col="text"):
+        self.id_col, self.text_col = id_col, text_col
+        self.markers = {k: frozenset(v) for k, v in _LANG_MARKERS.items()}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        flat_tokens, row_ids, n = text.tokenize(batch.column(self.text_col))
+        scores = {lang: np.zeros(n) for lang in self.markers if self.markers[lang]}
+        for lang, mk in self.markers.items():
+            if not mk:
+                continue
+            hit = np.array([t in mk for t in flat_tokens], dtype=np.float64) \
+                if len(flat_tokens) else np.empty(0)
+            scores[lang] = np.bincount(row_ids, weights=hit, minlength=n)
+        texts_np = batch.column(self.text_col).to_pandas().fillna("").to_numpy()
+        non_ascii = np.array([any(ord(ch) > 127 for ch in t[:200]) for t in texts_np])
+        langs = sorted(scores)
+        mat = np.stack([scores[la] for la in langs], axis=1)
+        best = mat.argmax(axis=1)
+        best_score = mat.max(axis=1)
+        pred = np.array(langs, dtype=object)[best]
+        pred[best_score == 0] = "und"
+        pred[non_ascii] = "zh"
+        return pa.table({self.id_col: batch.column(self.id_col),
+                         "lang_pred": pa.array(pred, pa.string())})
+
+
+def lang_id(ds, id_col="doc_id", text_col="text", concurrency=4):
+    return ds.map_batches(LangIdStage, fn_constructor_kwargs={
+        "id_col": id_col, "text_col": text_col},
+        batch_format="pyarrow", concurrency=concurrency, batch_size=4096)
+
+
+# ------------------------------------------------------------------ simhash
+
+def simhash_batch(texts, k: int) -> np.ndarray:
+    """64-bit SimHash over word-k-shingle hashes (unweighted bit vote)."""
+    ss = text.shingle_sets(texts, k, int(hashing.MAX_U64))
+    h, off = ss["hashes"], ss["offsets"]
+    n = len(off) - 1
+    out = np.zeros(n, dtype=np.uint64)
+    if len(h) == 0:
+        return out.view(np.int64)
+    bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & U64(1)) \
+        .astype(np.int64)
+    # reduceat indices must be < len(h); empty rows are overridden below
+    idx = np.minimum(off[:-1], len(h) - 1)
+    votes = np.add.reduceat(2 * bits - 1, idx, axis=0)
+    lens = (off[1:] - off[:-1])
+    votes[lens == 0] = -1          # empty rows → simhash 0
+    sel = votes > 0
+    weights = (U64(1) << np.arange(64, dtype=np.uint64))
+    out = (sel.astype(np.uint64) * weights[None, :]).sum(axis=1, dtype=np.uint64)
+    return out.view(np.int64)
+
+
+def doc_simhash(ds, id_col="doc_id", text_col="text", k: int = 3):
+    def fn(batch: pa.Table) -> pa.Table:
+        sh = simhash_batch(batch.column(text_col), k)
+        return pa.table({id_col: batch.column(id_col),
+                         "simhash": pa.array(sh, pa.int64())})
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ------------------------------------------------- winnowing fingerprints
+
+def winnow_batch(texts, k: int, w: int):
+    """Winnowing (Schleimer et al. 2003): per row, the set of per-window
+    minima over the sequence of shingle hashes (window size w).
+
+    Returns (fp_values, fp_offsets) — sorted unique fingerprints per row.
+    """
+    from kmcp_ray.text import tokenize, _window_hashes
+    flat_tokens, row_ids, n = tokenize(texts)
+    th = hashing.hash_tokens(flat_tokens)
+    wh, wrow = _window_hashes(th, row_ids, k)
+    fp_vals, fp_offsets = [], np.zeros(n + 1, dtype=np.int64)
+    # per-row loop over the (short) shingle sequence — winnowing is
+    # order-dependent so it cannot reuse the global-sort trick
+    counts = np.zeros(n, dtype=np.int64)
+    order = np.argsort(wrow, kind="stable")
+    wh_s, wrow_s = wh[order], wrow[order]
+    starts = np.searchsorted(wrow_s, np.arange(n), side="left")
+    ends = np.searchsorted(wrow_s, np.arange(n), side="right")
+    for i in range(n):
+        seq = wh_s[starts[i]:ends[i]]
+        if len(seq) == 0:
+            continue
+        if len(seq) <= w:
+            fps = np.array([seq.min()], dtype=np.uint64)
+        else:
+            view = np.lib.stride_tricks.sliding_window_view(seq, w)
+            fps = np.unique(view.min(axis=1))
+        fp_vals.append(fps)
+        counts[i] = len(fps)
+    np.cumsum(counts, out=fp_offsets[1:])
+    vals = np.concatenate(fp_vals) if fp_vals else np.empty(0, np.uint64)
+    return vals, fp_offsets
+
+
+def doc_fingerprint(ds, id_col="doc_id", text_col="text", k: int = 3, w: int = 4):
+    """(id, n_fp, min_fp, fp_fold): winnowing fingerprint summary —
+    deterministic ints; full fingerprint sets stay distributed."""
+    def fn(batch: pa.Table) -> pa.Table:
+        vals, off = winnow_batch(batch.column(text_col), k, w)
+        n = batch.num_rows
+        n_fp = (off[1:] - off[:-1]).astype(np.int64)
+        min_fp = np.zeros(n, dtype=np.uint64)
+        nonempty = n_fp > 0
+        min_fp[nonempty] = np.minimum.reduceat(vals, off[:-1][nonempty])
+        from kmcp_ray.sketch import sketch_fold
+        folds = sketch_fold(vals, off)
+        return pa.table({id_col: batch.column(id_col),
+                         "n_fp": pa.array(n_fp, pa.int64()),
+                         "min_fp": pa.array(min_fp.view(np.int64), pa.int64()),
+                         "fp_fold": pa.array(folds.view(np.int64), pa.int64())})
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

@@ -1,0 +1,72 @@
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from kmcp_ray import docs_dedup
+from kmcp_ray.config import DedupConfig
+
+CFG = DedupConfig(num_partitions=8)
+
+
+def _docs_table():
+    base = ("streaming engines shuffle blocks across the cluster while "
+            "backpressure keeps memory bounded and spilling rare today "
+            "because the scheduler pipelines map tasks with reduce tasks "
+            "and object spilling absorbs transient pressure gracefully")
+    near = base.replace("rare", "common")
+    # 16 of 32 tokens → containment 1.0 but Jaccard ≈ 0.47 < τ
+    contained = " ".join(base.split()[2:18])
+    texts = [base, near, contained,
+             "a totally different document about perceptual hashing",
+             "a totally different document about perceptual hashing",  # exact dup
+             "short one", ""]
+    return pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                     "text": pa.array(texts, pa.string())})
+
+
+def test_exact_dedup(ray_session):
+    import ray.data
+    out = docs_dedup.exact_dedup(ray.data.from_arrow(_docs_table()),
+                                 num_partitions=8).to_pandas()
+    out = out.set_index("doc_id").sort_index()
+    assert out.loc[3, "keep_id"] == 3 and out.loc[4, "keep_id"] == 3
+    assert out.loc[3, "n_copies"] == 2
+    assert out.loc[0, "keep_id"] == 0 and out.loc[0, "n_copies"] == 1
+    assert len(out) == 7
+
+
+def test_minhash_dedup_clusters_near_and_contained(ray_session):
+    import ray.data
+    out = docs_dedup.minhash_dedup(ray.data.from_arrow(_docs_table()), CFG) \
+        .to_pandas().set_index("doc_id")["cluster_id"]
+    assert out[0] == out[1] == out[2] == 0     # near + contained cluster to min id
+    assert out[3] == out[4] == 3               # exact dups
+    assert out[5] == 5 and out[6] == 6         # singletons
+
+
+def test_simhash_dedup(ray_session):
+    # SimHash is a long-document sketch: a 1-word edit on a long doc
+    # flips few bits; on short docs it is intentionally coarse.
+    import ray.data
+    base = " ".join(f"tok{i} word{i % 7} filler{i % 13}" for i in range(25))
+    near = base.replace("tok12", "changed", 1)
+    far = " ".join(f"other{i}" for i in range(40))
+    tbl = pa.table({"doc_id": pa.array(range(4), pa.int64()),
+                    "text": pa.array([base, near, far, far])})
+    out = docs_dedup.simhash_dedup(ray.data.from_arrow(tbl), CFG) \
+        .to_pandas().set_index("doc_id")["cluster_id"]
+    assert out[0] == out[1]                    # small edit on long doc
+    assert out[2] == out[3]                    # identical → distance 0
+    assert out[0] != out[2]
+
+
+def test_ngram_jaccard_pairs(ray_session):
+    import ray.data
+    out = docs_dedup.ngram_jaccard_pairs(ray.data.from_arrow(_docs_table()),
+                                         CFG).to_pandas()
+    pairs = {(a, b): (v, s) for a, b, v, s in
+             zip(out.id_a, out.id_b, out.via, out.score)}
+    assert (0, 1) in pairs and pairs[(0, 1)][0] == "minhash"
+    assert (0, 2) in pairs and pairs[(0, 2)][0] == "contain"
+    assert pairs[(0, 2)][1] == 1.0             # true subset containment
+    assert (3, 4) in pairs

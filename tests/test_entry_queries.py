@@ -1,0 +1,49 @@
+"""Driver-contract tests: entry() smoke + queries() vs oracle_sql()
+via DuckDB at sf0.001 (the same comparison the driver runs at sf0.01).
+"""
+
+import duckdb
+import pandas as pd
+import pytest
+
+import __ray_entry__ as entrymod
+from tools.check_queries import TABLES, canon, to_pandas
+
+SF = "/root/testdata/sf0.001"
+
+# SQL-checked queries, kept fast at sf0.001
+SQL_CHECKED = ["exact_dedup_docs", "token_count", "doc_stats",
+               "lang_source_agg", "events_type_agg", "events_hourly_user",
+               "lineitem_pricing", "top_docs_by_len", "cov2simi",
+               "ann_topk", "embedding_pairs"]
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    return c
+
+
+def test_entry_smoke(ray_session):
+    ds = entrymod.entry()
+    df = to_pandas(ds)
+    assert len(df) >= 1
+    assert set(df.columns) == {"image_id", "cluster_id"}
+
+
+@pytest.mark.parametrize("name", SQL_CHECKED)
+def test_query_matches_oracle(ray_session, con, name):
+    got = canon(to_pandas(entrymod.queries()[name](SF)))
+    want = canon(con.sql(entrymod.oracle_sql()[name]).df())
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == len(want)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_rows_only_queries_run(ray_session):
+    qs = entrymod.queries()
+    for name in ["minhash_dedup_docs", "doc_fingerprint", "lang_id"]:
+        df = to_pandas(qs[name](SF))
+        assert len(df) > 0, name

@@ -1,0 +1,101 @@
+"""Local mirror of the driver's correctness gate: run every
+``queries()`` entry at a given sf_dir and compare with ``oracle_sql()``
+via DuckDB — row count, schema (sorted column names), and
+order-insensitive value equality.
+
+Usage:  python tools/check_queries.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def to_pandas(res) -> pd.DataFrame:
+    import pyarrow as pa
+    import ray.data
+    if isinstance(res, ray.data.Dataset):
+        return res.to_pandas()
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    return res
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if str(df[c].dtype).startswith("uint"):
+            df[c] = df[c].astype("int64")
+    if len(df):
+        df = df.sort_values(list(df.columns), kind="mergesort")
+    return df.reset_index(drop=True)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import ray
+    import ray.data
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=8, include_dashboard=False,
+                 logging_level="ERROR")
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as entrymod
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            got = canon(to_pandas(fn(sf_dir)))
+        except Exception as e:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL {name}: query raised {type(e).__name__}: {e}")
+            continue
+        dt = time.time() - t0
+        if name not in oracles:
+            print(f"ok(rows-only) {name}: {len(got)} rows, "
+                  f"{list(got.columns)} [{dt:.1f}s]")
+            continue
+        want = canon(con.sql(oracles[name]).df())
+        status = "OK"
+        if list(got.columns) != list(want.columns):
+            status = f"SCHEMA MISMATCH got={list(got.columns)} want={list(want.columns)}"
+        elif len(got) != len(want):
+            status = f"ROWCOUNT MISMATCH got={len(got)} want={len(want)}"
+        else:
+            try:
+                pd.testing.assert_frame_equal(got, want, check_dtype=False)
+            except AssertionError as e:
+                status = f"VALUE MISMATCH: {str(e)[:300]}"
+        if status != "OK":
+            failures.append(name)
+            print(f"FAIL {name}: {status}")
+        else:
+            print(f"OK {name}: {len(got)} rows [{dt:.1f}s]")
+    print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    rc = main()
+    import ray
+    ray.shutdown()
+    sys.exit(rc)
