@@ -1,0 +1,130 @@
+#!/usr/bin/env python
+"""Benchmark harness — prints ONE JSON line.
+
+  python bench.py             # run at $RAY_GRAFT_CPUS (default 32) on
+                              # $GRAFT_SF_DIR (default /root/testdata/sf0.1)
+  python bench.py --scaling   # same job at num_cpus=8 and 32 in fresh
+                              # processes → throughputs + efficiency
+
+Headline = the flagship near-dup pipeline (sketch → LSH shuffle →
+verify → union-find → emit) over a cached deterministic synthetic
+image+caption corpus (default 100k rows; GRAFT_BENCH_ROWS overrides),
+consumed by writing cluster assignments to Parquet.  Secondary queries
+time the other operator families on the sf tables.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+BENCH_ROWS = int(os.environ.get("GRAFT_BENCH_ROWS", "100000"))
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NCPU = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+CACHE = os.environ.get("GRAFT_BENCH_CACHE", "/tmp/kmcp_bench_cache")
+
+
+def run_bench() -> dict:
+    import ray
+    import ray.data
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=NCPU, include_dashboard=False,
+                 logging_level="ERROR")
+    ctx = ray.data.DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from kmcp_ray import testgen
+    from kmcp_ray.config import DedupConfig
+    from kmcp_ray.pipeline import dedup_pipeline
+
+    cfg = DedupConfig(num_partitions=max(64, NCPU * 4))
+    corpus = os.path.join(CACHE, f"pairs_n{BENCH_ROWS}_s42")
+    testgen.make_corpus_parquet(corpus, BENCH_ROWS, seed=42, cfg=cfg)
+    paths = os.path.join(corpus, "pairs")
+
+    # warm the page cache so we measure compute+shuffle, not cold reads
+    ray.data.read_parquet(paths).count()
+    out_dir = f"/tmp/kmcp_bench_out_{NCPU}"
+    import shutil
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    t0 = time.time()
+    ds = ray.data.read_parquet(
+        paths, columns=["image_id", "bytes", "caption", "phash"])
+    res = dedup_pipeline(ds, cfg)
+    res.assignments.write_parquet(out_dir)
+    t_headline = time.time() - t0
+
+    queries: dict[str, float] = {}
+
+    def timed(name, fn):
+        t = time.time()
+        fn()
+        queries[name] = round(time.time() - t, 3)
+
+    import __ray_entry__ as em
+    qs = em.queries()
+
+    def consume(ds_like):
+        import pandas as pd
+        import pyarrow as pa
+        if isinstance(ds_like, (pd.DataFrame, pa.Table)):
+            return len(ds_like)
+        return ds_like.count()
+
+    for name in ["exact_dedup_docs", "minhash_dedup_docs", "simhash_dedup_docs",
+                 "doc_stats", "lineitem_pricing", "events_hourly_user",
+                 "ann_topk", "lsh_cosine_pairs", "doc_fingerprint"]:
+        timed(name, lambda n=name: consume(qs[n](SF_DIR)))
+
+    n_assign = ray.data.read_parquet(out_dir).count()
+    result = {
+        "metric": "near-dup pipeline wall time (sketch→LSH→verify→CC→emit, "
+                  f"{BENCH_ROWS} image+caption rows)",
+        "value": round(t_headline, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NCPU,
+        "rows": BENCH_ROWS,
+        "images_per_sec": round(BENCH_ROWS / t_headline, 1),
+        "assignments": n_assign,
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                             env=env, capture_output=True, text=True,
+                             check=True).stdout
+        return json.loads(out.strip().splitlines()[-1])
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": "scaling efficiency (same job, fresh ray.init at "
+                  f"num_cpus={lo} vs {hi})",
+        "sec_8": t_lo, "sec_32": t_hi,
+        "images_per_sec_8": r_lo["images_per_sec"],
+        "images_per_sec_32": r_hi["images_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "rows": r_hi["rows"],
+        "unit": "ratio",
+        "value": round(eff, 3),
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

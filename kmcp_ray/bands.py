@@ -1,10 +1,10 @@
-"""Band-row expansion: signature table → LSH shuffle rows.
+"""Band-row expansion: signature table → packed LSH shuffle rows.
 
-Each signature row fans out into candidate-bucket rows across four
-generators — this is the Ray-Data-native replacement for kmcp's
-bit-sliced Bloom-filter index probe (reference: kmcp/cmd/index.go,
-util-db-search.go): instead of ANDing bit-matrix rows addressed by query
-hashes, rows that agree on a bucket key meet in a ``groupby`` shuffle.
+Each signature row fans out into candidate-bucket keys across four
+generators — the Ray-Data-native replacement for kmcp's bit-sliced
+Bloom-filter index probe (reference: kmcp/cmd/index.go,
+util-db-search.go): rows that agree on a bucket key meet in a
+``groupby`` shuffle instead of a bit-matrix AND.
 
   kind 0  MinHash band key        (Jaccard candidates; near-dup captions)
   kind 1  scaled shingle hash     (containment candidates — kmcp's exact
@@ -12,10 +12,14 @@ hashes, rows that agree on a bucket key meet in a ``groupby`` shuffle.
   kind 2  pHash 16-bit chunk      (Hamming candidates; near-dup images)
   kind 3  exact content key       (identical caption+bytes)
 
-Rows carry ``part = key % num_partitions`` so the wide shuffle is ONE
-explicit hash partition (``groupby("part")``) processed vectorized per
-partition, instead of millions of tiny per-key groups.  Skewed keys are
-handled downstream (buckets.py) — the kmcp block-size-threshold analogue.
+**Map-side packing** (the one big shuffle-cost lever): instead of one
+shuffle row per (row, key) — ~30 tiny rows per input row — each input
+batch emits ONE packed row per partition (``part = key % num_partitions``)
+holding columnar lists of that partition's keys/ids/folds.  The
+downstream ``groupby("part")`` then sorts thousands of fat rows, not
+millions of 40-byte ones; payload bytes are identical.  This is the
+map-side-combine shape from the Ray Data guide, and the analogue of
+kmcp packing 8-file batches into block columns (kmcp/cmd/index.go:1066+).
 """
 
 from __future__ import annotations
@@ -24,6 +28,7 @@ import numpy as np
 import pyarrow as pa
 
 from kmcp_ray import hashing, imagecodec, text
+from kmcp_ray.arrowutil import column, list_to_numpy
 from kmcp_ray.config import DedupConfig
 
 KIND_MINHASH = 0
@@ -33,29 +38,24 @@ KIND_EXACT = 3
 
 _CONTAIN_SALT = np.uint64(0x9FB21C651E98DF25)
 
-BAND_SCHEMA = pa.schema([
-    ("part", pa.int64()),
-    ("key", pa.uint64()),
-    ("kind", pa.int8()),
-    ("image_id", pa.string()),
-    ("sketch", pa.list_(pa.uint64())),
-    ("sk_fold", pa.uint64()),
-    ("phash", pa.int64()),
-    ("n_sh", pa.int32()),
-])
+
+def _segment_gather(starts: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+    """Flat gather indices for concatenating segments
+    [starts_i, starts_i + lengths_i) — fully vectorized."""
+    total = int(lengths.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    excl_cumsum = np.concatenate(([0], np.cumsum(lengths)[:-1]))
+    out = np.repeat(starts - excl_cumsum, lengths)
+    return out + np.arange(total)
 
 
 def make_band_fn(cfg: DedupConfig, enable=("minhash", "contain", "phash", "exact")):
-    """Factory for the stateless band-expansion ``map_batches`` function.
-
-    ``enable`` selects generators — the documents-table dedup operators
-    reuse this with a subset.
-    """
+    """Factory for the stateless packed band-expansion function."""
     enabled = frozenset(enable)
 
     def band_batch(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
-        from kmcp_ray.arrowutil import column, list_to_numpy
         ids = column(batch, "image_id")
         sketch_col = column(batch, "sketch")
         sk_values, sk_offsets = list_to_numpy(sketch_col, dtype=np.uint64)
@@ -64,29 +64,26 @@ def make_band_fn(cfg: DedupConfig, enable=("minhash", "contain", "phash", "exact
         exact_key = batch.column("exact_key").to_numpy(zero_copy_only=False).astype(np.uint64)
         n_sh = (sk_offsets[1:] - sk_offsets[:-1]).astype(np.int32)
 
-        # per-generator (row_idx, key, kind) triples
         row_parts, key_parts, kind_parts = [], [], []
 
         if "minhash" in enabled:
-            mh_values, _mh_off = list_to_numpy(column(batch, "minhash"),
-                                               dtype=np.uint64)
+            mh_values, _ = list_to_numpy(column(batch, "minhash"), dtype=np.uint64)
             sig = mh_values.reshape(n, cfg.num_perm)
-            keys = text.band_keys(sig, cfg.bands)          # (n, bands)
+            keys = text.band_keys(sig, cfg.bands)
             rows = np.repeat(np.arange(n), cfg.bands)
             flat = keys.reshape(-1)
-            keep = flat != hashing.MAX_U64                  # degenerate rows
+            keep = flat != hashing.MAX_U64
             row_parts.append(rows[keep])
             key_parts.append(flat[keep])
-            kind_parts.append(np.full(keep.sum(), KIND_MINHASH, dtype=np.int8))
+            kind_parts.append(np.full(int(keep.sum()), KIND_MINHASH, dtype=np.int8))
 
         if "contain" in enabled:
-            # one row per kept shingle hash; only rows with enough shingles
             eligible = n_sh >= cfg.min_containment_shingles
             row_of_val = np.repeat(np.arange(n), sk_offsets[1:] - sk_offsets[:-1])
             keep = eligible[row_of_val] & (sk_values <= np.uint64(cfg.bucket_max_hash))
             row_parts.append(row_of_val[keep])
             key_parts.append(hashing.splitmix64(sk_values[keep] + _CONTAIN_SALT))
-            kind_parts.append(np.full(keep.sum(), KIND_CONTAIN, dtype=np.int8))
+            kind_parts.append(np.full(int(keep.sum()), KIND_CONTAIN, dtype=np.int8))
 
         if "phash" in enabled:
             pk = imagecodec.phash_chunk_keys(phash, cfg.phash_chunks)
@@ -104,22 +101,31 @@ def make_band_fn(cfg: DedupConfig, enable=("minhash", "contain", "phash", "exact
         kinds = np.concatenate(kind_parts) if kind_parts else np.empty(0, np.int8)
         part = (keys % np.uint64(cfg.num_partitions)).astype(np.int64)
 
-        take = pa.array(rows, type=pa.int64())
-        # phash / exact rows never read the sketch — null it out so the
-        # wide shuffle doesn't move those list payloads (take() with a
-        # null index yields a null list element)
-        sketch_take = pa.array(rows, type=pa.int64(),
-                               mask=(kinds >= KIND_PHASH))
-        out_sketch = sketch_col.take(sketch_take)
-        return pa.table({
-            "part": pa.array(part, type=pa.int64()),
-            "key": pa.array(keys, type=pa.uint64()),
-            "kind": pa.array(kinds, type=pa.int8()),
-            "image_id": ids.take(take),
-            "sketch": out_sketch,
-            "sk_fold": pa.array(sk_fold[rows], type=pa.uint64()),
-            "phash": pa.array(phash[rows], type=pa.int64()),
-            "n_sh": pa.array(n_sh[rows], type=pa.int32()),
+        # ---- pack: one output row per partition present in this batch ----
+        order = np.argsort(part, kind="stable")
+        rows, keys, kinds, part = rows[order], keys[order], kinds[order], part[order]
+        m = len(rows)
+        bound = np.nonzero(np.concatenate(([True], part[1:] != part[:-1])))[0] \
+            if m else np.empty(0, np.int64)
+        bound_end = np.concatenate((bound[1:], [m])) if m else bound
+        pack_part = part[bound] if m else np.empty(0, np.int64)
+
+        ids_np = ids.to_numpy(zero_copy_only=False)
+
+        def pack_list(values: np.ndarray, arrow_type) -> pa.ListArray:
+            return pa.ListArray.from_arrays(
+                pa.array(np.concatenate((bound, [m])), type=pa.int32()),
+                pa.array(values, type=arrow_type))
+
+        out = pa.table({
+            "part": pa.array(pack_part, pa.int64()),
+            "key": pack_list(keys, pa.uint64()),
+            "kind": pack_list(kinds, pa.int8()),
+            "image_id": pack_list(ids_np[rows], pa.string()),
+            "sk_fold": pack_list(sk_fold[rows], pa.uint64()),
+            "phash": pack_list(phash[rows], pa.int64()),
+            "n_sh": pack_list(n_sh[rows].astype(np.int32), pa.int32()),
         })
+        return out
 
     return band_batch

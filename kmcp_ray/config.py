@@ -33,8 +33,12 @@ class DedupConfig:
     #: reference: kmcp/cmd/compute.go:311-316).
     scale: int = 1
     # --- MinHash-LSH banding (kmcp index-block analogue) ---
-    num_perm: int = 128
-    bands: int = 32                      # rows_per_band = num_perm // bands
+    #: 16 bands x 4 rows: P(band hit | J=0.75) ≈ 0.9978 on its own; the
+    #: shared-shingle containment generator independently catches the
+    #: same pairs, pushing combined recall ≥ 0.999 at half the signature
+    #: cost of 128 perms.
+    num_perm: int = 64
+    bands: int = 16                      # rows_per_band = num_perm // bands
     # --- candidate generation by shared scaled shingle (containment path) ---
     #: scale for the shingle-bucket emission: only shingle hashes
     #: <= 2**64//bucket_scale become bucket keys.  This bounds the row
@@ -47,6 +51,11 @@ class DedupConfig:
     #: are not eligible for the containment (substr) path — too noisy
     #: (kmcp's minimum query length analogue).
     min_containment_shingles: int = 8
+    #: pair verification uses the bottom-``verify_k`` elements of each
+    #: scaled sketch (classic bottom-k MinHash): bounds the per-row
+    #: payload of the verification join for long documents; short
+    #: captions (< verify_k shingles) are verified on their exact sets.
+    verify_k: int = 64
     # --- pHash Hamming banding ---
     phash_chunks: int = 4                # 64-bit phash -> 4 x 16-bit keys
     hamming_radius: int = 3              # pigeonhole-safe for <= chunks-1
@@ -56,6 +65,15 @@ class DedupConfig:
     #:  deduplicated by full-signature equality (star edges), then at most
     #: max_bucket distinct representatives are pairwise verified.
     max_bucket: int = 256
+    #: shingle-containment buckets larger than this are dominated by a
+    #: high-document-frequency shingle that carries no dedup signal
+    #: (bucket size == the shingle's df); they emit only identical-sketch
+    #: star edges, no pairwise work.  The kmcp analogue is the Bloom FPR
+    #: / block-size skew control (reference: kmcp/cmd/index.go:213-259).
+    #: At 10^12 rows any popular phrase would otherwise explode the
+    #: candidate set quadratically; genuine containment dups share RARE
+    #: shingles (df 2-5), which stay under this cap.
+    max_shingle_df: int = 8
     # --- shuffle shape ---
     num_partitions: int = 64
 

@@ -104,12 +104,66 @@ def sketch_stage(ds, cfg: DedupConfig, *, id_col="image_id", text_col="caption",
 
 
 def edges_stage(sig_ds, cfg: DedupConfig, enable=ALL_GENERATORS):
-    """Signatures → verified candidate-pair edges (the one wide shuffle)."""
+    """Signatures → verified candidate-pair edges.
+
+    Three shuffles, all over small rows:
+      1. packed band rows → ``groupby(part)`` → bucket processing
+         (exact/phash verified in place; sk pairs emitted as candidates)
+      2. global candidate dedup: ``groupby(id_a, id_b).count`` — a pair
+         colliding in many bands/partitions is verified exactly once
+      3. two hash joins attach the bottom-k sketches from the signature
+         table (kmcp: queries routed to the index that holds sketches)
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
     band_fn = bands_mod.make_band_fn(cfg, enable=enable)
     band_ds = sig_ds.map_batches(band_fn, batch_format="pyarrow",
                                  batch_size=4096, zero_copy_batch=True)
     verifier = buckets_mod.make_bucket_verifier(cfg)
-    return band_ds.groupby("part").map_groups(verifier, batch_format="pyarrow")
+    raw = band_ds.groupby("part").map_groups(verifier, batch_format="pyarrow")
+    raw = raw.materialize()          # small: pairs + star edges only
+
+    verified = raw.map_batches(
+        lambda t: t.filter(pc.not_equal(t["via"], "cand")),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    cand = raw.map_batches(
+        lambda t: t.filter(pc.equal(t["via"], "cand"))
+                   .select(["id_a", "id_b"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    if cand.count() == 0:
+        return verified
+
+    pairs = cand.groupby(["id_a", "id_b"]) \
+        .aggregate(Count(alias_name="n_hits")) \
+        .select_columns(["id_a", "id_b"])
+
+    def trunc_sig(batch: pa.Table) -> pa.Table:
+        # acero hash joins reject list-typed payload columns → ship the
+        # bottom-k sketch as a binary blob of little-endian uint64s
+        from kmcp_ray.arrowutil import column, list_to_numpy
+        import numpy as np
+        vals, off = list_to_numpy(column(batch, "sketch"), dtype="uint64")
+        lens = np.minimum(off[1:] - off[:-1], cfg.verify_k)
+        gather = bands_mod._segment_gather(off[:-1], lens)
+        new_off = np.zeros(len(lens) + 1, dtype="int64")
+        np.cumsum(lens, out=new_off[1:])
+        n = len(lens)
+        vsk = pa.Array.from_buffers(
+            pa.binary(), n,
+            [None, pa.py_buffer((new_off * 8).astype(np.int32).tobytes()),
+             pa.py_buffer(vals[gather].tobytes())])
+        return pa.table({"image_id": batch.column("image_id"), "vsk": vsk})
+
+    sig_small = sig_ds.select_columns(["image_id", "sketch"]).map_batches(
+        trunc_sig, batch_format="pyarrow", zero_copy_batch=True)
+
+    attached = buckets_mod.attach_sketches(pairs, sig_small, cfg)
+    pair_verifier = buckets_mod.make_pair_verifier(cfg)
+    verified_pairs = attached.map_batches(pair_verifier, batch_format="pyarrow",
+                                          zero_copy_batch=True)
+    return verified.union(verified_pairs)
 
 
 def make_assign_fn(cluster_map_ref, id_col: str = "image_id"):

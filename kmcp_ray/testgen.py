@@ -249,3 +249,62 @@ def make_pairs_corpus(n: int = 2000, seed: int = 42, dup_frac: float = 0.30,
     planted_ids = [(ids[a], ids[b], c) for a, b, c in planted]
     negative_ids = [(ids[a], ids[b], c) for a, b, c in negatives]
     return table, planted_ids, negative_ids
+
+
+# --------------------------------------------------------- parallel builder
+
+def make_corpus_parquet(out_dir: str, n: int, seed: int = 42,
+                        shard_size: int = 4000,
+                        cfg: "DedupConfig | None" = None) -> str:
+    """Build an n-row corpus as partitioned Parquet using Ray tasks
+    (one shard per task; ids globally unique; planted/negative pair
+    tables written alongside).  Idempotent: returns immediately if the
+    corpus is already complete (``_DONE`` marker) — the resumable-output
+    pattern (one directory per shard + manifest).
+    """
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+    import ray
+
+    cfg = cfg or DedupConfig()
+    done = os.path.join(out_dir, "_DONE")
+    meta = {"n": n, "seed": seed, "shard_size": shard_size}
+    if os.path.exists(done):
+        with open(done) as f:
+            if json.load(f) == meta:
+                return out_dir
+    pairs_dir = os.path.join(out_dir, "pairs")
+    os.makedirs(pairs_dir, exist_ok=True)
+
+    n_shards = (n + shard_size - 1) // shard_size
+
+    @ray.remote
+    def gen_shard(si: int) -> tuple:
+        rows = min(shard_size, n - si * shard_size)
+        table, planted, negatives = make_pairs_corpus(
+            rows, seed=seed + si * 1_000_003, cfg=cfg)
+        offset = si * shard_size
+
+        def remap(i: str) -> str:
+            return f"img{offset + int(i[3:]):010d}"
+
+        ids = [remap(s) for s in table.column("image_id").to_pylist()]
+        table = table.set_column(0, "image_id", pa.array(ids, pa.string()))
+        pq.write_table(table, os.path.join(pairs_dir, f"part-{si:05d}.parquet"))
+        return ([(remap(a), remap(b), c) for a, b, c in planted],
+                [(remap(a), remap(b), c) for a, b, c in negatives])
+
+    results = ray.get([gen_shard.remote(si) for si in range(n_shards)])
+    planted = [p for r in results for p in r[0]]
+    negatives = [p for r in results for p in r[1]]
+    for name, pairs in (("planted", planted), ("negatives", negatives)):
+        pq.write_table(pa.table({
+            "id_a": pa.array([a for a, _b, _c in pairs], pa.string()),
+            "id_b": pa.array([b for _a, b, _c in pairs], pa.string()),
+            "category": pa.array([c for _a, _b, c in pairs], pa.string()),
+        }), os.path.join(out_dir, f"{name}.parquet"))
+    with open(done, "w") as f:
+        json.dump(meta, f)
+    return out_dir

@@ -117,7 +117,7 @@ def shingle_sets(texts, k: int, max_hash: int):
 
 
 def minhash_signatures(hashes: np.ndarray, offsets: np.ndarray,
-                       num_perm: int, perm_chunk: int = 32) -> np.ndarray:
+                       num_perm: int, perm_chunk: int = 8) -> np.ndarray:
     """(n_rows, num_perm) uint64 MinHash signature matrix.
 
     perm_i(x) = splitmix64(x ^ seed_i); rows with empty sketches get

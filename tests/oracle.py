@@ -145,14 +145,13 @@ def oracle_cluster(table, cfg: DedupConfig = DedupConfig()):
     edges = set()
 
     def verify_sk(i, j):
-        na, nb = len(sketches[i]), len(sketches[j])
+        # bottom-verify_k truncated sketches (frozen verification contract)
+        ta = sketches[i][:cfg.verify_k]
+        tb = sketches[j][:cfg.verify_k]
+        na, nb = len(ta), len(tb)
         if na == 0 or nb == 0:
             return
-        if folds[i] == folds[j]:
-            c = na
-        else:
-            c = int(np.intersect1d(sketches[i], sketches[j],
-                                   assume_unique=True).size)
+        c = int(np.intersect1d(ta, tb, assume_unique=True).size)
         a, b = sorted((ids[i], ids[j]))
         jacc = c / float(na + nb - c)
         if jacc >= cfg.jaccard_threshold:
@@ -180,6 +179,14 @@ def oracle_cluster(table, cfg: DedupConfig = DedupConfig()):
             root = rows[0]
             for r in rows[1:]:
                 edges.add((ids[root], ids[r], "exact"))
+            continue
+        if kind == KIND_CONTAIN and len(rows) > cfg.max_shingle_df:
+            groups = {}
+            for r in rows:
+                groups.setdefault(folds[r], []).append(r)
+            for g in groups.values():
+                for r in g[1:]:
+                    edges.add((ids[g[0]], ids[r], "minhash"))
             continue
         if len(rows) > cfg.max_bucket:
             ident = folds if kind in (KIND_MINHASH, KIND_CONTAIN) else \

@@ -128,7 +128,7 @@ def test_checkpoint_resume(ray_session, corpus, tmp_path):
     assert first.equals(resumed)
     # config mismatch must be refused
     with pytest.raises(ValueError, match="different"):
-        dedup_pipeline(empty, DedupConfig(num_partitions=16, bands=16), workdir=wd)
+        dedup_pipeline(empty, DedupConfig(num_partitions=16, bands=8), workdir=wd)
 
 
 def test_cluster_stats(ray_session, engine_result):
