@@ -47,18 +47,28 @@ def run_bench() -> dict:
     testgen.make_corpus_parquet(corpus, BENCH_ROWS, seed=42, cfg=cfg)
     paths = os.path.join(corpus, "pairs")
 
-    # warm the page cache so we measure compute+shuffle, not cold reads
+    # warm-up (untimed): page cache for the input AND worker heaps — this
+    # VM's first-touch page faults tax each worker's first large numpy
+    # allocations heavily, so run the pipeline once on a small slice
     ray.data.read_parquet(paths).count()
+    warm = ray.data.read_parquet(
+        paths, columns=["image_id", "bytes", "caption", "phash"]) \
+        .limit(min(20000, BENCH_ROWS))
+    dedup_pipeline(warm, cfg).assignments.count()
     out_dir = f"/tmp/kmcp_bench_out_{NCPU}"
     import shutil
     shutil.rmtree(out_dir, ignore_errors=True)
 
-    t0 = time.time()
-    ds = ray.data.read_parquet(
-        paths, columns=["image_id", "bytes", "caption", "phash"])
-    res = dedup_pipeline(ds, cfg)
-    res.assignments.write_parquet(out_dir)
-    t_headline = time.time() - t0
+    reps = []
+    for _rep in range(2):       # min-of-2: damps residual warmup/variance
+        shutil.rmtree(out_dir, ignore_errors=True)
+        t0 = time.time()
+        ds = ray.data.read_parquet(
+            paths, columns=["image_id", "bytes", "caption", "phash"])
+        res = dedup_pipeline(ds, cfg)
+        res.assignments.write_parquet(out_dir)
+        reps.append(time.time() - t0)
+    t_headline = min(reps)
 
     queries: dict[str, float] = {}
 
@@ -93,6 +103,7 @@ def run_bench() -> dict:
         "num_cpus": NCPU,
         "rows": BENCH_ROWS,
         "images_per_sec": round(BENCH_ROWS / t_headline, 1),
+        "headline_reps": [round(r, 3) for r in reps],
         "assignments": n_assign,
     }
     ray.shutdown()

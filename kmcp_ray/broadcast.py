@@ -1,0 +1,102 @@
+"""Zero-copy-friendly broadcast lookup tables.
+
+Python dicts broadcast via ``ray.put`` re-pickle on every task-side
+``ray.get``; numpy arrays instead deserialize near-zero-copy from
+plasma.  Keys are fixed-width ``S``-dtype byte arrays (our ids are
+short ASCII), values either fixed-width numeric arrays or a
+(offsets, buffer) blob pair; probes use C-speed ``searchsorted``.
+This is the broadcast-small-side idiom from the Ray guide with the
+serialization tax removed.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def build_blob_table(ids, blobs):
+    """ids: sequence of str; blobs: sequence of bytes|None →
+    (keys_S_sorted, offsets_int64, buffer_uint8)."""
+    keys = np.asarray(ids, dtype="S")
+    order = np.argsort(keys, kind="stable")
+    keys = keys[order]
+    lens = np.fromiter(((len(blobs[i]) if blobs[i] is not None else 0)
+                        for i in order), dtype=np.int64, count=len(order))
+    offsets = np.zeros(len(order) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    buf = np.empty(int(offsets[-1]), dtype=np.uint8)
+    pos = 0
+    for i in order:
+        b = blobs[i]
+        if b:
+            buf[pos:pos + len(b)] = np.frombuffer(b, dtype=np.uint8)
+            pos += len(b)
+    return keys, offsets, buf
+
+
+def _harmonize(keys: np.ndarray, probe_ids) -> tuple:
+    """Cast keys/probes to a common S-width (numpy strips trailing NULs
+    in comparisons, so widening preserves order and equality)."""
+    probes = np.asarray(probe_ids, dtype="S")
+    w = max(keys.dtype.itemsize, probes.dtype.itemsize, 1)
+    return keys.astype(f"S{w}"), probes.astype(f"S{w}")
+
+
+def probe_blob_table(table, probe_ids) -> list:
+    """→ list of memoryview|None per probe id (slices of the buffer)."""
+    keys, offsets, buf = table
+    if len(keys) == 0:
+        return [None] * len(probe_ids)
+    keys, probes = _harmonize(keys, probe_ids)
+    pos = np.searchsorted(keys, probes)
+    out = []
+    n = len(keys)
+    mv = memoryview(buf)
+    for i, p in enumerate(pos):
+        if p < n and keys[p] == probes[i]:
+            s, e = offsets[p], offsets[p + 1]
+            out.append(mv[s:e] if e > s else None)
+        else:
+            out.append(None)
+    return out
+
+
+def build_str_table(keys_seq, values_seq):
+    """str → str map as (keys_S_sorted, values_S_aligned)."""
+    keys = np.asarray(keys_seq, dtype="S")
+    values = np.asarray(values_seq, dtype="S")
+    order = np.argsort(keys, kind="stable")
+    return keys[order], values[order]
+
+
+def probe_str_table(table, probe_ids, default_self: bool = True):
+    """→ object ndarray of str; missing keys map to themselves when
+    ``default_self`` (singleton rows are their own cluster)."""
+    keys, values = table
+    keys, probes = _harmonize(keys, probe_ids)
+    pos = np.searchsorted(keys, probes)
+    pos_c = np.clip(pos, 0, max(len(keys) - 1, 0))
+    if len(keys):
+        hit = (pos < len(keys)) & (keys[pos_c] == probes)
+        out = np.where(hit, values[pos_c], probes if default_self else b"")
+    else:
+        out = probes if default_self else np.full(len(probes), b"")
+    return np.char.decode(out.astype("S"), "utf-8")
+
+
+def build_int_table(keys_seq, values_seq):
+    keys = np.asarray(keys_seq, dtype="S")
+    values = np.asarray(values_seq, dtype=np.int64)
+    order = np.argsort(keys, kind="stable")
+    return keys[order], values[order]
+
+
+def probe_int_table(table, probe_ids, default: int = 0) -> np.ndarray:
+    keys, values = table
+    if len(keys) == 0:
+        return np.full(len(probe_ids), default, dtype=np.int64)
+    keys, probes = _harmonize(keys, probe_ids)
+    pos = np.searchsorted(keys, probes)
+    pos_c = np.clip(pos, 0, len(keys) - 1)
+    hit = (pos < len(keys)) & (keys[pos_c] == probes)
+    return np.where(hit, values[pos_c], default)

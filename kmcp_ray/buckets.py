@@ -81,8 +81,47 @@ def _star_identical(rows, ident_arr, ids, via, star_a, star_b, star_via):
     return reps[np.argsort(ids[reps], kind="stable")]
 
 
+def _pairs_within_segments(starts: np.ndarray, ends: np.ndarray):
+    """Vectorized all-(i<j)-pairs generation inside [start, end) index
+    segments.  Returns (first, second) position arrays."""
+    sizes = ends - starts
+    reps_per_row = []
+    row_pos = []
+    for s, e in zip(starts, ends):          # loop over SEGMENTS (cheap)
+        row_pos.append(np.arange(s, e - 1))
+        reps_per_row.append(np.arange(e - 1 - s, 0, -1))
+    if not row_pos:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    row_pos = np.concatenate(row_pos)
+    reps = np.concatenate(reps_per_row)
+    total = int(reps.sum())
+    first = np.repeat(row_pos, reps)
+    csum = np.cumsum(reps)
+    within = np.arange(total) - np.repeat(csum - reps, reps)
+    second = first + within + 1
+    return first, second
+
+
+def _stars_by_group(pos_sorted: np.ndarray, *group_keys):
+    """Rows sorted so equal group-key runs are contiguous and id-ascending
+    within runs → (root_pos, member_pos) star edges, vectorized.  Multiple
+    key arrays are compared jointly (no combined-hash collisions)."""
+    if len(pos_sorted) == 0:
+        return pos_sorted, pos_sorted
+    change = np.zeros(len(pos_sorted), dtype=bool)
+    change[0] = True
+    for gk in group_keys:
+        change[1:] |= gk[1:] != gk[:-1]
+    grp = np.cumsum(change) - 1
+    roots = pos_sorted[change]
+    members = ~change
+    return roots[grp[members]], pos_sorted[members]
+
+
 def make_bucket_verifier(cfg: DedupConfig):
-    """Factory for the per-partition ``map_groups`` bucket processor."""
+    """Factory for the per-partition bucket processor — fully vectorized
+    (no per-edge Python); emits deduplicated star edges, in-place phash
+    verdicts and sk candidate pairs."""
 
     def verify_partition(batch: pa.Table) -> pa.Table:
         from kmcp_ray.arrowutil import column, list_to_numpy
@@ -95,106 +134,152 @@ def make_bucket_verifier(cfg: DedupConfig):
         ids = column(batch, "image_id").flatten().to_numpy(zero_copy_only=False)
         sk_fold, _ = list_to_numpy(column(batch, "sk_fold"), dtype=np.uint64)
         phash, _ = list_to_numpy(column(batch, "phash"), dtype=np.int64)
+        ph_u = phash.view(np.uint64)
 
-        order = np.lexsort((keys, kinds))
-        kinds_s, keys_s = kinds[order], keys[order]
-        seg_start = np.nonzero(np.concatenate((
-            [True], (kinds_s[1:] != kinds_s[:-1]) | (keys_s[1:] != keys_s[:-1]))))[0]
+        # rank ids once so all later sorts are integer sorts
+        uniq_ids, id_rank = np.unique(ids, return_inverse=True)
+
+        order = np.lexsort((id_rank, keys, kinds))
+        k_s, key_s = kinds[order], keys[order]
+        seg_first = np.concatenate(([True],
+                                    (k_s[1:] != k_s[:-1]) | (key_s[1:] != key_s[:-1])))
+        seg_id = np.cumsum(seg_first) - 1
+        seg_start = np.nonzero(seg_first)[0]
         seg_end = np.concatenate((seg_start[1:], [m]))
-        multi = (seg_end - seg_start) >= 2
-        seg_start, seg_end = seg_start[multi], seg_end[multi]
+        seg_size = seg_end - seg_start
+        seg_kind = k_s[seg_start]
 
-        star_a, star_b, star_via = [], [], []     # unverified-safe edges
-        cand_i, cand_j, cand_cls = [], [], []     # row-index pairs
+        star_roots, star_members, star_via = [], [], []   # arrays of positions
+        pair_i, pair_j, pair_cls = [], [], []
         dropped = 0
 
-        for s, e in zip(seg_start, seg_end):
-            rows = order[s:e]
-            kind = kinds_s[s]
-            rows = rows[np.argsort(ids[rows], kind="stable")]
+        def seg_rows_mask(sel):
+            """row mask (in sorted space) for selected segments."""
+            return np.repeat(sel, seg_size)
 
-            if kind == KIND_EXACT:
-                root = rows[0]
-                for r in rows[1:]:
-                    star_a.append(ids[root]); star_b.append(ids[r])
-                    star_via.append("exact")
-                continue
+        # ---- exact buckets: star to min id --------------------------------
+        sel = (seg_kind == KIND_EXACT) & (seg_size >= 2)
+        if sel.any():
+            rows_mask = seg_rows_mask(sel)
+            pos = np.arange(m)[rows_mask]
+            r, mem = _stars_by_group(order[pos], seg_id[pos])
+            star_roots.append(r); star_members.append(mem)
+            star_via.append(np.full(len(mem), "exact", dtype=object))
 
-            group_ident = sk_fold if kind in (KIND_MINHASH, KIND_CONTAIN) \
-                else phash.view(np.uint64)
-            cls = "sk" if kind in (KIND_MINHASH, KIND_CONTAIN) else "ph"
+        # ---- high-df containment buckets: identical-sketch stars only -----
+        sel = (seg_kind == KIND_CONTAIN) & (seg_size > cfg.max_shingle_df)
+        if sel.any():
+            rows_mask = seg_rows_mask(sel)
+            pos = np.nonzero(rows_mask)[0]
+            rows = order[pos]
+            sub = np.lexsort((id_rank[rows], sk_fold[rows], seg_id[pos]))
+            r, mem = _stars_by_group(rows[sub], seg_id[pos][sub],
+                                     sk_fold[rows][sub])
+            star_roots.append(r); star_members.append(mem)
+            star_via.append(np.full(len(mem), "minhash", dtype=object))
 
-            if kind == KIND_CONTAIN and len(rows) > cfg.max_shingle_df:
-                _star_identical(rows, group_ident, ids, "minhash",
-                                star_a, star_b, star_via)
-                continue
+        # ---- oversized buckets (salted): ident stars + capped rep pairs ---
+        sel_over = (seg_size > cfg.max_bucket) &             ~((seg_kind == KIND_CONTAIN) & (seg_size > cfg.max_shingle_df)) &             (seg_kind != KIND_EXACT)
+        for sidx in np.nonzero(sel_over)[0]:        # rare — python loop fine
+            s, e = seg_start[sidx], seg_end[sidx]
+            rows = order[s:e]                        # id-ascending
+            kind = seg_kind[sidx]
+            ident = sk_fold[rows] if kind in (KIND_MINHASH, KIND_CONTAIN) \
+                else ph_u[rows]
+            sub = np.argsort(ident, kind="stable")
+            r, mem = _stars_by_group(rows[sub], ident[sub])
+            via = "phash" if kind == KIND_PHASH else "minhash"
+            star_roots.append(r); star_members.append(mem)
+            star_via.append(np.full(len(mem), via, dtype=object))
+            first = np.concatenate(([True], ident[sub][1:] != ident[sub][:-1]))
+            reps = rows[sub][first]
+            reps = reps[np.argsort(id_rank[reps], kind="stable")]
+            if len(reps) > cfg.max_bucket:
+                dropped += len(reps) - cfg.max_bucket
+                reps = reps[:cfg.max_bucket]
+            if len(reps) >= 2:
+                ii, jj = np.triu_indices(len(reps), k=1)
+                pair_i.append(reps[ii]); pair_j.append(reps[jj])
+                pair_cls.append(np.full(len(ii),
+                                        "sk" if kind != KIND_PHASH else "ph",
+                                        dtype=object))
 
-            if len(rows) > cfg.max_bucket:
-                via = _VIA_OF_KIND[kind] if kind != KIND_CONTAIN else "minhash"
-                reps = _star_identical(rows, group_ident, ids, via,
-                                       star_a, star_b, star_via)
-                if len(reps) > cfg.max_bucket:
-                    dropped += len(reps) - cfg.max_bucket
-                    reps = reps[:cfg.max_bucket]
-                rows = reps
-                if len(rows) < 2:
-                    continue
-
-            ii, jj = np.triu_indices(len(rows), k=1)
-            cand_i.append(rows[ii]); cand_j.append(rows[jj])
-            cand_cls.append(np.full(len(ii), cls, dtype=object))
+        # ---- normal buckets: all pairs ------------------------------------
+        sel = (seg_size >= 2) & (seg_size <= cfg.max_bucket) & \
+            (seg_kind != KIND_EXACT) & \
+            ~((seg_kind == KIND_CONTAIN) & (seg_size > cfg.max_shingle_df))
+        if sel.any():
+            f, s2 = _pairs_within_segments(seg_start[sel], seg_end[sel])
+            rows_f, rows_s = order[f], order[s2]
+            cls = np.where(k_s[f] == KIND_PHASH, "ph", "sk").astype(object)
+            pair_i.append(rows_f); pair_j.append(rows_s)
+            pair_cls.append(cls)
 
         if dropped:
             logger.warning("bucket cap overflow: %d representatives dropped "
                            "in partition (max_bucket=%d)", dropped, cfg.max_bucket)
 
-        out_a = list(star_a)
-        out_b = list(star_b)
-        out_via = list(star_via)
-        out_score = [1.0] * len(star_a)
+        # ---- assemble + dedup star edges ----------------------------------
+        out_tables = []
+        if star_roots:
+            r = np.concatenate(star_roots)
+            mem = np.concatenate(star_members)
+            via = np.concatenate(star_via)
+            df = pd.DataFrame({"a": ids[r], "b": ids[mem], "via": via})
+            df = df.drop_duplicates(subset=["a", "b", "via"])
+            out_tables.append(pa.table({
+                "id_a": pa.array(df["a"].to_numpy(), pa.string()),
+                "id_b": pa.array(df["b"].to_numpy(), pa.string()),
+                "via": pa.array(df["via"].to_numpy(), pa.string()),
+                "score": pa.array(np.ones(len(df)), pa.float64())}))
 
-        if cand_i:
-            ci = np.concatenate(cand_i)
-            cj = np.concatenate(cand_j)
-            ccls = np.concatenate(cand_cls)
-            df = pd.DataFrame({
-                "a": np.where(ids[ci] <= ids[cj], ids[ci], ids[cj]),
-                "b": np.where(ids[ci] <= ids[cj], ids[cj], ids[ci]),
-                "cls": ccls, "i": ci, "j": cj})
+        if pair_i:
+            ci = np.concatenate(pair_i)
+            cj = np.concatenate(pair_j)
+            ccls = np.concatenate(pair_cls)
+            swap = ids[ci] > ids[cj]
+            a = np.where(swap, ids[cj], ids[ci])
+            b = np.where(swap, ids[ci], ids[cj])
+            df = pd.DataFrame({"a": a, "b": b, "cls": ccls, "i": ci, "j": cj})
             df = df[df["a"] != df["b"]]
             df = df.drop_duplicates(subset=["a", "b", "cls"])
 
             ph_mask = (df["cls"] == "ph").to_numpy()
             if ph_mask.any():
                 sub = df[ph_mask]
-                ham = imagecodec.hamming64(phash[sub["i"].to_numpy()],
-                                           phash[sub["j"].to_numpy()])
-                ok = np.asarray(ham) <= cfg.hamming_radius
-                for a, b, h in zip(sub["a"].to_numpy()[ok], sub["b"].to_numpy()[ok],
-                                   np.asarray(ham)[ok]):
-                    out_a.append(a); out_b.append(b)
-                    out_via.append("phash"); out_score.append(1.0 - float(h) / 64.0)
+                ham = np.asarray(imagecodec.hamming64(
+                    phash[sub["i"].to_numpy()], phash[sub["j"].to_numpy()]))
+                ok = ham <= cfg.hamming_radius
+                out_tables.append(pa.table({
+                    "id_a": pa.array(sub["a"].to_numpy()[ok], pa.string()),
+                    "id_b": pa.array(sub["b"].to_numpy()[ok], pa.string()),
+                    "via": pa.array(np.full(int(ok.sum()), "phash", dtype=object),
+                                    pa.string()),
+                    "score": pa.array(1.0 - ham[ok] / 64.0, pa.float64())}))
 
             sk_mask = (df["cls"] == "sk").to_numpy()
             if sk_mask.any():
                 sub = df[sk_mask]
-                # identical-sketch pairs short-circuit to verified edges
                 fi = sk_fold[sub["i"].to_numpy()]
                 fj = sk_fold[sub["j"].to_numpy()]
                 same = fi == fj
-                for a, b in zip(sub["a"].to_numpy()[same], sub["b"].to_numpy()[same]):
-                    out_a.append(a); out_b.append(b)
-                    out_via.append("minhash"); out_score.append(1.0)
-                for a, b in zip(sub["a"].to_numpy()[~same], sub["b"].to_numpy()[~same]):
-                    out_a.append(a); out_b.append(b)
-                    out_via.append("cand"); out_score.append(0.0)
+                n_same = int(same.sum())
+                out_tables.append(pa.table({
+                    "id_a": pa.array(sub["a"].to_numpy()[same], pa.string()),
+                    "id_b": pa.array(sub["b"].to_numpy()[same], pa.string()),
+                    "via": pa.array(np.full(n_same, "minhash", dtype=object),
+                                    pa.string()),
+                    "score": pa.array(np.ones(n_same), pa.float64())}))
+                out_tables.append(pa.table({
+                    "id_a": pa.array(sub["a"].to_numpy()[~same], pa.string()),
+                    "id_b": pa.array(sub["b"].to_numpy()[~same], pa.string()),
+                    "via": pa.array(np.full(int((~same).sum()), "cand",
+                                            dtype=object), pa.string()),
+                    "score": pa.array(np.zeros(int((~same).sum())), pa.float64())}))
 
-        if not out_a:
+        if not out_tables:
             return empty_edges()
-        return pa.table({"id_a": pa.array(out_a, pa.string()),
-                         "id_b": pa.array(out_b, pa.string()),
-                         "via": pa.array(out_via, pa.string()),
-                         "score": pa.array(out_score, pa.float64())})
+        return pa.concat_tables(out_tables)
 
     return verify_partition
 
@@ -242,99 +327,92 @@ def make_pair_verifier(cfg: DedupConfig):
 
 # --------------------------------------------------- payload-attach "join"
 
-def make_attach_tagger(side_col: str, other_col: str, P: int,
-                       carry_col: "str | None"):
-    """Tag pair rows for the bucket exchange keyed on ``side_col``."""
-    from kmcp_ray import hashing
+def attach_sketches(pairs_ds, sig_small_ds, cfg: DedupConfig):
+    """(id_a, id_b) pairs + (image_id, vsk:binary) payload table →
+    (id_a, id_b, vsk_a, vsk_b) via two packed union+groupby exchanges.
 
-    def tag_pairs(batch: pa.Table) -> pa.Table:
-        kid = batch.column(side_col).to_numpy(zero_copy_only=False)
-        bkt = (hashing.hash_strings(kid) % np.uint64(P)).astype(np.int64)
-        carry = batch.column(carry_col) if carry_col else \
-            pa.nulls(len(kid), pa.binary())
-        return pa.table({
-            "bkt": pa.array(bkt, pa.int64()),
-            "rt": pa.array(np.ones(len(kid), dtype=np.int8), pa.int8()),
-            "kid": pa.array(kid, pa.string()),
-            "oid": batch.column(other_col),
-            "carry": carry,
-            "pl": pa.nulls(len(kid), pa.binary()),
-        })
+    A hand-rolled partitioned hash join on the packed-exchange
+    primitive: ``Dataset.join`` in this Ray release mis-handles empty
+    partitions, and its aggregator actors deadlock when partitions
+    exceed cluster CPUs — the packed groupby path is always safe and an
+    order of magnitude cheaper per row.
+    """
+    from kmcp_ray.exchange import Exchange, hash_part_fn
 
-    return tag_pairs
-
-
-def make_sig_tagger(P: int):
-    from kmcp_ray import hashing
+    P = cfg.num_partitions
+    ex = Exchange([("rt", pa.int8()), ("kid", pa.string()),
+                   ("oid", pa.string()), ("carry", pa.binary()),
+                   ("pl", pa.binary())], P)
 
     def tag_sig(batch: pa.Table) -> pa.Table:
-        kid = batch.column("image_id").to_numpy(zero_copy_only=False)
-        bkt = (hashing.hash_strings(kid) % np.uint64(P)).astype(np.int64)
-        n = len(kid)
+        n = batch.num_rows
         return pa.table({
-            "bkt": pa.array(bkt, pa.int64()),
-            "rt": pa.array(np.zeros(n, dtype=np.int8), pa.int8()),
-            "kid": pa.array(kid, pa.string()),
+            "rt": pa.array(np.zeros(n, np.int8), pa.int8()),
+            "kid": batch.column("image_id"),
             "oid": pa.nulls(n, pa.string()),
             "carry": pa.nulls(n, pa.binary()),
             "pl": batch.column("vsk"),
         })
 
-    return tag_sig
+    def tag_pairs(side, other, carry_col):
+        def fn(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            carry = batch.column(carry_col) if carry_col else \
+                pa.nulls(n, pa.binary())
+            return pa.table({
+                "rt": pa.array(np.ones(n, np.int8), pa.int8()),
+                "kid": batch.column(side),
+                "oid": batch.column(other),
+                "carry": carry,
+                "pl": pa.nulls(n, pa.binary()),
+            })
+        return fn
 
+    def attach_group(group: pa.Table) -> pa.Table:
+        u = ex.unpack(group)
+        rt = u["rt"].to_numpy(zero_copy_only=False)
+        kid = u["kid"].to_numpy(zero_copy_only=False)
+        pl = u["pl"].to_numpy(zero_copy_only=False)
+        is_sig = rt == 0
+        lookup = dict(zip(kid[is_sig], pl[is_sig]))
+        pair_idx = np.nonzero(~is_sig)[0]
+        if len(pair_idx) == 0:
+            return pa.table({"kid": pa.array([], pa.string()),
+                             "oid": pa.array([], pa.string()),
+                             "carry": pa.array([], pa.binary()),
+                             "pl": pa.array([], pa.binary())})
+        oid = u["oid"].to_numpy(zero_copy_only=False)
+        carry = u["carry"].to_numpy(zero_copy_only=False)
+        attached = [lookup.get(kid[i]) for i in pair_idx]
+        return pa.table({
+            "kid": pa.array(kid[pair_idx], pa.string()),
+            "oid": pa.array(oid[pair_idx], pa.string()),
+            "carry": pa.array(carry[pair_idx], pa.binary()),
+            "pl": pa.array(attached, pa.binary()),
+        })
 
-def attach_group(group: pa.Table) -> pa.Table:
-    """One hash bucket: attach each pair row's ``pl`` from the sig rows
-    sharing its key.  Output: (kid, oid, carry, pl)."""
-    rt = group.column("rt").to_numpy(zero_copy_only=False)
-    kid = group.column("kid").to_numpy(zero_copy_only=False)
-    pl = group.column("pl").to_numpy(zero_copy_only=False)
-    is_sig = rt == 0
-    lookup = dict(zip(kid[is_sig], pl[is_sig]))
-    pair_idx = np.nonzero(~is_sig)[0]
-    if len(pair_idx) == 0:
-        return pa.table({"kid": pa.array([], pa.string()),
-                         "oid": pa.array([], pa.string()),
-                         "carry": pa.array([], pa.binary()),
-                         "pl": pa.array([], pa.binary())})
-    oid = group.column("oid").to_numpy(zero_copy_only=False)
-    carry = group.column("carry").to_numpy(zero_copy_only=False)
-    attached = [lookup.get(kid[i]) for i in pair_idx]
-    return pa.table({
-        "kid": pa.array(kid[pair_idx], pa.string()),
-        "oid": pa.array(oid[pair_idx], pa.string()),
-        "carry": pa.array(carry[pair_idx], pa.binary()),
-        "pl": pa.array(attached, pa.binary()),
-    })
+    part_by_kid = hash_part_fn("kid", P=P)
+    pack = ex.make_pack_fn(part_by_kid)
 
+    sig_tagged = sig_small_ds.map_batches(tag_sig, batch_format="pyarrow",
+                                          zero_copy_batch=True) \
+        .map_batches(pack, batch_format="pyarrow", zero_copy_batch=True)
 
-def attach_sketches(pairs_ds, sig_small_ds, cfg: DedupConfig):
-    """(id_a, id_b) pairs + (image_id, vsk) signatures →
-    (id_a, id_b, vsk_a, vsk_b) via two union+groupby bucket exchanges.
-
-    A hand-rolled partitioned hash join: ``Dataset.join`` in this Ray
-    release mis-handles empty partitions (empty-schema blocks reach the
-    acero join and fail), so the exchange is expressed with the always-
-    safe groupby path instead.
-    """
-    P = cfg.num_partitions
-    sig_tagged = sig_small_ds.map_batches(make_sig_tagger(P),
-                                          batch_format="pyarrow",
-                                          zero_copy_batch=True)
     # round 1: attach side a
-    p1 = pairs_ds.map_batches(make_attach_tagger("id_a", "id_b", P, None),
-                              batch_format="pyarrow", zero_copy_batch=True)
-    r1 = p1.union(sig_tagged).groupby("bkt").map_groups(
+    p1 = pairs_ds.map_batches(tag_pairs("id_a", "id_b", None),
+                              batch_format="pyarrow", zero_copy_batch=True) \
+        .map_batches(pack, batch_format="pyarrow", zero_copy_batch=True)
+    r1 = p1.union(sig_tagged).groupby("part").map_groups(
         attach_group, batch_format="pyarrow")
-    # round 2: r1 rows are (kid=id_a, oid=id_b, carry=None, pl=vsk_a);
-    # re-tag keyed on id_b, carrying vsk_a
+    # round 2: rows are (kid=id_a, oid=id_b, pl=vsk_a); re-key on id_b
     r1 = r1.map_batches(
         lambda t: pa.table({"id_b": t["oid"], "id_a": t["kid"],
                             "vsk_a": t["pl"]}),
         batch_format="pyarrow", zero_copy_batch=True)
-    p2 = r1.map_batches(make_attach_tagger("id_b", "id_a", P, "vsk_a"),
-                        batch_format="pyarrow", zero_copy_batch=True)
-    r2 = p2.union(sig_tagged).groupby("bkt").map_groups(
+    p2 = r1.map_batches(tag_pairs("id_b", "id_a", "vsk_a"),
+                        batch_format="pyarrow", zero_copy_batch=True) \
+        .map_batches(pack, batch_format="pyarrow", zero_copy_batch=True)
+    r2 = p2.union(sig_tagged).groupby("part").map_groups(
         attach_group, batch_format="pyarrow")
     return r2.map_batches(
         lambda t: pa.table({"id_a": t["oid"], "id_b": t["kid"],

@@ -70,16 +70,51 @@ class UnionFind:
         return out_a, out_b
 
 
+def numpy_components(a: np.ndarray, b: np.ndarray):
+    """Vectorized connected components over string edge arrays.
+
+    Returns (node_ids, canonical_ids): for every node appearing in an
+    edge, the lexicographically-smallest id of its component.  Min-label
+    propagation with pointer jumping — O(E log V) numpy ops, no
+    per-edge Python.
+    """
+    import pandas as pd
+    if len(a) == 0:
+        return np.empty(0, object), np.empty(0, object)
+    codes, uniques = pd.factorize(np.concatenate([a, b]))
+    uniques = np.asarray(uniques, dtype=object)
+    m = len(a)
+    # re-index nodes by string rank so numeric min-label == min-id
+    order = np.argsort(uniques, kind="stable")
+    rank = np.empty(len(uniques), dtype=np.int64)
+    rank[order] = np.arange(len(uniques))
+    ea, eb = rank[codes[:m]], rank[codes[m:]]
+    labels = np.arange(len(uniques), dtype=np.int64)
+    while True:
+        before = labels.copy()
+        mn = np.minimum(labels[ea], labels[eb])
+        np.minimum.at(labels, ea, mn)
+        np.minimum.at(labels, eb, mn)
+        while True:
+            nl = labels[labels]
+            if np.array_equal(nl, labels):
+                break
+            labels = nl
+        if np.array_equal(labels, before):
+            break
+    sorted_uniques = uniques[order]
+    return sorted_uniques, sorted_uniques[labels]
+
+
 def spanning_forest_batch(batch: pa.Table) -> pa.Table:
-    """map_batches reducer: edge block → spanning forest of that block."""
-    uf = UnionFind()
+    """map_batches reducer: edge block → spanning forest of that block
+    (one root→node edge per non-root node)."""
     a = batch.column("id_a").to_numpy(zero_copy_only=False)
     b = batch.column("id_b").to_numpy(zero_copy_only=False)
-    for x, y in zip(a, b):
-        uf.union(x, y)
-    ra, rb = uf.spanning_edges()
-    return pa.table({"id_a": pa.array(ra, pa.string()),
-                     "id_b": pa.array(rb, pa.string())})
+    nodes, roots = numpy_components(a, b)
+    keep = nodes != roots
+    return pa.table({"id_a": pa.array(roots[keep], pa.string()),
+                     "id_b": pa.array(nodes[keep], pa.string())})
 
 
 def connected_components(edges_ds, reduce_rounds: int = 1,
@@ -93,11 +128,13 @@ def connected_components(edges_ds, reduce_rounds: int = 1,
     for _ in range(max(0, reduce_rounds)):
         ds = ds.map_batches(spanning_forest_batch, batch_format="pyarrow",
                             batch_size=reduce_batch_size)
-    uf = UnionFind()
+    parts_a, parts_b = [], []
     for batch in ds.iter_batches(batch_size=reduce_batch_size,
                                  batch_format="pyarrow"):
-        a = batch.column("id_a").to_numpy(zero_copy_only=False)
-        b = batch.column("id_b").to_numpy(zero_copy_only=False)
-        for x, y in zip(a, b):
-            uf.union(x, y)
-    return uf.components()
+        parts_a.append(batch.column("id_a").to_numpy(zero_copy_only=False))
+        parts_b.append(batch.column("id_b").to_numpy(zero_copy_only=False))
+    if not parts_a:
+        return {}
+    nodes, roots = numpy_components(np.concatenate(parts_a),
+                                    np.concatenate(parts_b))
+    return dict(zip(nodes, roots))

@@ -76,6 +76,10 @@ class DedupConfig:
     max_shingle_df: int = 8
     # --- shuffle shape ---
     num_partitions: int = 64
+    #: verification-sketch tables up to this many rows are broadcast
+    #: (ray.put once, ~0.5 KB/row) instead of joined — kmcp's
+    #: load-whole-index vs mmap mode switch (search.go:66-83 analogue).
+    broadcast_verify_rows: int = 2_000_000
 
     @property
     def rows_per_band(self) -> int:

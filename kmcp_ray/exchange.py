@@ -1,0 +1,131 @@
+"""Packed hash exchange — the engine's one shuffle primitive.
+
+Ray's generic shuffles (sort- and hash-based alike) pay a large
+per-row constant in this environment; every wide operation in this
+engine therefore moves **packed** rows instead: each input batch
+groups its rows by ``part = hash % P`` map-side and emits ONE fat row
+per partition whose columns are lists.  The downstream
+``groupby("part")`` then sorts thousands of packs instead of millions
+of rows — payload bytes identical, per-row overhead gone.  This is the
+generalization of kmcp packing 8-file column batches into index-block
+rows (reference: kmcp/cmd/index.go:1066-1319) and of classic map-side
+combining.
+
+Usage::
+
+    ex = Exchange([("id", pa.string()), ("score", pa.float64())], P=64)
+    packed = ds.map_batches(ex.make_pack_fn(part_of_batch), ...)
+    out = packed.groupby("part").map_groups(
+        lambda g: process(**ex.unpack(g)), batch_format="pyarrow")
+
+where ``part_of_batch(batch) -> np.int64 array`` assigns partitions.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+class Exchange:
+    def __init__(self, schema, P: int):
+        """schema: list of (column_name, pyarrow_type); P: partitions."""
+        self.schema = list(schema)
+        self.P = P
+
+    def make_pack_fn(self, part_of_batch):
+        schema = self.schema
+
+        def pack(batch: pa.Table) -> pa.Table:
+            part = np.asarray(part_of_batch(batch), dtype=np.int64)
+            order = np.argsort(part, kind="stable")
+            part_s = part[order]
+            m = len(part_s)
+            if m == 0:
+                cols = {"part": pa.array([], pa.int64())}
+                for name, typ in schema:
+                    cols[name] = pa.array([], pa.list_(typ))
+                return pa.table(cols)
+            bound = np.nonzero(np.concatenate(([True], part_s[1:] != part_s[:-1])))[0]
+            offsets = pa.array(np.concatenate((bound, [m])), type=pa.int32())
+            take = pa.array(order, type=pa.int64())
+            cols = {"part": pa.array(part_s[bound], pa.int64())}
+            for name, typ in schema:
+                col = batch.column(name)
+                if isinstance(col, pa.ChunkedArray):
+                    col = col.combine_chunks()
+                vals = col.cast(typ) if col.type != typ else col
+                cols[name] = pa.ListArray.from_arrays(offsets, vals.take(take))
+            return pa.table(cols)
+
+        return pack
+
+    def unpack(self, group: pa.Table) -> dict:
+        """Packed group table → {name: flat pa.Array} (+ row count)."""
+        out = {}
+        for name, _typ in self.schema:
+            col = group.column(name)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            out[name] = col.flatten()
+        return out
+
+
+def hash_part_fn(*cols, P: int, salt: int = 0):
+    """Partition assignment from the hash of one or more string columns."""
+    from kmcp_ray import hashing
+
+    def part_of(batch: pa.Table) -> np.ndarray:
+        h = None
+        for c in cols:
+            arr = batch.column(c).to_numpy(zero_copy_only=False)
+            hc = hashing.hash_strings(arr)
+            h = hc if h is None else hashing.splitmix64(h + hc * np.uint64(3))
+        if salt:
+            h = hashing.splitmix64(h ^ np.uint64(salt))
+        return (h % np.uint64(P)).astype(np.int64)
+
+    return part_of
+
+
+def dedup_pairs(pairs_ds, P: int):
+    """Globally deduplicate (id_a, id_b) string pairs via one packed
+    exchange + per-partition drop_duplicates."""
+    import pandas as pd
+
+    ex = Exchange([("id_a", pa.string()), ("id_b", pa.string())], P)
+    packed = pairs_ds.map_batches(ex.make_pack_fn(
+        hash_part_fn("id_a", "id_b", P=P)), batch_format="pyarrow",
+        zero_copy_batch=True)
+
+    def uniq(group: pa.Table) -> pa.Table:
+        u = ex.unpack(group)
+        df = pd.DataFrame({"id_a": u["id_a"].to_numpy(zero_copy_only=False),
+                           "id_b": u["id_b"].to_numpy(zero_copy_only=False)})
+        df = df.drop_duplicates()
+        return pa.table({"id_a": pa.array(df["id_a"].to_numpy(), pa.string()),
+                         "id_b": pa.array(df["id_b"].to_numpy(), pa.string())})
+
+    return packed.groupby("part").map_groups(uniq, batch_format="pyarrow")
+
+
+def count_pairs(pairs_ds, P: int, col_a: str, col_b: str,
+                count_name: str = "n"):
+    """(a, b) rows → distinct (a, b, count) via one packed exchange."""
+    import pandas as pd
+
+    ex = Exchange([(col_a, pa.string()), (col_b, pa.string())], P)
+    packed = pairs_ds.map_batches(ex.make_pack_fn(
+        hash_part_fn(col_a, col_b, P=P)), batch_format="pyarrow",
+        zero_copy_batch=True)
+
+    def cnt(group: pa.Table) -> pa.Table:
+        u = ex.unpack(group)
+        df = pd.DataFrame({col_a: u[col_a].to_numpy(zero_copy_only=False),
+                           col_b: u[col_b].to_numpy(zero_copy_only=False)})
+        g = df.groupby([col_a, col_b], sort=False).size().reset_index(name=count_name)
+        return pa.table({col_a: pa.array(g[col_a].to_numpy(), pa.string()),
+                         col_b: pa.array(g[col_b].to_numpy(), pa.string()),
+                         count_name: pa.array(g[count_name].to_numpy(), pa.int64())})
+
+    return packed.groupby("part").map_groups(cnt, batch_format="pyarrow")

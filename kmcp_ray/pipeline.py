@@ -33,6 +33,7 @@ import os
 from dataclasses import dataclass
 from typing import Any, Optional
 
+import numpy as np
 import pyarrow as pa
 import ray
 
@@ -115,7 +116,6 @@ def edges_stage(sig_ds, cfg: DedupConfig, enable=ALL_GENERATORS):
          table (kmcp: queries routed to the index that holds sketches)
     """
     import pyarrow.compute as pc
-    from ray.data.aggregate import Count
 
     band_fn = bands_mod.make_band_fn(cfg, enable=enable)
     band_ds = sig_ds.map_batches(band_fn, batch_format="pyarrow",
@@ -135,9 +135,8 @@ def edges_stage(sig_ds, cfg: DedupConfig, enable=ALL_GENERATORS):
     if cand.count() == 0:
         return verified
 
-    pairs = cand.groupby(["id_a", "id_b"]) \
-        .aggregate(Count(alias_name="n_hits")) \
-        .select_columns(["id_a", "id_b"])
+    from kmcp_ray.exchange import dedup_pairs
+    pairs = dedup_pairs(cand, cfg.num_partitions)
 
     def trunc_sig(batch: pa.Table) -> pa.Table:
         # acero hash joins reject list-typed payload columns → ship the
@@ -159,31 +158,69 @@ def edges_stage(sig_ds, cfg: DedupConfig, enable=ALL_GENERATORS):
     sig_small = sig_ds.select_columns(["image_id", "sketch"]).map_batches(
         trunc_sig, batch_format="pyarrow", zero_copy_batch=True)
 
-    attached = buckets_mod.attach_sketches(pairs, sig_small, cfg)
+    # Two verification modes, mirroring kmcp's load-whole vs mmap index
+    # modes (reference: kmcp/cmd/search.go:66-83): when the verification
+    # sketch table fits comfortably in the object store, broadcast it
+    # once (ray.put) and verify pairs in a single map pass; at larger
+    # scale, attach sketches through the partitioned exchange.
+    n_rows = sig_ds.count()
+    if n_rows <= cfg.broadcast_verify_rows:
+        from kmcp_ray.broadcast import build_blob_table, probe_blob_table
+        all_ids, all_blobs = [], []
+        for b in sig_small.iter_batches(batch_size=1 << 18,
+                                        batch_format="pyarrow"):
+            all_ids.append(b.column("image_id").to_numpy(zero_copy_only=False))
+            all_blobs.extend(b.column("vsk").to_pylist())
+        table = build_blob_table(
+            np.concatenate(all_ids) if all_ids else np.empty(0, object),
+            all_blobs)
+        ref = ray.put(table)       # three numpy arrays: near-zero-copy gets
+
+        def attach_local(batch: pa.Table) -> pa.Table:
+            tbl = ray.get(ref)
+            a = batch.column("id_a").to_numpy(zero_copy_only=False)
+            b = batch.column("id_b").to_numpy(zero_copy_only=False)
+            va = [bytes(x) if x is not None else None
+                  for x in probe_blob_table(tbl, a)]
+            vb = [bytes(x) if x is not None else None
+                  for x in probe_blob_table(tbl, b)]
+            return pa.table({
+                "id_a": pa.array(a, pa.string()),
+                "id_b": pa.array(b, pa.string()),
+                "vsk_a": pa.array(va, pa.binary()),
+                "vsk_b": pa.array(vb, pa.binary())})
+
+        attached = pairs.map_batches(attach_local, batch_format="pyarrow",
+                                     zero_copy_batch=True)
+    else:
+        attached = buckets_mod.attach_sketches(pairs, sig_small, cfg)
     pair_verifier = buckets_mod.make_pair_verifier(cfg)
     verified_pairs = attached.map_batches(pair_verifier, batch_format="pyarrow",
                                           zero_copy_batch=True)
     return verified.union(verified_pairs)
 
 
-def make_assign_fn(cluster_map_ref, id_col: str = "image_id"):
-    """Broadcast cluster-map lookup (ray.put once, local get per task)."""
-    import pandas as pd
+def make_assign_fn(table_ref, id_col: str = "image_id"):
+    """Broadcast cluster-map lookup: numpy searchsorted table
+    (ray.put once, near-zero-copy get per task); unmapped rows are their
+    own singleton cluster."""
+    from kmcp_ray.broadcast import probe_str_table
 
     def assign(batch: pa.Table) -> pa.Table:
-        cmap = ray.get(cluster_map_ref)
+        tbl = ray.get(table_ref)
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-        s = pd.Series(ids, dtype=object)
-        mapped = s.map(cmap)
-        mapped = mapped.where(mapped.notna(), s)
+        mapped = probe_str_table(tbl, ids, default_self=True)
         return pa.table({id_col: pa.array(ids, pa.string()),
-                         "cluster_id": pa.array(mapped.to_numpy(), pa.string())})
+                         "cluster_id": pa.array(mapped, pa.string())})
 
     return assign
 
 
 def assign_stage(ids_ds, cluster_map: dict, id_col: str = "image_id"):
-    ref = ray.put(cluster_map)
+    from kmcp_ray.broadcast import build_str_table
+    keys = list(cluster_map.keys())
+    table = build_str_table(keys, [cluster_map[k] for k in keys])
+    ref = ray.put(table)
     return ids_ds.map_batches(make_assign_fn(ref, id_col),
                               batch_format="pyarrow", batch_size=65536,
                               zero_copy_batch=True)

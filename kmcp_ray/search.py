@@ -1,0 +1,224 @@
+"""Query-vs-reference containment search + shard merge — the kmcp
+``search`` / ``merge`` analogue.
+
+kmcp scores every query sketch against every reference chunk by
+counting shared k-mers in a bit-sliced Bloom index and reports
+qCov/tCov/jacc per (query, target) with an FPR gate and a
+top-N-distinct-scores cut (reference: kmcp/cmd/search.go:84-104,
+util-db-search.go:7466-7493, 284-311).  Here the same semantics are
+Ray-Data-native and **count-based**: every kept shingle hash is a
+bucket key; a (query, target) pair appears in exactly one bucket per
+shared kept shingle, so ``groupby(query, target).count()`` IS the
+shared-shingle count — no sketch payload moves at all, and with
+``search_scale == 1`` the counts (hence qCov) are exact, which is
+kmcp's exact k-mer containment mode.
+
+Shard merge: kmcp merges per-shard result streams with a QueryIdx
+k-way heap merge (merge.go:333-367).  Content-keyed grouping replaces
+ordering entirely: ``merge_search_results`` = union → re-apply the
+per-query top cut; by construction
+``merge(search(q, refs_A), search(q, refs_B)) == search(q, refs_A∪B)``
+(verified in tests).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from kmcp_ray import hashing
+from kmcp_ray.config import DedupConfig
+from kmcp_ray.relops import query_fpr_values
+from kmcp_ray.text import shingle_sets
+
+_QKEY_SALT = np.uint64(0x8EBC6AF09C88C6E3)
+
+MATCH_COLUMNS = ["query", "q_kept", "target", "t_kept", "m_shared",
+                 "qcov", "tcov", "jacc", "fpr"]
+
+
+def _kept_sketch_counts(ds, cfg: DedupConfig, id_col, text_col, role: int,
+                        scale: int):
+    """id/text rows → (part, key, role, rid) bucket rows + per-row kept
+    counts (rid, kept, role)."""
+    max_hash = hashing.MAX_U64 // np.uint64(scale)
+
+    def expand(batch: pa.Table) -> pa.Table:
+        ss = shingle_sets(batch.column(text_col), cfg.shingle_k, int(max_hash))
+        h, off = ss["hashes"], ss["offsets"]
+        n = len(off) - 1
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        lens = off[1:] - off[:-1]
+        rows = np.repeat(np.arange(n), lens)
+        keys = hashing.splitmix64(h + _QKEY_SALT)
+        part = (keys % np.uint64(cfg.num_partitions)).astype(np.int64)
+        return pa.table({
+            "part": pa.array(part, pa.int64()),
+            "key": pa.array(keys, pa.uint64()),
+            "role": pa.array(np.full(len(rows), role, dtype=np.int8), pa.int8()),
+            "rid": pa.array(ids[rows].astype(object), pa.string()),
+        })
+
+    def counts(batch: pa.Table) -> pa.Table:
+        ss = shingle_sets(batch.column(text_col), cfg.shingle_k, int(max_hash))
+        off = ss["offsets"]
+        ids = batch.column(id_col)
+        return pa.table({
+            "rid": ids,
+            "kept": pa.array((off[1:] - off[:-1]).astype(np.int64), pa.int64()),
+        })
+
+    bucket_rows = ds.map_batches(expand, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    kept = ds.map_batches(counts, batch_format="pyarrow", zero_copy_batch=True)
+    return bucket_rows, kept
+
+
+def _pairs_per_partition(group: pa.Table, max_df: int) -> pa.Table:
+    """One partition: for every equal-key segment emit (query, target)
+    once per shared kept shingle.  Buckets with more rows than
+    ``max_df`` on either side are truncated with a warning counter
+    (high-df shingles; kmcp's Bloom-FPR cost analogue)."""
+    keys = group.column("key").to_numpy(zero_copy_only=False).astype(np.uint64)
+    roles = group.column("role").to_numpy(zero_copy_only=False)
+    rids = group.column("rid").to_numpy(zero_copy_only=False)
+    order = np.lexsort((roles, keys))
+    keys_s, roles_s = keys[order], roles[order]
+    m = len(keys_s)
+    bound = np.nonzero(np.concatenate(([True], keys_s[1:] != keys_s[:-1])))[0]
+    bound_end = np.concatenate((bound[1:], [m]))
+    out_q, out_t = [], []
+    for s, e in zip(bound, bound_end):
+        seg = order[s:e]
+        r = roles_s[s:e]
+        qs = seg[r == 0]
+        ts = seg[r == 1]
+        if len(qs) == 0 or len(ts) == 0:
+            continue
+        if len(qs) > max_df or len(ts) > max_df:
+            qs = qs[:max_df]
+            ts = ts[:max_df]
+        qq, tt = np.meshgrid(qs, ts, indexing="ij")
+        out_q.append(rids[qq.ravel()])
+        out_t.append(rids[tt.ravel()])
+    if not out_q:
+        return pa.table({"query": pa.array([], pa.string()),
+                         "target": pa.array([], pa.string())})
+    return pa.table({"query": pa.array(np.concatenate(out_q), pa.string()),
+                     "target": pa.array(np.concatenate(out_t), pa.string())})
+
+
+def search(query_ds, ref_ds, cfg: DedupConfig = DedupConfig(), *,
+           query_id="doc_id", query_text="text",
+           ref_id="doc_id", ref_text="text",
+           min_qcov: float = 0.5, min_shared: int = 3,
+           max_fpr: float = 0.01, search_scale: int = 1,
+           shingle_df_cap: int = 1024, top_n_scores: int = 0):
+    """Containment search of queries against references.
+
+    Returns a Dataset with :data:`MATCH_COLUMNS`; ids are prefixed
+    strings of the inputs' id columns.  ``search_scale == 1`` → exact
+    shared-shingle counts (kmcp exact containment); > 1 → FracMinHash
+    estimates at 1/scale cost.
+    """
+    import ray
+    from kmcp_ray.exchange import count_pairs
+
+    qb, qk = _kept_sketch_counts(query_ds, cfg, query_id, query_text,
+                                 role=0, scale=search_scale)
+    rb, rk = _kept_sketch_counts(ref_ds, cfg, ref_id, ref_text,
+                                 role=1, scale=search_scale)
+
+    pairs = qb.union(rb).groupby("part").map_groups(
+        lambda g: _pairs_per_partition(g, shingle_df_cap),
+        batch_format="pyarrow")
+    shared = count_pairs(pairs, cfg.num_partitions, "query", "target",
+                         count_name="m_shared")
+
+    # kept counts are tiny (two ints per row): broadcast numpy tables
+    from kmcp_ray.broadcast import build_int_table, probe_int_table
+
+    def _collect(ds_counts):
+        ids, kept = [], []
+        for b in ds_counts.iter_batches(batch_format="pyarrow"):
+            ids.append(b.column("rid").to_numpy(zero_copy_only=False))
+            kept.append(b.column("kept").to_numpy(zero_copy_only=False))
+        if not ids:
+            return build_int_table(np.empty(0, object), np.empty(0, np.int64))
+        return build_int_table(np.concatenate(ids), np.concatenate(kept))
+
+    maps_ref = ray.put((_collect(qk), _collect(rk)))
+
+    def score(batch: pa.Table) -> pa.Table:
+        qm, rm = ray.get(maps_ref)
+        q = batch.column("query").to_numpy(zero_copy_only=False)
+        t = batch.column("target").to_numpy(zero_copy_only=False)
+        c = batch.column("m_shared").to_numpy(zero_copy_only=False).astype(np.int64)
+        kq = probe_int_table(qm, q).astype(np.int64)
+        kt = probe_int_table(rm, t).astype(np.int64)
+        ok = (kq > 0) & (kt > 0) & (c >= min_shared)
+        q, t, c, kq, kt = q[ok], t[ok], c[ok], kq[ok], kt[ok]
+        qcov = c / np.maximum(kq, 1)
+        tcov = c / np.maximum(kt, 1)
+        jacc = c / np.maximum(kq + kt - c, 1)
+        keep = qcov >= min_qcov
+        q, t, c, kq, kt = q[keep], t[keep], c[keep], kq[keep], kt[keep]
+        qcov, tcov, jacc = qcov[keep], tcov[keep], jacc[keep]
+        # chance-collision significance gate (kmcp query-fpr, M16):
+        # p = prob a random kept shingle of the query also hits the target
+        p_hit = np.minimum(0.999, kt / 2.0 ** 20)
+        fpr = np.ones(len(q))
+        for i in range(len(q)):
+            fpr[i] = query_fpr_values(kq[i:i + 1], c[i:i + 1],
+                                      max(1e-12, float(p_hit[i])))[0]
+        keep2 = fpr <= max_fpr
+        return pa.table({
+            "query": pa.array(q[keep2], pa.string()),
+            "q_kept": pa.array(kq[keep2], pa.int64()),
+            "target": pa.array(t[keep2], pa.string()),
+            "t_kept": pa.array(kt[keep2], pa.int64()),
+            "m_shared": pa.array(c[keep2], pa.int64()),
+            "qcov": pa.array(qcov[keep2], pa.float64()),
+            "tcov": pa.array(tcov[keep2], pa.float64()),
+            "jacc": pa.array(jacc[keep2], pa.float64()),
+            "fpr": pa.array(fpr[keep2], pa.float64()),
+        })
+
+    matches = shared.map_batches(score, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    if top_n_scores > 0:
+        matches = top_scores_per_query(matches, top_n_scores)
+    return matches
+
+
+def top_scores_per_query(matches, n: int):
+    """kmcp --keep-top-scores: keep matches whose qcov is among the
+    query's top-n DISTINCT score values (reference:
+    kmcp/cmd/util-db-search.go:284-311 semantics, re-derived)."""
+    def cut(group: pa.Table) -> pa.Table:
+        qcov = group.column("qcov").to_numpy(zero_copy_only=False)
+        distinct = np.unique(np.round(qcov, 12))[::-1]
+        if len(distinct) > n:
+            thresh = distinct[n - 1]
+            keep = np.round(qcov, 12) >= thresh
+            group = group.filter(pa.array(keep))
+        # deterministic order: qcov desc, then target
+        t = group.column("target").to_numpy(zero_copy_only=False)
+        qc = group.column("qcov").to_numpy(zero_copy_only=False)
+        order = np.lexsort((t, -qc))
+        return group.take(pa.array(order, pa.int64()))
+
+    return matches.groupby("query").map_groups(cut, batch_format="pyarrow")
+
+
+def merge_search_results(result_dses, top_n_scores: int = 0):
+    """Union per-shard search outputs; re-apply the per-query cut.
+
+    Replaces kmcp merge's QueryIdx heap merge with content-keyed
+    grouping (no ordering contract; SURVEY §2.6 O4)."""
+    merged = result_dses[0]
+    for other in result_dses[1:]:
+        merged = merged.union(other)
+    if top_n_scores > 0:
+        merged = top_scores_per_query(merged, top_n_scores)
+    return merged

@@ -112,6 +112,17 @@ def test_salted_buckets_still_match_oracle(ray_session):
     assert eng == oassign
 
 
+def test_attach_exchange_path_matches_oracle(ray_session):
+    """broadcast_verify_rows=0 forces the partitioned attach exchange
+    (the at-scale path); results must equal the oracle exactly."""
+    import ray.data
+    cfg = DedupConfig(num_partitions=8, broadcast_verify_rows=0)
+    table, _, _ = testgen.make_pairs_corpus(n=300, seed=21, cfg=cfg)
+    oassign, _ = oracle.oracle_cluster(table, cfg)
+    adf = dedup_pipeline(ray.data.from_arrow(table), cfg).assignments.to_pandas()
+    assert dict(zip(adf.image_id, adf.cluster_id)) == oassign
+
+
 def test_checkpoint_resume(ray_session, corpus, tmp_path):
     import ray.data
     table, _, _ = corpus

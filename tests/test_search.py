@@ -1,0 +1,99 @@
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from kmcp_ray import search
+from kmcp_ray.config import DedupConfig
+
+from tests import oracle
+
+CFG = DedupConfig(num_partitions=8)
+
+
+def _mk(texts, start=0):
+    return pa.table({"doc_id": pa.array([f"d{start+i:04d}" for i in range(len(texts))],
+                                        pa.string()),
+                     "text": pa.array(texts, pa.string())})
+
+
+REF_TEXTS = [
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+    "lam mu nu xi omicron pi rho sigma tau upsilon",
+    "one two three four five six seven eight nine ten eleven twelve "
+    "thirteen fourteen fifteen sixteen",
+    "totally unrelated reference document about storage engines and "
+    "write amplification in log structured trees",
+]
+
+
+def _brute_qcov(q, r, cfg=CFG):
+    sq, sr = oracle.sketch_of(q, cfg), oracle.sketch_of(r, cfg)
+    c = np.intersect1d(sq, sr, assume_unique=True).size
+    return c, len(sq), len(sr)
+
+
+def test_search_exact_containment(ray_session):
+    import ray.data
+    refs = _mk(REF_TEXTS)
+    # query = contiguous slice of ref0 → qcov 1.0 against ref0
+    q_text = " ".join(REF_TEXTS[0].split()[3:15])
+    queries = _mk([q_text], start=100)
+    out = search.search(ray.data.from_arrow(queries), ray.data.from_arrow(refs),
+                        CFG, min_qcov=0.5).to_pandas()
+    assert len(out) == 1
+    row = out.iloc[0]
+    c, kq, kt = _brute_qcov(q_text, REF_TEXTS[0])
+    assert row.target == "d0000" and row.m_shared == c
+    assert row.q_kept == kq and row.t_kept == kt
+    assert row.qcov == pytest.approx(c / kq) and row.qcov == 1.0
+
+
+def test_search_scores_match_bruteforce(ray_session):
+    import ray.data
+    refs = _mk(REF_TEXTS)
+    q1 = " ".join(REF_TEXTS[1].split()[:10]) + " extra words here now"
+    queries = _mk([q1], start=200)
+    out = search.search(ray.data.from_arrow(queries), ray.data.from_arrow(refs),
+                        CFG, min_qcov=0.1, min_shared=1).to_pandas()
+    hit = out[out.target == "d0001"].iloc[0]
+    c, kq, kt = _brute_qcov(q1, REF_TEXTS[1])
+    assert hit.m_shared == c
+    assert hit.jacc == pytest.approx(c / (kq + kt - c))
+    assert not (out.target == "d0002").any()
+
+
+def test_shard_merge_equals_full_search(ray_session):
+    """kmcp shard workflow invariant: searching two reference shards
+    separately and merging equals searching the union."""
+    import ray.data
+    refs_a = _mk(REF_TEXTS[:2])
+    refs_b = _mk(REF_TEXTS[2:], start=2)
+    q_text = " ".join(REF_TEXTS[0].split()[0:12])
+    queries = _mk([q_text], start=300)
+    qd = ray.data.from_arrow(queries)
+    full = search.search(qd, ray.data.from_arrow(_mk(REF_TEXTS)), CFG,
+                         min_qcov=0.2, min_shared=1).to_pandas()
+    pa_res = search.search(qd, ray.data.from_arrow(refs_a), CFG,
+                           min_qcov=0.2, min_shared=1)
+    pb_res = search.search(qd, ray.data.from_arrow(refs_b), CFG,
+                           min_qcov=0.2, min_shared=1)
+    merged = search.merge_search_results([pa_res, pb_res]).to_pandas()
+    key = ["query", "target"]
+    f = full.sort_values(key).reset_index(drop=True)
+    m = merged.sort_values(key).reset_index(drop=True)
+    assert f[key + ["m_shared", "qcov"]].equals(m[key + ["m_shared", "qcov"]])
+
+
+def test_top_scores_cut(ray_session):
+    import ray.data
+    base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15 w16"
+    refs = _mk([base,                                # full match
+                " ".join(base.split()[:12]),         # partial
+                " ".join(base.split()[:8]),          # smaller partial
+                "unrelated totally different words here entirely"])
+    queries = _mk([base], start=400)
+    out = search.search(ray.data.from_arrow(queries), ray.data.from_arrow(refs),
+                        CFG, min_qcov=0.0, min_shared=1,
+                        top_n_scores=1).to_pandas()
+    # top-1 distinct score keeps only the best-scoring target(s)
+    assert set(out.target) == {"d0000"}
