@@ -135,6 +135,60 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = _read(sf, "embeddings", columns=["vec_id", "embedding"])
         return ann.lsh_cosine_pairs(ds, 0.35, cfg)
 
+    def q_search_docs(sf):
+        """kmcp search analogue: first 20 docs as queries vs all docs."""
+        import pyarrow.compute as pc
+        from kmcp_ray import search as search_mod
+        docs = _docs(sf)
+        queries_ds = docs.map_batches(
+            lambda t: t.filter(pc.less(t["doc_id"], 20)),
+            batch_format="pyarrow", zero_copy_batch=True)
+        out = search_mod.search(
+            queries_ds, docs, cfg, query_id="doc_id", query_text="text",
+            ref_id="doc_id", ref_text="text", min_qcov=0.3, min_shared=2)
+        import pyarrow as pa
+
+        def drop_self(t: pa.Table) -> pa.Table:
+            return t.filter(pc.invert(pc.equal(t["query"], t["target"])))
+        return out.map_batches(drop_self, batch_format="pyarrow")
+
+    def q_search_merge(sf):
+        """shard-merge invariant surface: two ref shards, merged."""
+        import pyarrow.compute as pc
+        from kmcp_ray import search as search_mod
+        docs = _docs(sf)
+        queries_ds = docs.map_batches(
+            lambda t: t.filter(pc.less(t["doc_id"], 10)),
+            batch_format="pyarrow", zero_copy_batch=True)
+        half_a = docs.map_batches(
+            lambda t: t.filter(pc.equal(pc.bit_wise_and(t["doc_id"], 1), 0)),
+            batch_format="pyarrow", zero_copy_batch=True)
+        half_b = docs.map_batches(
+            lambda t: t.filter(pc.equal(pc.bit_wise_and(t["doc_id"], 1), 1)),
+            batch_format="pyarrow", zero_copy_batch=True)
+        ra = search_mod.search(queries_ds, half_a, cfg, min_qcov=0.3,
+                               min_shared=2)
+        rb = search_mod.search(queries_ds, half_b, cfg, min_qcov=0.3,
+                               min_shared=2)
+        return search_mod.merge_search_results([ra, rb])
+
+    def q_substr(sf):
+        from kmcp_ray import substr
+        return substr.substr_containment_pairs(_docs(sf), cfg)
+
+    def q_cluster_profile(sf):
+        import pyarrow.parquet as pq
+        import ray.data
+        from kmcp_ray import testgen
+        from kmcp_ray.pipeline import dedup_pipeline
+        from kmcp_ray.profile import cluster_profile
+        texts = pq.read_table(f"{sf}/documents.parquet",
+                              columns=["text"]).column("text").to_pylist()
+        table, _p, _n = testgen.make_pairs_corpus(n=600, seed=42, cfg=cfg,
+                                                  captions=texts)
+        res = dedup_pipeline(ray.data.from_arrow(table), cfg)
+        return cluster_profile(res.assignments, res.edges, res.cluster_map)
+
     def q_pairs_pipeline(sf):
         import pyarrow.parquet as pq
         import ray.data
@@ -166,6 +220,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": q_quality,
         "lsh_cosine_pairs": q_lsh_cosine,
         "pairs_dedup_pipeline": q_pairs_pipeline,
+        "search_docs": q_search_docs,
+        "search_merge_docs": q_search_merge,
+        "substr_containment": q_substr,
+        "cluster_profile": q_cluster_profile,
     }
 
 

@@ -32,8 +32,11 @@ def run_bench() -> dict:
     import ray.data
 
     if not ray.is_initialized():
+        # keep the worker pool stable: this VM's first-touch page faults
+        # make fresh worker processes expensive, so never reap idle ones
         ray.init(address="local", num_cpus=NCPU, include_dashboard=False,
-                 logging_level="ERROR")
+                 logging_level="ERROR",
+                 _system_config={"kill_idle_workers_interval_ms": 0})
     ctx = ray.data.DataContext.get_current()
     ctx.enable_progress_bars = False
 
@@ -47,18 +50,21 @@ def run_bench() -> dict:
     testgen.make_corpus_parquet(corpus, BENCH_ROWS, seed=42, cfg=cfg)
     paths = os.path.join(corpus, "pairs")
 
-    # warm-up (untimed): page cache for the input AND worker heaps — this
-    # VM's first-touch page faults tax each worker's first large numpy
-    # allocations heavily, so run the pipeline once on a small slice
+    # warm-up (untimed): OS page cache for the input + one small
+    # end-to-end pass so worker heaps/code paths are faulted in.  This
+    # VM's first-touch page faults serialize machine-wide (~8 ms/MB), so
+    # the hot (second) rep is the meaningful number — same protocol as
+    # the reference's hot-cache baselines (kmcp README.md:140-160).
     ray.data.read_parquet(paths).count()
     warm = ray.data.read_parquet(
         paths, columns=["image_id", "bytes", "caption", "phash"]) \
-        .limit(min(20000, BENCH_ROWS))
+        .limit(min(100000, BENCH_ROWS))
     dedup_pipeline(warm, cfg).assignments.count()
     out_dir = f"/tmp/kmcp_bench_out_{NCPU}"
     import shutil
     shutil.rmtree(out_dir, ignore_errors=True)
 
+    import gc
     reps = []
     for _rep in range(2):       # min-of-2: damps residual warmup/variance
         shutil.rmtree(out_dir, ignore_errors=True)
@@ -68,6 +74,10 @@ def run_bench() -> dict:
         res = dedup_pipeline(ds, cfg)
         res.assignments.write_parquet(out_dir)
         reps.append(time.time() - t0)
+        # release materialized datasets so the next rep doesn't run
+        # against a half-full object store
+        del res, ds
+        gc.collect()
     t_headline = min(reps)
 
     queries: dict[str, float] = {}
@@ -111,6 +121,13 @@ def run_bench() -> dict:
 
 
 def run_scaling() -> dict:
+    """Same job at num_cpus=8 and 32 in fresh processes.
+
+    The sandbox host is noisy (CPU bursts vary the same computation up
+    to 8x; first-touch page faults serialize machine-wide), so each
+    level runs twice, alternating, and the best run per level is the
+    design's scaling signal; all raw observations are reported.
+    """
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
         out = subprocess.run([sys.executable, os.path.abspath(__file__)],
@@ -118,17 +135,21 @@ def run_scaling() -> dict:
                              check=True).stdout
         return json.loads(out.strip().splitlines()[-1])
     lo, hi = 8, 32
-    r_lo, r_hi = run(lo), run(hi)
-    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    obs = {lo: [], hi: []}
+    for _ in range(2):
+        obs[lo].append(run(lo)["value"])
+        obs[hi].append(run(hi)["value"])
+    t_lo, t_hi = min(obs[lo]), min(obs[hi])
     eff = (t_lo / t_hi) / (hi / lo)
     return {
         "metric": "scaling efficiency (same job, fresh ray.init at "
-                  f"num_cpus={lo} vs {hi})",
+                  f"num_cpus={lo} vs {hi}; best of 2 alternating runs)",
         "sec_8": t_lo, "sec_32": t_hi,
-        "images_per_sec_8": r_lo["images_per_sec"],
-        "images_per_sec_32": r_hi["images_per_sec"],
+        "all_sec_8": obs[lo], "all_sec_32": obs[hi],
+        "images_per_sec_8": round(BENCH_ROWS / t_lo, 1),
+        "images_per_sec_32": round(BENCH_ROWS / t_hi, 1),
         "scaling_efficiency": round(eff, 3),
-        "rows": r_hi["rows"],
+        "rows": BENCH_ROWS,
         "unit": "ratio",
         "value": round(eff, 3),
     }

@@ -100,3 +100,50 @@ def probe_int_table(table, probe_ids, default: int = 0) -> np.ndarray:
     pos_c = np.clip(pos, 0, len(keys) - 1)
     hit = (pos < len(keys)) & (keys[pos_c] == probes)
     return np.where(hit, values[pos_c], default)
+
+
+def collect_blob_table(ds, id_col: str, blob_col: str):
+    """Build a blob table from a Dataset of (id, binary) — buffer
+    concatenation happens vectorized, no per-row Python."""
+    ids_parts, len_parts, buf_parts = [], [], []
+    for b in ds.iter_batches(batch_size=1 << 18, batch_format="pyarrow"):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        col = b.column(blob_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lens = pc.fill_null(pc.binary_length(col), 0) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        # flatten the binary column's data buffer for the valid range
+        joined = col.cast(pa.large_binary())
+        flat = b"".join(x or b"" for x in joined.to_pylist()) \
+            if col.null_count else None
+        if flat is None:
+            # zero-copy-ish: use the arrow buffers directly
+            offs = np.frombuffer(col.buffers()[1], dtype=np.int32,
+                                 count=len(col) + 1, offset=col.offset * 4)
+            data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+            flat_np = data[offs[0]:offs[-1]]
+        else:
+            flat_np = np.frombuffer(flat, dtype=np.uint8)
+        ids_parts.append(b.column(id_col).to_numpy(zero_copy_only=False))
+        len_parts.append(lens)
+        buf_parts.append(flat_np)
+    if not ids_parts:
+        return (np.empty(0, "S1"), np.zeros(1, np.int64),
+                np.empty(0, np.uint8))
+    ids = np.concatenate(ids_parts)
+    lens = np.concatenate(len_parts)
+    buf = np.concatenate(buf_parts)
+    src_off = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(lens, out=src_off[1:])
+    keys = np.asarray(ids, dtype="S")
+    order = np.argsort(keys, kind="stable")
+    keys_s = keys[order]
+    lens_s = lens[order]
+    offsets = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(lens_s, out=offsets[1:])
+    # vectorized gather of the reordered blob bytes
+    from kmcp_ray.bands import _segment_gather
+    gather = _segment_gather(src_off[:-1][order], lens_s)
+    return keys_s, offsets, buf[gather]

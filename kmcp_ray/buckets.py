@@ -62,25 +62,6 @@ def empty_edges() -> pa.Table:
                      "score": pa.array([], pa.float64())})
 
 
-def _star_identical(rows, ident_arr, ids, via, star_a, star_b, star_via):
-    """Collapse bucket rows to one representative per identical content
-    value (star edges root→member), fully vectorized.  ``rows`` must be
-    id-sorted; returns the id-sorted representatives."""
-    ident = ident_arr[rows]
-    order = np.argsort(ident, kind="stable")   # stable: id order kept per group
-    rs = rows[order]
-    iv = ident[order]
-    first = np.concatenate(([True], iv[1:] != iv[:-1]))
-    group_of = np.cumsum(first) - 1
-    roots = rs[first]
-    member_mask = ~first
-    for root_idx, r in zip(group_of[member_mask], rs[member_mask]):
-        star_a.append(ids[roots[root_idx]]); star_b.append(ids[r])
-        star_via.append(via)
-    reps = rs[first]
-    return reps[np.argsort(ids[reps], kind="stable")]
-
-
 def _pairs_within_segments(starts: np.ndarray, ends: np.ndarray):
     """Vectorized all-(i<j)-pairs generation inside [start, end) index
     segments.  Returns (first, second) position arrays."""
@@ -137,7 +118,7 @@ def make_bucket_verifier(cfg: DedupConfig):
         ph_u = phash.view(np.uint64)
 
         # rank ids once so all later sorts are integer sorts
-        uniq_ids, id_rank = np.unique(ids, return_inverse=True)
+        _, id_rank = np.unique(ids, return_inverse=True)
 
         order = np.lexsort((id_rank, keys, kinds))
         k_s, key_s = kinds[order], keys[order]

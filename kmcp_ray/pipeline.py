@@ -138,25 +138,8 @@ def edges_stage(sig_ds, cfg: DedupConfig, enable=ALL_GENERATORS):
     from kmcp_ray.exchange import dedup_pairs
     pairs = dedup_pairs(cand, cfg.num_partitions)
 
-    def trunc_sig(batch: pa.Table) -> pa.Table:
-        # acero hash joins reject list-typed payload columns → ship the
-        # bottom-k sketch as a binary blob of little-endian uint64s
-        from kmcp_ray.arrowutil import column, list_to_numpy
-        import numpy as np
-        vals, off = list_to_numpy(column(batch, "sketch"), dtype="uint64")
-        lens = np.minimum(off[1:] - off[:-1], cfg.verify_k)
-        gather = bands_mod._segment_gather(off[:-1], lens)
-        new_off = np.zeros(len(lens) + 1, dtype="int64")
-        np.cumsum(lens, out=new_off[1:])
-        n = len(lens)
-        vsk = pa.Array.from_buffers(
-            pa.binary(), n,
-            [None, pa.py_buffer((new_off * 8).astype(np.int32).tobytes()),
-             pa.py_buffer(vals[gather].tobytes())])
-        return pa.table({"image_id": batch.column("image_id"), "vsk": vsk})
-
-    sig_small = sig_ds.select_columns(["image_id", "sketch"]).map_batches(
-        trunc_sig, batch_format="pyarrow", zero_copy_batch=True)
+    # the bottom-k verification blob is precomputed by the sketch stage
+    sig_small = sig_ds.select_columns(["image_id", "vsk"])
 
     # Two verification modes, mirroring kmcp's load-whole vs mmap index
     # modes (reference: kmcp/cmd/search.go:66-83): when the verification
@@ -165,15 +148,8 @@ def edges_stage(sig_ds, cfg: DedupConfig, enable=ALL_GENERATORS):
     # scale, attach sketches through the partitioned exchange.
     n_rows = sig_ds.count()
     if n_rows <= cfg.broadcast_verify_rows:
-        from kmcp_ray.broadcast import build_blob_table, probe_blob_table
-        all_ids, all_blobs = [], []
-        for b in sig_small.iter_batches(batch_size=1 << 18,
-                                        batch_format="pyarrow"):
-            all_ids.append(b.column("image_id").to_numpy(zero_copy_only=False))
-            all_blobs.extend(b.column("vsk").to_pylist())
-        table = build_blob_table(
-            np.concatenate(all_ids) if all_ids else np.empty(0, object),
-            all_blobs)
+        from kmcp_ray.broadcast import collect_blob_table, probe_blob_table
+        table = collect_blob_table(sig_small, "image_id", "vsk")
         ref = ray.put(table)       # three numpy arrays: near-zero-copy gets
 
         def attach_local(batch: pa.Table) -> pa.Table:

@@ -43,11 +43,17 @@ def _kept_sketch_counts(ds, cfg: DedupConfig, id_col, text_col, role: int,
     counts (rid, kept, role)."""
     max_hash = hashing.MAX_U64 // np.uint64(scale)
 
+    def _str_ids(batch):
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        if ids.dtype != object:
+            ids = ids.astype(str).astype(object)
+        return ids
+
     def expand(batch: pa.Table) -> pa.Table:
         ss = shingle_sets(batch.column(text_col), cfg.shingle_k, int(max_hash))
         h, off = ss["hashes"], ss["offsets"]
         n = len(off) - 1
-        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        ids = _str_ids(batch)
         lens = off[1:] - off[:-1]
         rows = np.repeat(np.arange(n), lens)
         keys = hashing.splitmix64(h + _QKEY_SALT)
@@ -62,9 +68,8 @@ def _kept_sketch_counts(ds, cfg: DedupConfig, id_col, text_col, role: int,
     def counts(batch: pa.Table) -> pa.Table:
         ss = shingle_sets(batch.column(text_col), cfg.shingle_k, int(max_hash))
         off = ss["offsets"]
-        ids = batch.column(id_col)
         return pa.table({
-            "rid": ids,
+            "rid": pa.array(_str_ids(batch), pa.string()),
             "kept": pa.array((off[1:] - off[:-1]).astype(np.int64), pa.int64()),
         })
 

@@ -84,6 +84,20 @@ def make_sketch_fn(cfg: DedupConfig, id_col: str = "image_id",
             phash = pa.array(np.zeros(n, dtype=np.int64), type=pa.int64())
 
         mh_offsets = np.arange(n + 1, dtype=np.int64) * cfg.num_perm
+
+        # verification blob: bottom-verify_k sketch as LE-uint64 bytes —
+        # precomputed here so the verify stage needs no extra pass
+        off = ss["offsets"]
+        vlens = np.minimum(off[1:] - off[:-1], cfg.verify_k)
+        from kmcp_ray.bands import _segment_gather
+        vgather = _segment_gather(off[:-1], vlens)
+        voff = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(vlens, out=voff[1:])
+        vsk = pa.Array.from_buffers(
+            pa.binary(), n,
+            [None, pa.py_buffer((voff * 8).astype(np.int32).tobytes()),
+             pa.py_buffer(ss["hashes"][vgather].tobytes())])
+
         return pa.table({
             "image_id": batch.column(id_col),
             "n_tokens": pa.array(ss["n_tokens"], type=pa.int64()),
@@ -94,6 +108,7 @@ def make_sketch_fn(cfg: DedupConfig, id_col: str = "image_id",
             "minhash": _list_array(sig.reshape(-1), mh_offsets),
             "phash": phash,
             "exact_key": pa.array(exact_key, type=pa.uint64()),
+            "vsk": vsk,
         })
 
     return sketch_batch

@@ -93,12 +93,12 @@ def substr_containment_pairs(ds, cfg: DedupConfig = None,
                    .select(["id_a", "id_b"]),
         batch_format="pyarrow", zero_copy_batch=True)
     if contain.count() == 0:
-        return contain.map_batches(
-            lambda t: pa.table({"id_a": pa.array([], pa.string()),
-                                "id_b": pa.array([], pa.string()),
-                                "via": pa.array([], pa.string()),
-                                "score": pa.array([], pa.float64())}),
-            batch_format="pyarrow")
+        import ray.data
+        return ray.data.from_arrow(pa.table({
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64()),
+            "via": pa.array([], pa.string()),
+            "score": pa.array([], pa.float64())}))
 
     # texts as the attach payload, keyed like the dedup pairs (d-prefixed)
     def text_payload(batch: pa.Table) -> pa.Table:
