@@ -189,6 +189,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
         res = dedup_pipeline(ray.data.from_arrow(table), cfg)
         return cluster_profile(res.assignments, res.edges, res.cluster_map)
 
+    def q_decode_verify(sf):
+        """actor-pool multimodal decode + integrity stage on the
+        synthetic image corpus."""
+        import pyarrow.parquet as pq
+        import ray.data
+        from kmcp_ray import testgen
+        from kmcp_ray.imagecodec import decode_verify
+        texts = pq.read_table(f"{sf}/documents.parquet",
+                              columns=["text"]).column("text").to_pylist()
+        table, _p, _n = testgen.make_pairs_corpus(n=400, seed=42, cfg=cfg,
+                                                  captions=texts)
+        return decode_verify(ray.data.from_arrow(table), concurrency=2)
+
+    def q_bucket_stats(sf):
+        from kmcp_ray.diagnostics import bucket_stats
+        from kmcp_ray.pipeline import sketch_stage
+        sds = _docs(sf).map_batches(
+            lambda t: __import__("pyarrow").table(
+                {"image_id": t["doc_id"].cast("string"),
+                 "caption": t["text"]}),
+            batch_format="pyarrow", zero_copy_batch=True)
+        sig = sketch_stage(sds, cfg, phash_col=None, bytes_col=None)
+        return bucket_stats(sig, cfg, enable=("minhash", "contain", "exact"))
+
     def q_pairs_pipeline(sf):
         import pyarrow.parquet as pq
         import ray.data
@@ -224,6 +248,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_merge_docs": q_search_merge,
         "substr_containment": q_substr,
         "cluster_profile": q_cluster_profile,
+        "decode_verify": q_decode_verify,
+        "bucket_stats": q_bucket_stats,
     }
 
 

@@ -32,6 +32,14 @@ class DedupConfig:
     #: Large-document pipelines raise this (kmcp -D/--scale analogue,
     #: reference: kmcp/cmd/compute.go:311-316).
     scale: int = 1
+    #: sketcher family (kmcp -D / -W / -S analogues,
+    #: compute.go:746-803): "scaled" = FracMinHash keep-rate filter;
+    #: "minimizer" = per-row window minima of the shingle-hash sequence
+    #: (window = minimizer_w); "syncmer" = closed syncmers (keep a
+    #: shingle iff its min token-hash sits at the first or last
+    #: position).  The frozen oracle contract covers "scaled".
+    sketcher: str = "scaled"
+    minimizer_w: int = 8
     # --- MinHash-LSH banding (kmcp index-block analogue) ---
     #: 16 bands x 4 rows: P(band hit | J=0.75) ≈ 0.9978 on its own; the
     #: shared-shingle containment generator independently catches the

@@ -132,3 +132,59 @@ def phash_chunk_keys(phash: np.ndarray, chunks: int) -> np.ndarray:
         part = (ph >> np.uint64(c * width)) & mask
         out[:, c] = hashing.splitmix64(part + consts[c])
     return out
+
+
+class DecodeStage:
+    """Actor-pool image decode/verify stage — the multimodal plumbing
+    (schema, actor signature, batch sizing) is real; only the codec
+    behind :func:`decode` is the sandbox stub.
+
+    __init__ runs once per actor (codec/table setup); __call__ decodes
+    each row's ``bytes``, recomputes the perceptual hash, and emits
+    per-row integrity columns:
+
+      phash_ok   stored phash == phash(decoded pixels)
+      psnr_db    re-encode round-trip PSNR (inf for lossless)
+      width/height from the decoded pixels
+
+    Use:  ds.map_batches(DecodeStage, batch_format="pyarrow",
+                         concurrency=N, batch_size=B, num_cpus=1)
+    Small batches on purpose: rows carry wide binary payloads.
+    """
+
+    def __init__(self):
+        # PRODUCTION: import PIL here (once per actor), build decoders
+        self.decode = decode
+        self.phash = phash64
+
+    def __call__(self, batch):
+        import numpy as np
+        import pyarrow as pa
+        bts = batch.column("bytes").to_numpy(zero_copy_only=False)
+        phs = batch.column("phash").to_numpy(zero_copy_only=False)
+        fmts = batch.column("fmt").to_numpy(zero_copy_only=False)
+        ok = np.zeros(len(bts), dtype=bool)
+        psnr_db = np.zeros(len(bts), dtype=np.float64)
+        ws = np.zeros(len(bts), dtype=np.int32)
+        hs = np.zeros(len(bts), dtype=np.int32)
+        for i, data in enumerate(bts):
+            px = self.decode(data)
+            hs[i], ws[i] = px.shape[0], px.shape[1]
+            ok[i] = self.phash(px) == int(phs[i])
+            rt = self.decode(encode(px, fmts[i]))
+            p = psnr(px, rt)
+            psnr_db[i] = 99.0 if p == float("inf") else p
+        return pa.table({
+            "image_id": batch.column("image_id"),
+            "phash_ok": pa.array(ok),
+            "psnr_db": pa.array(psnr_db, pa.float64()),
+            "w_decoded": pa.array(ws, pa.int32()),
+            "h_decoded": pa.array(hs, pa.int32()),
+        })
+
+
+def decode_verify(ds, concurrency: int = 4, batch_size: int = 256):
+    """Distributed decode + integrity verification over an image table."""
+    return ds.map_batches(DecodeStage, batch_format="pyarrow",
+                          concurrency=concurrency, batch_size=batch_size,
+                          num_cpus=1)

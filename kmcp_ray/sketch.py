@@ -63,7 +63,7 @@ def make_sketch_fn(cfg: DedupConfig, id_col: str = "image_id",
     def sketch_batch(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         texts = batch.column(text_col)
-        ss = text.shingle_sets(texts, cfg.shingle_k, cfg.max_hash)
+        ss = text.shingle_sets_sketcher(texts, cfg)
         sig = text.minhash_signatures(ss["hashes"], ss["offsets"], cfg.num_perm)
 
         cap_np = texts.combine_chunks().to_numpy(zero_copy_only=False) \

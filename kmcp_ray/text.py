@@ -164,3 +164,95 @@ def band_keys(sig: np.ndarray, bands: int) -> np.ndarray:
     if empty.any():
         out[empty, :] = hashing.MAX_U64
     return out
+
+
+def shingle_sets_sketcher(texts, cfg):
+    """Dispatch on cfg.sketcher — same return shape as shingle_sets.
+
+    "scaled"    FracMinHash keep-filter (kmcp -D, compute.go:311-316)
+    "minimizer" window minima of the in-order shingle-hash sequence
+                (kmcp -W, compute.go:776-788 semantics re-derived)
+    "syncmer"   closed syncmers: keep a shingle iff the minimum token
+                hash within it is at the first or last position
+                (kmcp -S, compute.go:763-775 semantics re-derived)
+    """
+    if cfg.sketcher == "scaled":
+        return shingle_sets(texts, cfg.shingle_k, cfg.max_hash)
+
+    flat_tokens, row_ids, n = tokenize(texts)
+    from kmcp_ray import hashing as _h
+    th = _h.hash_tokens(flat_tokens)
+    wh, wrow = _window_hashes(th, row_ids, cfg.shingle_k)
+    n_tokens = np.bincount(row_ids, minlength=n).astype(np.int64) if len(row_ids) \
+        else np.zeros(n, dtype=np.int64)
+
+    # rows with 1..k-1 tokens contribute one fold-shingle in every
+    # sketcher family (the kmcp short-sequence rule)
+    short_rows = np.nonzero((n_tokens > 0) & (n_tokens < cfg.shingle_k))[0]
+    if len(short_rows) and cfg.sketcher == "minimizer":
+        extr = np.array([_h.fold(th[row_ids == r]) for r in short_rows],
+                        dtype=np.uint64)
+        wh = np.concatenate([wh, extr])
+        wrow = np.concatenate([wrow, short_rows.astype(np.int64)])
+
+    if cfg.sketcher == "minimizer":
+        keep_vals, keep_rows = [], []
+        order = np.argsort(wrow, kind="stable")
+        wh_s, wrow_s = wh[order], wrow[order]
+        starts = np.searchsorted(wrow_s, np.arange(n), side="left")
+        ends = np.searchsorted(wrow_s, np.arange(n), side="right")
+        w = cfg.minimizer_w
+        for i in range(n):
+            seq = wh_s[starts[i]:ends[i]]
+            if len(seq) == 0:
+                continue
+            if len(seq) <= w:
+                vals = np.array([seq.min()], dtype=np.uint64)
+            else:
+                view = np.lib.stride_tricks.sliding_window_view(seq, w)
+                vals = np.unique(view.min(axis=1))
+            keep_vals.append(vals)
+            keep_rows.append(np.full(len(vals), i, dtype=np.int64))
+        wh = np.concatenate(keep_vals) if keep_vals else np.empty(0, np.uint64)
+        wrow = np.concatenate(keep_rows) if keep_rows else np.empty(0, np.int64)
+    elif cfg.sketcher == "syncmer":
+        k = cfg.shingle_k
+        m = len(th)
+        if m >= k:
+            nw = m - k + 1
+            win = np.lib.stride_tricks.sliding_window_view(th, k)
+            amin = win.argmin(axis=1)
+            keep_w = (amin == 0) | (amin == k - 1)   # closed syncmer rule
+            valid = row_ids[:nw] == row_ids[k - 1:]
+            # wh/wrow from _window_hashes are the valid windows, in order
+            wh, wrow = wh[keep_w[valid]], wrow[keep_w[valid]]
+        else:
+            wh, wrow = np.empty(0, np.uint64), np.empty(0, np.int64)
+        # short rows (< k tokens) keep their single fold-shingle
+        short_rows = np.nonzero((n_tokens > 0) & (n_tokens < k))[0]
+        if len(short_rows):
+            extr = np.array([_h.fold(th[row_ids == r]) for r in short_rows],
+                            dtype=np.uint64)
+            wh = np.concatenate([wh, extr])
+            wrow = np.concatenate([wrow, short_rows.astype(np.int64)])
+    else:
+        raise ValueError(f"unknown sketcher {cfg.sketcher!r}")
+
+    # sort + unique per row + n_distinct bookkeeping (shared tail)
+    n_distinct = np.zeros(n, dtype=np.int64)
+    if len(wh):
+        order = np.lexsort((wh, wrow))
+        wh, wrow = wh[order], wrow[order]
+        first = np.ones(len(wh), dtype=bool)
+        first[1:] = (wrow[1:] != wrow[:-1]) | (wh[1:] != wh[:-1])
+        wh, wrow = wh[first], wrow[first]
+        n_distinct = np.bincount(wrow, minlength=n).astype(np.int64)
+        if cfg.max_hash < int(hashing.MAX_U64):
+            keep = wh <= U64(cfg.max_hash)
+            wh, wrow = wh[keep], wrow[keep]
+    counts = np.bincount(wrow, minlength=n).astype(np.int64) if len(wrow) \
+        else np.zeros(n, dtype=np.int64)
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    return {"hashes": wh, "offsets": offsets,
+            "n_tokens": n_tokens, "n_distinct": n_distinct}
