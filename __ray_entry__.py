@@ -72,21 +72,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return textops.doc_stats(_docs(sf))
 
     def q_lang_source_agg(sf):
+        # deterministic total order + int64 dtypes: the driver's value
+        # hash is order- and dtype-sensitive (r1 lesson)
         return relops.lang_source_agg(
-            _read(sf, "documents", columns=["lang", "source", "n_chars"]))
+            _read(sf, "documents", columns=["lang", "source", "n_chars"])) \
+            .sort(["lang", "source"])
 
     def q_events_type_agg(sf):
         return relops.events_type_agg(
-            _read(sf, "events", columns=["event_type", "value"]))
+            _read(sf, "events", columns=["event_type", "value"])) \
+            .sort("event_type")
 
     def q_events_hourly_user(sf):
         return relops.events_hourly_user(
-            _read(sf, "events", columns=["user_id", "ts", "value"]))
+            _read(sf, "events", columns=["user_id", "ts", "value"])) \
+            .sort(["user_id", "hour_id"])
 
     def q_lineitem_pricing(sf):
         return relops.lineitem_pricing(_read(sf, "lineitem", columns=[
             "l_returnflag", "l_linestatus", "l_quantity",
-            "l_extendedprice", "l_discount"]))
+            "l_extendedprice", "l_discount"])) \
+            .sort(["l_returnflag", "l_linestatus"])
 
     def q_top_docs(sf):
         return relops.top_docs_by_len(
@@ -129,7 +135,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return textops.lang_id(_docs(sf), concurrency=2)
 
     def q_quality(sf):
-        return textops.quality_score(_docs(sf))
+        return textops.quality_score(_docs(sf)) \
+            .select_columns(["doc_id", "quality_u"])
 
     def q_lsh_cosine(sf):
         ds = _read(sf, "embeddings", columns=["vec_id", "embedding"])
@@ -290,33 +297,41 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lang_source_agg": """
             SELECT lang, source,
-                   count(*)     AS n_docs,
-                   sum(n_chars) AS sum_chars
+                   count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
             FROM documents GROUP BY lang, source
+            ORDER BY lang, source
         """,
         "events_type_agg": """
             SELECT event_type,
                    count(*) AS n_events,
-                   sum(CAST(floor(value * 100) AS BIGINT)) AS sum_value_cents,
+                   CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                       AS sum_value_cents,
                    min(CAST(floor(value * 100) AS BIGINT)) AS min_value_cents,
                    max(CAST(floor(value * 100) AS BIGINT)) AS max_value_cents
             FROM events GROUP BY event_type
+            ORDER BY event_type
         """,
         "events_hourly_user": """
             SELECT user_id,
                    epoch_us(ts) // 3600000000 AS hour_id,
                    count(*) AS n,
-                   sum(CAST(floor(value * 100) AS BIGINT)) AS sum_cents
+                   CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                       AS sum_cents
             FROM events GROUP BY user_id, hour_id
+            ORDER BY user_id, hour_id
         """,
         "lineitem_pricing": """
             SELECT l_returnflag, l_linestatus,
                    count(*) AS n_rows,
-                   sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS sum_qty_x100,
-                   sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents,
-                   sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
-                       AS sum_disc_price_cents
+                   CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT)
+                       AS sum_qty_x100,
+                   CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                       AS sum_price_cents,
+                   CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+                       AS BIGINT)) AS BIGINT) AS sum_disc_price_cents
             FROM lineitem GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
         """,
         "top_docs_by_len": """
             SELECT doc_id, n_chars, lang FROM documents
@@ -348,5 +363,62 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a, embeddings b
             WHERE a.vec_id < b.vec_id
               AND list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+        """,
+        "quality_score": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+                FROM documents
+            ), agg AS (
+                SELECT doc_id,
+                       count(*)            AS n_tokens,
+                       count(DISTINCT tok) AS n_uniq_tokens,
+                       sum(length(tok))    AS sum_token_len
+                FROM toks GROUP BY doc_id
+            ), st AS (
+                SELECT d.doc_id,
+                       CAST(coalesce(a.n_tokens, 0) AS DOUBLE) AS nt,
+                       CAST(coalesce(a.n_uniq_tokens, 0) AS DOUBLE) AS nu,
+                       CAST(coalesce(a.sum_token_len, 0) AS DOUBLE) AS sl
+                FROM documents d LEFT JOIN agg a USING (doc_id)
+            )
+            SELECT doc_id,
+                   CAST(floor(
+                     (CASE WHEN nt > 0 THEN nu / nt ELSE 0.0 END)
+                     * (1.0 - exp(-nt / 32.0))
+                     * (0.5 + 0.5 * least(1.0, greatest(0.0,
+                          1.0 - abs((CASE WHEN nt > 0 THEN sl / nt
+                                          ELSE 0.0 END) - 5.0) / 10.0)))
+                     * 1000000.0) AS BIGINT) AS quality_u
+            FROM st
+        """,
+        "lang_id": """
+            WITH t AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(coalesce(text, '')),
+                                          '[a-z0-9]+') AS tk,
+                       substr(coalesce(text, ''), 1, 200) AS head
+                FROM documents
+            ), sc AS (
+                SELECT doc_id,
+                    len(list_filter(tk, t -> t IN ('der','die','das','und',
+                        'ist','nicht','ein','mit','zu','ich'))) AS de,
+                    len(list_filter(tk, t -> t IN ('the','and','of','to','a',
+                        'in','is','it','you','that'))) AS en,
+                    len(list_filter(tk, t -> t IN ('el','la','los','las','es',
+                        'un','una','por','para','que'))) AS es,
+                    len(list_filter(tk, t -> t IN ('le','la','les','et','est',
+                        'un','une','pas','pour','que'))) AS fr,
+                    regexp_matches(head, '[^\\x00-\\x7f]') AS non_ascii
+                FROM t
+            )
+            SELECT doc_id,
+                   CASE WHEN non_ascii THEN 'zh'
+                        WHEN greatest(de, en, es, fr) = 0 THEN 'und'
+                        WHEN de >= en AND de >= es AND de >= fr THEN 'de'
+                        WHEN en >= es AND en >= fr THEN 'en'
+                        WHEN es >= fr THEN 'es'
+                        ELSE 'fr' END AS lang_pred
+            FROM sc
         """,
     }

@@ -62,11 +62,18 @@ def topk_cosine(ds, queries: "tuple[np.ndarray, np.ndarray]", k: int = 5,
                 continue
             sc = s[cand_idx]
             top = min(k, len(cand_idx))
-            # partial selection then deterministic (-(sim), id) order
+            # partial selection, widened to ALL candidates tied with the
+            # k-th similarity, then the deterministic (-sim, id) cut —
+            # otherwise an equal-sim neighbor with smaller id can be
+            # dropped batch-locally before the global tie-break runs
             part = np.argpartition(-sc, top - 1)[:top]
+            kth = sc[part].min()
+            tied = np.nonzero(sc >= kth)[0]
+            nb_ids = ids[cand_idx[tied]]
+            order2 = np.lexsort((nb_ids, -sc[tied]))[:top]
             out_q.append(np.full(top, qi[r], dtype=np.int64))
-            out_n.append(ids[cand_idx[part]])
-            out_s.append(sc[part])
+            out_n.append(nb_ids[order2])
+            out_s.append(sc[tied][order2])
         if not out_q:
             return pa.table({"query_id": pa.array([], pa.int64()),
                              "neighbor_id": pa.array([], pa.int64()),

@@ -110,22 +110,36 @@ def dedup_pairs(pairs_ds, P: int):
 
 
 def count_pairs(pairs_ds, P: int, col_a: str, col_b: str,
-                count_name: str = "n"):
-    """(a, b) rows → distinct (a, b, count) via one packed exchange."""
+                count_name: str = "n", carry_int_cols: tuple = ()):
+    """(a, b) rows → distinct (a, b, count) via one packed exchange.
+
+    ``carry_int_cols``: int64 columns constant within an (a, b) group
+    (e.g. per-side set sizes) carried through with first-value semantics.
+    """
     import pandas as pd
 
-    ex = Exchange([(col_a, pa.string()), (col_b, pa.string())], P)
+    schema = [(col_a, pa.string()), (col_b, pa.string())]
+    schema += [(c, pa.int64()) for c in carry_int_cols]
+    ex = Exchange(schema, P)
     packed = pairs_ds.map_batches(ex.make_pack_fn(
         hash_part_fn(col_a, col_b, P=P)), batch_format="pyarrow",
         zero_copy_batch=True)
 
     def cnt(group: pa.Table) -> pa.Table:
         u = ex.unpack(group)
-        df = pd.DataFrame({col_a: u[col_a].to_numpy(zero_copy_only=False),
-                           col_b: u[col_b].to_numpy(zero_copy_only=False)})
-        g = df.groupby([col_a, col_b], sort=False).size().reset_index(name=count_name)
-        return pa.table({col_a: pa.array(g[col_a].to_numpy(), pa.string()),
-                         col_b: pa.array(g[col_b].to_numpy(), pa.string()),
-                         count_name: pa.array(g[count_name].to_numpy(), pa.int64())})
+        data = {col_a: u[col_a].to_numpy(zero_copy_only=False),
+                col_b: u[col_b].to_numpy(zero_copy_only=False)}
+        for c in carry_int_cols:
+            data[c] = u[c].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(data)
+        g = df.groupby([col_a, col_b], sort=False).agg(
+            **{count_name: (col_a, "size")},
+            **{c: (c, "first") for c in carry_int_cols}).reset_index()
+        cols = {col_a: pa.array(g[col_a].to_numpy(), pa.string()),
+                col_b: pa.array(g[col_b].to_numpy(), pa.string()),
+                count_name: pa.array(g[count_name].to_numpy(), pa.int64())}
+        for c in carry_int_cols:
+            cols[c] = pa.array(g[c].to_numpy().astype(np.int64), pa.int64())
+        return pa.table(cols)
 
     return packed.groupby("part").map_groups(cnt, batch_format="pyarrow")

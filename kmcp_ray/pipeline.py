@@ -85,6 +85,11 @@ def _checkpoint(ds: "ray.data.Dataset", workdir: str, name: str) -> "ray.data.Da
     """Write a stage to Parquet (partitioned part files), mark done,
     and return a fresh Dataset reading from it (cheap lineage restart)."""
     out = _stage_dir(workdir, name)
+    if os.path.exists(out):
+        # no _DONE marker (checked by the caller) → a prior run crashed
+        # mid-write; stale partial files would silently duplicate rows
+        import shutil
+        shutil.rmtree(out)
     os.makedirs(out, exist_ok=True)
     ds.write_parquet(out)
     with open(os.path.join(out, "_DONE"), "w") as f:

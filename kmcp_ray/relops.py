@@ -107,32 +107,59 @@ def cov2simi(ds, col: str = "qcov"):
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
+_LFACT = np.zeros(1, dtype=np.float64)   # lfact[i] = log(i!), grown on demand
+
+
+def _lfact_table(up_to: int) -> np.ndarray:
+    """Cached log-factorial table (per process — the kmcp per-worker
+    binomial-coefficient cache analogue, reference: util-fpr.go:77-191)."""
+    global _LFACT
+    if len(_LFACT) <= up_to:
+        new_n = max(up_to + 1, 2 * len(_LFACT))
+        ext = np.log(np.arange(len(_LFACT), new_n, dtype=np.float64))
+        ext[0] = 0.0 if len(_LFACT) == 0 else ext[0]
+        _LFACT = np.concatenate((_LFACT, _LFACT[-1] + np.cumsum(ext)))
+    return _LFACT
+
+
+def binom_sf(n: np.ndarray, m: np.ndarray, p) -> np.ndarray:
+    """Vectorized P(X >= m), X ~ Binomial(n, p); ``p`` scalar or array.
+
+    Flat-segment evaluation: one exp over all (row, j=m..n) terms, then
+    ``np.add.reduceat`` per row — no per-row Python (the kmcp query-FPR
+    tail, reference: kmcp/cmd/util-fpr.go:28-50, re-derived from the
+    standard binomial formula via log-factorials)."""
+    n = np.asarray(n, dtype=np.int64)
+    m = np.asarray(m, dtype=np.int64)
+    p = np.broadcast_to(np.asarray(p, dtype=np.float64), n.shape)
+    out = np.ones(len(n), dtype=np.float64)
+    out[m > n] = 0.0
+    live = (m > 0) & (m <= n)
+    if not live.any():
+        return out
+    nl, ml, pl = n[live], m[live], np.clip(p[live], 1e-300, 1 - 1e-16)
+    lf = _lfact_table(int(nl.max()))
+    lens = nl - ml + 1
+    starts = np.zeros(len(nl) + 1, dtype=np.int64)
+    np.cumsum(lens, out=starts[1:])
+    # flat j index: for row i, j runs ml[i] .. nl[i]
+    j = np.arange(int(starts[-1])) - np.repeat(starts[:-1], lens) \
+        + np.repeat(ml, lens)
+    nn = np.repeat(nl, lens)
+    lp = np.repeat(np.log(pl), lens)
+    lq = np.repeat(np.log1p(-pl), lens)
+    log_terms = lf[nn] - lf[j] - lf[nn - j] + j * lp + (nn - j) * lq
+    s = np.add.reduceat(np.exp(log_terms), starts[:-1])
+    out[live] = np.minimum(1.0, s)
+    return out
+
+
 def query_fpr_values(n_kmers: np.ndarray, m_matched: np.ndarray,
                      p_fpr: float) -> np.ndarray:
     """P(>= m chance matches out of n trials at per-k-mer FPR p) —
     binomial upper tail (the kmcp query-FPR significance gate,
-    reference: kmcp/cmd/util-fpr.go:28-50, recomputed from the standard
-    binomial formula via log-gamma; no scipy in env)."""
-    from math import lgamma, exp, log
-    out = np.empty(len(n_kmers), dtype=np.float64)
-    lp, lq = log(p_fpr), log(1.0 - p_fpr)
-    cache = {}
-    for idx in range(len(n_kmers)):
-        n, m = int(n_kmers[idx]), int(m_matched[idx])
-        key = (n, m)
-        if key not in cache:
-            if m <= 0:
-                cache[key] = 1.0
-            elif m > n:
-                cache[key] = 0.0
-            else:
-                s = 0.0
-                for j in range(m, n + 1):
-                    s += exp(lgamma(n + 1) - lgamma(j + 1) - lgamma(n - j + 1)
-                             + j * lp + (n - j) * lq)
-                cache[key] = min(1.0, s)
-        out[idx] = cache[key]
-    return out
+    reference: kmcp/cmd/util-fpr.go:28-50)."""
+    return binom_sf(np.asarray(n_kmers), np.asarray(m_matched), p_fpr)
 
 
 def query_fpr(ds, n_col: str, m_col: str, p_fpr: float = 0.05):

@@ -28,7 +28,7 @@ import pyarrow as pa
 
 from kmcp_ray import hashing
 from kmcp_ray.config import DedupConfig
-from kmcp_ray.relops import query_fpr_values
+from kmcp_ray.relops import binom_sf
 from kmcp_ray.text import shingle_sets
 
 _QKEY_SALT = np.uint64(0x8EBC6AF09C88C6E3)
@@ -37,23 +37,22 @@ MATCH_COLUMNS = ["query", "q_kept", "target", "t_kept", "m_shared",
                  "qcov", "tcov", "jacc", "fpr"]
 
 
-def _kept_sketch_counts(ds, cfg: DedupConfig, id_col, text_col, role: int,
-                        scale: int):
-    """id/text rows → (part, key, role, rid) bucket rows + per-row kept
-    counts (rid, kept, role)."""
-    max_hash = hashing.MAX_U64 // np.uint64(scale)
+def _bucket_rows(ds, cfg: DedupConfig, id_col, text_col, role: int,
+                 scale: int):
+    """id/text rows → (part, key, role, rid, kept) bucket rows.
 
-    def _str_ids(batch):
-        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-        if ids.dtype != object:
-            ids = ids.astype(str).astype(object)
-        return ids
+    The per-row kept-shingle count rides WITH each bucket row (8 bytes),
+    so downstream scoring needs no broadcast of per-row count tables —
+    at 10^9+ rows a driver-collected count map would be tens of GB."""
+    max_hash = hashing.MAX_U64 // np.uint64(scale)
 
     def expand(batch: pa.Table) -> pa.Table:
         ss = shingle_sets(batch.column(text_col), cfg.shingle_k, int(max_hash))
         h, off = ss["hashes"], ss["offsets"]
         n = len(off) - 1
-        ids = _str_ids(batch)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        if ids.dtype != object:
+            ids = ids.astype(str).astype(object)
         lens = off[1:] - off[:-1]
         rows = np.repeat(np.arange(n), lens)
         keys = hashing.splitmix64(h + _QKEY_SALT)
@@ -63,20 +62,10 @@ def _kept_sketch_counts(ds, cfg: DedupConfig, id_col, text_col, role: int,
             "key": pa.array(keys, pa.uint64()),
             "role": pa.array(np.full(len(rows), role, dtype=np.int8), pa.int8()),
             "rid": pa.array(ids[rows].astype(object), pa.string()),
+            "kept": pa.array(lens[rows].astype(np.int64), pa.int64()),
         })
 
-    def counts(batch: pa.Table) -> pa.Table:
-        ss = shingle_sets(batch.column(text_col), cfg.shingle_k, int(max_hash))
-        off = ss["offsets"]
-        return pa.table({
-            "rid": pa.array(_str_ids(batch), pa.string()),
-            "kept": pa.array((off[1:] - off[:-1]).astype(np.int64), pa.int64()),
-        })
-
-    bucket_rows = ds.map_batches(expand, batch_format="pyarrow",
-                                 zero_copy_batch=True)
-    kept = ds.map_batches(counts, batch_format="pyarrow", zero_copy_batch=True)
-    return bucket_rows, kept
+    return ds.map_batches(expand, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def _pairs_per_partition(group: pa.Table, max_df: int) -> pa.Table:
@@ -87,12 +76,14 @@ def _pairs_per_partition(group: pa.Table, max_df: int) -> pa.Table:
     keys = group.column("key").to_numpy(zero_copy_only=False).astype(np.uint64)
     roles = group.column("role").to_numpy(zero_copy_only=False)
     rids = group.column("rid").to_numpy(zero_copy_only=False)
+    kept = group.column("kept").to_numpy(zero_copy_only=False).astype(np.int64)
     order = np.lexsort((roles, keys))
     keys_s, roles_s = keys[order], roles[order]
     m = len(keys_s)
     bound = np.nonzero(np.concatenate(([True], keys_s[1:] != keys_s[:-1])))[0]
     bound_end = np.concatenate((bound[1:], [m]))
     out_q, out_t = [], []
+    dropped = 0
     for s, e in zip(bound, bound_end):
         seg = order[s:e]
         r = roles_s[s:e]
@@ -101,16 +92,29 @@ def _pairs_per_partition(group: pa.Table, max_df: int) -> pa.Table:
         if len(qs) == 0 or len(ts) == 0:
             continue
         if len(qs) > max_df or len(ts) > max_df:
-            qs = qs[:max_df]
-            ts = ts[:max_df]
+            # deterministic cut: sort each side by rid first — Ray's
+            # groupby row order is not stable across runs
+            dropped += max(0, len(qs) - max_df) + max(0, len(ts) - max_df)
+            qs = qs[np.argsort(rids[qs], kind="stable")][:max_df]
+            ts = ts[np.argsort(rids[ts], kind="stable")][:max_df]
         qq, tt = np.meshgrid(qs, ts, indexing="ij")
-        out_q.append(rids[qq.ravel()])
-        out_t.append(rids[tt.ravel()])
+        out_q.append(qq.ravel())
+        out_t.append(tt.ravel())
+    if dropped:
+        import logging
+        logging.getLogger(__name__).warning(
+            "shingle df cap: %d bucket rows truncated (max_df=%d)",
+            dropped, max_df)
     if not out_q:
         return pa.table({"query": pa.array([], pa.string()),
-                         "target": pa.array([], pa.string())})
-    return pa.table({"query": pa.array(np.concatenate(out_q), pa.string()),
-                     "target": pa.array(np.concatenate(out_t), pa.string())})
+                         "target": pa.array([], pa.string()),
+                         "q_kept": pa.array([], pa.int64()),
+                         "t_kept": pa.array([], pa.int64())})
+    oq, ot = np.concatenate(out_q), np.concatenate(out_t)
+    return pa.table({"query": pa.array(rids[oq], pa.string()),
+                     "target": pa.array(rids[ot], pa.string()),
+                     "q_kept": pa.array(kept[oq], pa.int64()),
+                     "t_kept": pa.array(kept[ot], pa.int64())})
 
 
 def search(query_ds, ref_ds, cfg: DedupConfig = DedupConfig(), *,
@@ -126,41 +130,28 @@ def search(query_ds, ref_ds, cfg: DedupConfig = DedupConfig(), *,
     shared-shingle counts (kmcp exact containment); > 1 → FracMinHash
     estimates at 1/scale cost.
     """
-    import ray
     from kmcp_ray.exchange import count_pairs
 
-    qb, qk = _kept_sketch_counts(query_ds, cfg, query_id, query_text,
-                                 role=0, scale=search_scale)
-    rb, rk = _kept_sketch_counts(ref_ds, cfg, ref_id, ref_text,
-                                 role=1, scale=search_scale)
+    qb = _bucket_rows(query_ds, cfg, query_id, query_text,
+                      role=0, scale=search_scale)
+    rb = _bucket_rows(ref_ds, cfg, ref_id, ref_text,
+                      role=1, scale=search_scale)
 
     pairs = qb.union(rb).groupby("part").map_groups(
         lambda g: _pairs_per_partition(g, shingle_df_cap),
         batch_format="pyarrow")
+    # kept counts rode with the bucket rows; carry them through the
+    # count exchange (constant within a (query, target) group)
     shared = count_pairs(pairs, cfg.num_partitions, "query", "target",
-                         count_name="m_shared")
-
-    # kept counts are tiny (two ints per row): broadcast numpy tables
-    from kmcp_ray.broadcast import build_int_table, probe_int_table
-
-    def _collect(ds_counts):
-        ids, kept = [], []
-        for b in ds_counts.iter_batches(batch_format="pyarrow"):
-            ids.append(b.column("rid").to_numpy(zero_copy_only=False))
-            kept.append(b.column("kept").to_numpy(zero_copy_only=False))
-        if not ids:
-            return build_int_table(np.empty(0, object), np.empty(0, np.int64))
-        return build_int_table(np.concatenate(ids), np.concatenate(kept))
-
-    maps_ref = ray.put((_collect(qk), _collect(rk)))
+                         count_name="m_shared",
+                         carry_int_cols=("q_kept", "t_kept"))
 
     def score(batch: pa.Table) -> pa.Table:
-        qm, rm = ray.get(maps_ref)
         q = batch.column("query").to_numpy(zero_copy_only=False)
         t = batch.column("target").to_numpy(zero_copy_only=False)
         c = batch.column("m_shared").to_numpy(zero_copy_only=False).astype(np.int64)
-        kq = probe_int_table(qm, q).astype(np.int64)
-        kt = probe_int_table(rm, t).astype(np.int64)
+        kq = batch.column("q_kept").to_numpy(zero_copy_only=False).astype(np.int64)
+        kt = batch.column("t_kept").to_numpy(zero_copy_only=False).astype(np.int64)
         ok = (kq > 0) & (kt > 0) & (c >= min_shared)
         q, t, c, kq, kt = q[ok], t[ok], c[ok], kq[ok], kt[ok]
         qcov = c / np.maximum(kq, 1)
@@ -172,10 +163,7 @@ def search(query_ds, ref_ds, cfg: DedupConfig = DedupConfig(), *,
         # chance-collision significance gate (kmcp query-fpr, M16):
         # p = prob a random kept shingle of the query also hits the target
         p_hit = np.minimum(0.999, kt / 2.0 ** 20)
-        fpr = np.ones(len(q))
-        for i in range(len(q)):
-            fpr[i] = query_fpr_values(kq[i:i + 1], c[i:i + 1],
-                                      max(1e-12, float(p_hit[i])))[0]
+        fpr = binom_sf(kq, c, np.maximum(1e-12, p_hit))
         keep2 = fpr <= max_fpr
         return pa.table({
             "query": pa.array(q[keep2], pa.string()),

@@ -78,10 +78,28 @@ def make_sketch_fn(cfg: DedupConfig, id_col: str = "image_id",
             byte_h = np.zeros(n, dtype=np.uint64)
         exact_key = hashing.combine3(cap_h, byte_h, np.full(n, _EXACT_SALT))
 
-        if phash_col is not None and phash_col in batch.column_names:
+        if phash_col is not None:
+            if phash_col not in batch.column_names:
+                raise ValueError(
+                    f"phash_col={phash_col!r} not in input columns "
+                    f"{batch.column_names}; pass phash_col=None to disable "
+                    "the pHash generator (a silent zero-fill would collapse "
+                    "the whole corpus into one Hamming bucket)")
             phash = batch.column(phash_col)
+            if isinstance(phash, pa.ChunkedArray):
+                phash = phash.combine_chunks()
+            # null phashes must not all share one garbage bucket key:
+            # give each null row a unique sentinel derived from its
+            # exact_key so it never collides (bands treat it as normal)
+            if phash.null_count:
+                ph_np = phash.to_numpy(zero_copy_only=False)
+                isnull = pa.compute.is_null(phash).to_numpy(zero_copy_only=False)
+                ph_np = np.where(isnull, exact_key.view(np.int64), ph_np)
+                phash = pa.array(ph_np.astype(np.int64), type=pa.int64())
         else:
-            phash = pa.array(np.zeros(n, dtype=np.int64), type=pa.int64())
+            # pHash generator disabled downstream; store a per-row unique
+            # sentinel so accidental use cannot produce false buckets
+            phash = pa.array(exact_key.view(np.int64), type=pa.int64())
 
         mh_offsets = np.arange(n + 1, dtype=np.int64) * cfg.num_perm
 

@@ -82,7 +82,9 @@ def quality_score_batch(batch: pa.Table, *, id_col="doc_id", text_col="text") ->
         mean_len = np.where(nt > 0, sl / nt, 0.0)
     len_plaus = np.clip(1.0 - np.abs(mean_len - 5.0) / 10.0, 0.0, 1.0)
     score = diversity * length_sat * (0.5 + 0.5 * len_plaus)
-    return st.append_column("quality", pa.array(score, pa.float64()))
+    return st.append_column("quality", pa.array(score, pa.float64())) \
+        .append_column("quality_u", pa.array(
+            np.floor(score * 1e6).astype(np.int64), pa.int64()))
 
 
 def quality_score(ds, id_col="doc_id", text_col="text"):
@@ -152,11 +154,12 @@ def simhash_batch(texts, k: int) -> np.ndarray:
         return out.view(np.int64)
     bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & U64(1)) \
         .astype(np.int64)
-    # reduceat indices must be < len(h); empty rows are overridden below
-    idx = np.minimum(off[:-1], len(h) - 1)
-    votes = np.add.reduceat(2 * bits - 1, idx, axis=0)
+    # reduceat only over non-empty rows' starts: clamping empty trailing
+    # starts would steal the last shingle from the preceding row's segment
     lens = (off[1:] - off[:-1])
-    votes[lens == 0] = -1          # empty rows → simhash 0
+    nonempty = lens > 0
+    votes = np.full((n, 64), -1, dtype=np.int64)   # empty rows → simhash 0
+    votes[nonempty] = np.add.reduceat(2 * bits - 1, off[:-1][nonempty], axis=0)
     sel = votes > 0
     weights = (U64(1) << np.arange(64, dtype=np.uint64))
     out = (sel.astype(np.uint64) * weights[None, :]).sum(axis=1, dtype=np.uint64)

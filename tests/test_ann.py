@@ -61,3 +61,18 @@ def test_lsh_cosine_pairs_high_recall_on_near_dups(ray_session):
     assert got <= want                     # no false positives (verified)
     recall = len(got & want) / len(want)
     assert recall >= 0.9, f"recall {recall}"
+
+
+def test_topk_ties_prefer_smaller_id(ray_session):
+    """ADVICE r1 regression: equal-sim neighbors at the k-th boundary
+    must resolve to the smaller neighbor id, batch-deterministically."""
+    import ray.data
+    from kmcp_ray import ann
+    # 6 identical vectors -> every sim tied at 1.0; k=3 must pick ids 1,2,3
+    vecs = [[1.0, 0.0, 0.0]] * 6
+    tbl = pa.table({"vec_id": pa.array(range(6), pa.int64()),
+                    "embedding": pa.array(vecs, pa.list_(pa.float64()))})
+    ds = ray.data.from_arrow(tbl)
+    q = (np.array([0], dtype=np.int64), np.array([[1.0, 0.0, 0.0]]))
+    out = ann.topk_cosine(ds, q, k=3).to_pandas().sort_values("rank")
+    assert out["neighbor_id"].tolist() == [1, 2, 3]

@@ -154,3 +154,47 @@ def test_empty_input(ray_session):
     table, _, _ = testgen.make_pairs_corpus(n=50, seed=3, cfg=CFG)
     res = dedup_pipeline(ray.data.from_arrow(table.slice(0, 0)), CFG)
     assert res.assignments.count() == 0
+
+
+def test_sketch_missing_phash_col_raises(ray_session):
+    """ADVICE r1 regression: a phash_col absent from the input must fail
+    loudly, not zero-fill (which collapses the corpus into one cluster)."""
+    import ray.data
+    from kmcp_ray.pipeline import sketch_stage
+    tbl = pa.table({"image_id": pa.array(["a", "b"], pa.string()),
+                    "caption": pa.array(["x y z", "p q r"], pa.string())})
+    sig = sketch_stage(ray.data.from_arrow(tbl), CFG,
+                       phash_col="phash", bytes_col=None)
+    with pytest.raises(Exception, match="phash_col"):
+        sig.materialize()
+
+
+def test_null_phash_rows_do_not_cocluster(ray_session):
+    """Null phashes get unique sentinels — two unrelated rows with null
+    phash must not meet in a Hamming bucket."""
+    import ray.data
+    tbl = pa.table({
+        "image_id": pa.array(["a", "b"], pa.string()),
+        "caption": pa.array(["alpha beta gamma delta", "wholly different text"],
+                            pa.string()),
+        "phash": pa.array([None, None], pa.int64())})
+    res = dedup_pipeline(ray.data.from_arrow(tbl), CFG, bytes_col=None)
+    adf = res.assignments.to_pandas()
+    assert set(adf.cluster_id) == {"a", "b"}
+
+
+def test_checkpoint_stale_partial_stage_cleared(ray_session, corpus, tmp_path):
+    """ADVICE r1 regression: a crashed stage dir (no _DONE) must be
+    cleared on rerun, not appended to (silent row duplication)."""
+    import ray.data
+    table, _, _ = corpus
+    wd = str(tmp_path / "wd")
+    res1 = dedup_pipeline(ray.data.from_arrow(table), CFG, workdir=wd)
+    n1 = res1.assignments.count()
+    # simulate a crash after stage 1 wrote files but before _DONE
+    os.remove(os.path.join(wd, "01_signatures", "_DONE"))
+    os.remove(os.path.join(wd, "02_edges", "_DONE"))
+    os.remove(os.path.join(wd, "03_clusters", "_DONE"))
+    res2 = dedup_pipeline(ray.data.from_arrow(table), CFG, workdir=wd)
+    assert res2.assignments.count() == n1
+    assert res2.signatures.count() == len(table)

@@ -97,3 +97,33 @@ def test_top_scores_cut(ray_session):
                         top_n_scores=1).to_pandas()
     # top-1 distinct score keeps only the best-scoring target(s)
     assert set(out.target) == {"d0000"}
+
+
+def test_binom_sf_matches_scalar_reference():
+    """Vectorized binomial tail == direct scalar log-gamma computation."""
+    from math import exp, lgamma, log
+    from kmcp_ray.relops import binom_sf
+
+    def scalar(n, m, p):
+        if m <= 0:
+            return 1.0
+        if m > n:
+            return 0.0
+        lp, lq = log(p), log(1.0 - p)
+        return min(1.0, sum(
+            exp(lgamma(n + 1) - lgamma(j + 1) - lgamma(n - j + 1)
+                + j * lp + (n - j) * lq) for j in range(m, n + 1)))
+
+    rng = np.random.default_rng(7)
+    n = rng.integers(1, 200, size=50)
+    m = rng.integers(0, 220, size=50)
+    for p in (0.5, 0.05, 1e-4):
+        got = binom_sf(n, m, p)
+        want = np.array([scalar(int(a), int(b), p) for a, b in zip(n, m)])
+        np.testing.assert_allclose(got, want, rtol=1e-10)
+    # per-row p array support
+    ps = rng.uniform(1e-6, 0.5, size=50)
+    got = binom_sf(n, m, ps)
+    want = np.array([scalar(int(a), int(b), float(p))
+                     for a, b, p in zip(n, m, ps)])
+    np.testing.assert_allclose(got, want, rtol=1e-10)

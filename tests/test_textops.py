@@ -69,3 +69,14 @@ def test_lang_id_markers():
     pred = t.column("lang_pred").to_pylist()
     assert pred[:4] == ["en", "de", "fr", "es"]
     assert pred[5] == "zh"
+
+
+def test_simhash_batch_composition_invariant():
+    """ADVICE r1 regression: a document's simhash must not depend on
+    which other rows (esp. trailing empty ones) share its batch."""
+    doc = "the quick brown fox jumps over the lazy dog again today"
+    alone = textops.simhash_batch(pa.array([doc]), k=3)[0]
+    with_empty = textops.simhash_batch(pa.array([doc, ""]), k=3)[0]
+    with_more = textops.simhash_batch(pa.array(["", doc, "", "x y"]), k=3)[1]
+    assert alone == with_empty == with_more
+    assert textops.simhash_batch(pa.array([""]), k=3)[0] == 0
