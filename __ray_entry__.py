@@ -209,6 +209,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                                   captions=texts)
         return decode_verify(ray.data.from_arrow(table), concurrency=2)
 
+    def q_profile_em(sf):
+        """kmcp profile funnel (stages 1-4 + EM abundance) on the
+        deterministic planted-abundance match table."""
+        import ray.data
+        from kmcp_ray import testgen
+        from kmcp_ray.profile_em import ProfileParams, profile_funnel
+        m = testgen.make_profile_matches(n_targets=12, n_queries=3000, seed=7)
+        return profile_funnel(
+            ray.data.from_arrow(m),
+            ProfileParams(min_qcov=0.55, min_reads=5, min_uniq_reads=2,
+                          min_hic_ureads=1, min_frags_prop=0.0),
+            num_partitions=16)
+
     def q_bucket_stats(sf):
         from kmcp_ray.diagnostics import bucket_stats
         from kmcp_ray.pipeline import sketch_stage
@@ -255,6 +268,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_merge_docs": q_search_merge,
         "substr_containment": q_substr,
         "cluster_profile": q_cluster_profile,
+        "profile_em": q_profile_em,
         "decode_verify": q_decode_verify,
         "bucket_stats": q_bucket_stats,
     }

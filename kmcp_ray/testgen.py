@@ -308,3 +308,65 @@ def make_corpus_parquet(out_dir: str, n: int, seed: int = 42,
     with open(done, "w") as f:
         json.dump(meta, f)
     return out_dir
+
+
+def make_profile_matches(n_targets: int = 12, n_queries: int = 3000,
+                         seed: int = 7) -> "pa.Table":
+    """Deterministic synthetic search-match table for the profile
+    funnel: planted target abundances, ambiguous query pairs and one
+    'mismatch shadow' target per strong target that stage 3's deletion
+    rule should remove (reference profile.go:1357-1387 scenario).
+
+    Columns: (query, target, qcov, q_kept, t_kept) — the search()
+    output subset profile_funnel consumes.
+    """
+    rng = np.random.default_rng(seed)
+    # true abundances: geometric over the real targets; each "shadow"
+    # target rides its strong partner with ~3% of its weight, >90% of
+    # its reads also hitting the strong one and almost no unique support
+    # — exactly the profile stage-3 deletion scenario.
+    names = [f"t{i:03d}" for i in range(n_targets)]
+    gsize = rng.integers(200, 2000, size=n_targets).astype(np.int64)
+    shadow_of = {}                      # shadow idx -> strong idx
+    for i in range(1, n_targets, 4):
+        shadow_of[i] = i - 1            # t1 shadows t0, t5 shadows t4...
+    weight = 0.5 ** np.arange(n_targets)
+    for s, m in shadow_of.items():
+        weight[s] = 0.03 * weight[m]
+    weight /= weight.sum()
+
+    q_col, t_col, qc_col, ql_col, tk_col = [], [], [], [], []
+    for qi in range(n_queries):
+        qname = f"q{qi:06d}"
+        main = int(rng.choice(n_targets, p=weight))
+        qlen = int(rng.integers(20, 120))
+        hits = [(main, float(np.clip(rng.normal(0.9, 0.06), 0.55, 1.0)))]
+        if main in shadow_of.values():
+            # strong target: 60% of its reads also hit its shadow with
+            # lower qcov (the ambiguous co-occurring pair)
+            sh = [s for s, m in shadow_of.items() if m == main][0]
+            if rng.random() < 0.6:
+                hits.append((sh, float(np.clip(rng.normal(0.75, 0.05),
+                                               0.55, 1.0))))
+        elif main in shadow_of:
+            if rng.random() < 0.9:
+                # shadow-main queries nearly always also hit the strong one
+                hits.append((shadow_of[main],
+                             float(np.clip(rng.normal(0.92, 0.04),
+                                           0.55, 1.0))))
+        elif rng.random() < 0.08:
+            other = int(rng.choice(n_targets, p=weight))
+            if other != main:
+                hits.append((other, float(np.clip(rng.normal(0.7, 0.08),
+                                                  0.55, 1.0))))
+        for t_idx, qcov in hits:
+            q_col.append(qname)
+            t_col.append(names[t_idx])
+            qc_col.append(qcov)
+            ql_col.append(qlen)
+            tk_col.append(int(gsize[t_idx]))
+    return pa.table({"query": pa.array(q_col, pa.string()),
+                     "target": pa.array(t_col, pa.string()),
+                     "qcov": pa.array(qc_col, pa.float64()),
+                     "q_kept": pa.array(ql_col, pa.int64()),
+                     "t_kept": pa.array(tk_col, pa.int64())})
