@@ -177,7 +177,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                min_shared=2)
         rb = search_mod.search(queries_ds, half_b, cfg, min_qcov=0.3,
                                min_shared=2)
-        return search_mod.merge_search_results([ra, rb])
+        # post-merge per-query hits rewrite (kmcp merge.go:210-224)
+        return search_mod.add_hits(
+            search_mod.merge_search_results([ra, rb]),
+            num_partitions=cfg.num_partitions)
+
+    def q_search_intersect(sf):
+        """multi-DB intersection (J2): targets must appear in BOTH
+        overlapping ref shards; min-count row wins."""
+        import pyarrow.compute as pc
+        from kmcp_ray import search as search_mod
+        docs = _docs(sf)
+        queries_ds = docs.map_batches(
+            lambda t: t.filter(pc.less(t["doc_id"], 10)),
+            batch_format="pyarrow", zero_copy_batch=True)
+        # shards overlap on doc_id % 3 == 1
+        def shard(keep_mods):
+            def fn(t):
+                ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+                import pyarrow as pa
+                return t.filter(pa.array(np.isin(ids % 3, keep_mods)))
+            return fn
+        shard_a = docs.map_batches(shard([0, 1]), batch_format="pyarrow",
+                                   zero_copy_batch=True)
+        shard_b = docs.map_batches(shard([1, 2]), batch_format="pyarrow",
+                                   zero_copy_batch=True)
+        ra = search_mod.search(queries_ds, shard_a, cfg, min_qcov=0.2,
+                               min_shared=1)
+        rb = search_mod.search(queries_ds, shard_b, cfg, min_qcov=0.2,
+                               min_shared=1)
+        return search_mod.intersect_search_results(
+            [ra, rb], num_partitions=cfg.num_partitions)
 
     def q_substr(sf):
         from kmcp_ray import substr
@@ -266,6 +296,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pairs_dedup_pipeline": q_pairs_pipeline,
         "search_docs": q_search_docs,
         "search_merge_docs": q_search_merge,
+        "search_intersect_docs": q_search_intersect,
         "substr_containment": q_substr,
         "cluster_profile": q_cluster_profile,
         "profile_em": q_profile_em,

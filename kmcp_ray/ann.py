@@ -98,14 +98,20 @@ def topk_cosine(ds, queries: "tuple[np.ndarray, np.ndarray]", k: int = 5,
 
 
 def cosine_pairs(ds, threshold: float, id_col: str = "vec_id",
-                 emb_col: str = "embedding", ref_ds=None):
+                 emb_col: str = "embedding", ref_ds=None,
+                 max_broadcast_rows: int = 200_000):
     """Exact pairs (id_a < id_b, both sides in ds) with cosine >=
     threshold, via a broadcast of the full (small-side) matrix.
 
-    Broadcast-join shape: fine up to ~1M x small-dim reference vectors;
-    beyond that use :func:`lsh_cosine_pairs`.
+    Broadcast-join shape for small reference sides; above
+    ``max_broadcast_rows`` it cuts over to :func:`lsh_cosine_pairs`
+    (approximate, recall measured >= 0.95 in tests) instead of silently
+    materializing a huge matrix on the driver.
     """
     src = ref_ds if ref_ds is not None else ds
+    if ref_ds is None and src.count() > max_broadcast_rows:
+        return lsh_cosine_pairs(ds, threshold, id_col=id_col,
+                                emb_col=emb_col)
     all_tbl = src.select_columns([id_col, emb_col]).to_arrow_refs()
     tables = [ray.get(r) for r in all_tbl]
     full = pa.concat_tables([t for t in tables if t.num_rows] or tables)
@@ -140,13 +146,23 @@ def embedding_simhash(mat: np.ndarray, dim: int, n_bits: int = 64) -> np.ndarray
 
 
 def lsh_cosine_pairs(ds, threshold: float, cfg: DedupConfig = None,
-                     id_col: str = "vec_id", emb_col: str = "embedding",
-                     hamming_radius: int = 12):
-    """Approximate cosine pairs: hyperplane SimHash → Hamming-chunk
-    LSH buckets (8 x 8-bit chunks for radius ≤ 7 guarantees; wider
-    radius is probabilistic) → exact cosine verify within buckets."""
+                     id_col: str = "vec_id", emb_col: str = "embedding"):
+    """Approximate cosine pairs: hyperplane SimHash → Hamming-chunk LSH
+    buckets → globally-deduplicated candidate pairs → exact cosine
+    verification.
+
+    Scale shape: only (key, vid) — 16 bytes/row — rides the packed band
+    shuffle (embeddings are NOT replicated x chunks); candidates are
+    deduplicated with one exchange; verification reads the embeddings
+    either from a broadcast matrix (small side, kmcp load-whole mode)
+    or through the partitioned attach exchange (mmap-mode analogue).
+    """
     cfg = cfg or DedupConfig()
     chunks = 8
+    from kmcp_ray.exchange import Exchange, dedup_pairs
+
+    ex = Exchange([("key", pa.uint64()), ("vid", pa.int64())],
+                  cfg.num_partitions)
 
     def sketch(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
@@ -155,55 +171,116 @@ def lsh_cosine_pairs(ds, threshold: float, cfg: DedupConfig = None,
         keys = _chunk_keys(sh, chunks)
         n = len(ids)
         rows = np.repeat(np.arange(n), chunks)
-        flat = keys.reshape(-1)
-        emb_list = batch.column(emb_col)
-        if isinstance(emb_list, pa.ChunkedArray):
-            emb_list = emb_list.combine_chunks()
-        return pa.table({
-            "part": pa.array((flat % np.uint64(cfg.num_partitions)).astype(np.int64)),
-            "key": pa.array(flat, pa.uint64()),
-            "vid": pa.array(ids[rows], pa.int64()),
-            "emb": emb_list.take(pa.array(rows, pa.int64())),
-        })
+        tbl = pa.table({"key": pa.array(keys.reshape(-1), pa.uint64()),
+                        "vid": pa.array(ids[rows], pa.int64())})
+        part = (keys.reshape(-1) % np.uint64(cfg.num_partitions)).astype(np.int64)
+        return ex.make_pack_fn(lambda _b: part)(tbl)
 
-    def verify(batch: pa.Table) -> pa.Table:
-        keys = batch.column("key").to_numpy(zero_copy_only=False).astype(np.uint64)
-        ids = batch.column("vid").to_numpy(zero_copy_only=False)
-        m = _normalize(_emb_matrix(batch, "emb"))
-        order = np.argsort(keys, kind="stable")
-        out_a, out_b, out_s = [], [], []
-        seen = set()
-        s0 = 0
-        keys_s = keys[order]
-        bound = np.nonzero(np.concatenate(([True], keys_s[1:] != keys_s[:-1])))[0]
-        for bi, s in enumerate(bound):
-            e = bound[bi + 1] if bi + 1 < len(bound) else len(keys_s)
-            if e - s < 2:
-                continue
-            rows = order[s:e]
-            if len(rows) > cfg.max_bucket:
-                rows = rows[np.argsort(ids[rows], kind="stable")][:cfg.max_bucket]
-            sub = m[rows]
-            sims = sub @ sub.T
-            ii, jj = np.nonzero(np.triu(sims >= threshold, k=1))
-            for x, y in zip(rows[ii], rows[jj]):
-                a, b = (int(ids[x]), int(ids[y])) if ids[x] < ids[y] \
-                    else (int(ids[y]), int(ids[x]))
-                if a == b or (a, b) in seen:
-                    continue
-                seen.add((a, b))
-                out_a.append(a); out_b.append(b)
-                out_s.append(float(m[x] @ m[y]))
-        return pa.table({"id_a": pa.array(out_a, pa.int64()),
-                         "id_b": pa.array(out_b, pa.int64()),
-                         "cos_sim": pa.array(out_s, pa.float64())})
+    def cand(group: pa.Table) -> pa.Table:
+        u = ex.unpack(group)
+        keys = u["key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        vid = u["vid"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((vid, keys))
+        keys_s, vid_s = keys[order], vid[order]
+        m = len(keys_s)
+        if m < 2:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64())})
+        first = np.concatenate(([True], keys_s[1:] != keys_s[:-1]))
+        starts = np.nonzero(first)[0]
+        ends = np.concatenate((starts[1:], [m]))
+        # deterministic bucket cap: smallest vids kept (already sorted)
+        ends = np.minimum(ends, starts + cfg.max_bucket)
+        from kmcp_ray.buckets import _pairs_within_segments
+        i, j = _pairs_within_segments(starts, ends)
+        a, b = vid_s[i], vid_s[j]
+        keep = a != b
+        lo, hi = np.minimum(a[keep], b[keep]), np.maximum(a[keep], b[keep])
+        return pa.table({"id_a": pa.array(lo, pa.int64()),
+                         "id_b": pa.array(hi, pa.int64())})
 
     banded = ds.map_batches(sketch, batch_format="pyarrow", batch_size=4096,
                             zero_copy_batch=True)
-    pairs = banded.groupby("part").map_groups(verify, batch_format="pyarrow")
-    # cross-partition duplicate pairs: final exact dedup (small output)
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow")
+    raw_pairs = banded.groupby("part").map_groups(cand,
+                                                  batch_format="pyarrow")
+    pairs = dedup_pairs(raw_pairs, cfg.num_partitions, typ=pa.int64())
+
+    n_rows = ds.count()
+    if n_rows <= cfg.broadcast_verify_rows:
+        # broadcast the (small) normalized matrix once; vectorized
+        # row-wise dot per pair batch
+        all_tbl = ds.select_columns([id_col, emb_col]).to_arrow_refs()
+        tables = [ray.get(r) for r in all_tbl]
+        full = pa.concat_tables([t for t in tables if t.num_rows] or tables)
+        ref_ids = full.column(id_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ref_mat = _normalize(_emb_matrix(full, emb_col))
+        order = np.argsort(ref_ids, kind="stable")
+        ref = ray.put((ref_ids[order], ref_mat[order]))
+
+        def verify_b(batch: pa.Table) -> pa.Table:
+            rids, rmat = ray.get(ref)
+            a = batch.column("id_a").to_numpy(zero_copy_only=False)
+            b = batch.column("id_b").to_numpy(zero_copy_only=False)
+            ia = np.searchsorted(rids, a)
+            ib = np.searchsorted(rids, b)
+            sims = np.einsum("ij,ij->i", rmat[ia], rmat[ib])
+            ok = sims >= threshold
+            return pa.table({"id_a": pa.array(a[ok], pa.int64()),
+                             "id_b": pa.array(b[ok], pa.int64()),
+                             "cos_sim": pa.array(sims[ok], pa.float64())})
+
+        return pairs.map_batches(verify_b, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+
+    # large side: attach embedding blobs through the partitioned exchange
+    from kmcp_ray.buckets import attach_sketches
+
+    def to_str_pairs(batch: pa.Table) -> pa.Table:
+        a = batch.column("id_a").to_numpy(zero_copy_only=False)
+        b = batch.column("id_b").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "id_a": pa.array([f"v{x:015d}" for x in a], pa.string()),
+            "id_b": pa.array([f"v{x:015d}" for x in b], pa.string())})
+
+    def emb_payload(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        m = _normalize(_emb_matrix(batch, emb_col))
+        return pa.table({
+            "image_id": pa.array([f"v{x:015d}" for x in ids], pa.string()),
+            "vsk": pa.array([row.tobytes() for row in m], pa.binary())})
+
+    attached = attach_sketches(
+        pairs.map_batches(to_str_pairs, batch_format="pyarrow"),
+        ds.map_batches(emb_payload, batch_format="pyarrow",
+                       zero_copy_batch=True), cfg)
+
+    def verify_j(batch: pa.Table) -> pa.Table:
+        from kmcp_ray.arrowutil import column
+        a = column(batch, "id_a").to_numpy(zero_copy_only=False)
+        b = column(batch, "id_b").to_numpy(zero_copy_only=False)
+        va = column(batch, "vsk_a").to_numpy(zero_copy_only=False)
+        vb = column(batch, "vsk_b").to_numpy(zero_copy_only=False)
+        ok_rows = np.array([x is not None and y is not None
+                            for x, y in zip(va, vb)], dtype=bool)
+        idx = np.nonzero(ok_rows)[0]
+        if len(idx) == 0:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64()),
+                             "cos_sim": pa.array([], pa.float64())})
+        ma = np.stack([np.frombuffer(va[i], np.float64) for i in idx])
+        mb = np.stack([np.frombuffer(vb[i], np.float64) for i in idx])
+        sims = np.einsum("ij,ij->i", ma, mb)
+        ok = sims >= threshold
+        sel = idx[ok]
+        return pa.table({
+            "id_a": pa.array([int(s[1:]) for s in a[sel]], pa.int64()),
+            "id_b": pa.array([int(s[1:]) for s in b[sel]], pa.int64()),
+            "cos_sim": pa.array(sims[ok], pa.float64())})
+
+    return attached.map_batches(verify_j, batch_format="pyarrow",
+                                zero_copy_batch=True)
 
 
 def _chunk_keys(sh: np.ndarray, chunks: int) -> np.ndarray:

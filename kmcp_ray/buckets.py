@@ -267,41 +267,88 @@ def make_bucket_verifier(cfg: DedupConfig):
 
 # ---------------------------------------------------- candidate verification
 
+def _binary_u64(col) -> "tuple[np.ndarray, np.ndarray]":
+    """Arrow binary column of LE-uint64 blobs → (flat uint64 values,
+    int64 element offsets); nulls become empty rows.  Zero-copy reads
+    of the Arrow buffers — no per-row frombuffer."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.empty(0, np.uint64), np.zeros(1, np.int64)
+    bufs = col.buffers()
+    if pa.types.is_large_binary(col.type):
+        byte_off = np.frombuffer(bufs[1], dtype=np.int64, count=n + 1,
+                                 offset=col.offset * 8).copy()
+    else:
+        byte_off = np.frombuffer(bufs[1], dtype=np.int32, count=n + 1,
+                                 offset=col.offset * 4).astype(np.int64)
+    data = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None \
+        else np.empty(0, np.uint8)
+    start, end = byte_off[0], byte_off[-1]
+    vals = data[start:end]
+    # element offsets relative to the slice, in uint64 units
+    off = (byte_off - start) // 8
+    if col.null_count:
+        isnull = np.asarray(pa.compute.is_null(col).to_numpy(
+            zero_copy_only=False))
+        lens = np.diff(off)
+        lens[isnull] = 0
+        # rebuild a compacted value stream without null rows' bytes
+        from kmcp_ray.bands import _segment_gather
+        gather = _segment_gather(off[:-1] * 8, lens * 8)
+        vals = vals[gather]
+        off = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(lens, out=off[1:])
+    return np.frombuffer(vals.tobytes(), dtype=np.uint64), off
+
+
 def make_pair_verifier(cfg: DedupConfig):
     """map_batches verifier for joined candidate pairs
-    (id_a, id_b, ska, skb): exact Jaccard / containment on the
+    (id_a, id_b, vsk_a, vsk_b): exact Jaccard / containment on the
     bottom-``verify_k`` sketches (kmcp qCov/jacc semantics,
-    util-db-search.go:7466-7493 re-derived)."""
+    util-db-search.go:7466-7493 re-derived).
+
+    Fully vectorized: both sides' (sorted-unique per row) sketch values
+    are tagged with their pair index and sorted once; a value occurring
+    twice within one pair is an intersection hit, so per-pair shared
+    counts fall out of one bincount — no per-pair Python."""
 
     def verify_pairs(batch: pa.Table) -> pa.Table:
         from kmcp_ray.arrowutil import column
         a = column(batch, "id_a").to_numpy(zero_copy_only=False)
         b = column(batch, "id_b").to_numpy(zero_copy_only=False)
-        ska = column(batch, "vsk_a").to_numpy(zero_copy_only=False)
-        skb = column(batch, "vsk_b").to_numpy(zero_copy_only=False)
-        out_a, out_b, out_via, out_score = [], [], [], []
-        for p in range(len(a)):
-            ta = np.frombuffer(ska[p], dtype=np.uint64)
-            tb = np.frombuffer(skb[p], dtype=np.uint64)
-            na, nb = len(ta), len(tb)
-            if na == 0 or nb == 0:
-                continue
-            c = np.intersect1d(ta, tb, assume_unique=True).size
-            jacc = c / float(na + nb - c)
-            if jacc >= cfg.jaccard_threshold:
-                out_a.append(a[p]); out_b.append(b[p])
-                out_via.append("minhash"); out_score.append(jacc)
-                continue
-            small = min(na, nb)
-            if small >= cfg.min_containment_shingles:
-                contain = c / float(small)
-                if contain >= cfg.containment_threshold:
-                    out_a.append(a[p]); out_b.append(b[p])
-                    out_via.append("contain"); out_score.append(contain)
-        return pa.table({"id_a": pa.array(out_a, pa.string()),
-                         "id_b": pa.array(out_b, pa.string()),
-                         "via": pa.array(out_via, pa.string()),
-                         "score": pa.array(out_score, pa.float64())})
+        va, off_a = _binary_u64(column(batch, "vsk_a"))
+        vb, off_b = _binary_u64(column(batch, "vsk_b"))
+        n = len(a)
+        na = np.diff(off_a)
+        nb = np.diff(off_b)
+        pid = np.concatenate((np.repeat(np.arange(n), na),
+                              np.repeat(np.arange(n), nb)))
+        vals = np.concatenate((va, vb))
+        order = np.lexsort((vals, pid))
+        pid_s, vals_s = pid[order], vals[order]
+        dup = np.zeros(len(pid_s), dtype=bool)
+        if len(pid_s) > 1:
+            dup[1:] = (pid_s[1:] == pid_s[:-1]) & (vals_s[1:] == vals_s[:-1])
+        c = np.bincount(pid_s[dup], minlength=n).astype(np.float64)
+
+        both = (na > 0) & (nb > 0)
+        denom_j = np.maximum(na + nb - c, 1.0)
+        jacc = np.where(both, c / denom_j, 0.0)
+        small = np.minimum(na, nb)
+        contain = np.where(both & (small > 0), c / np.maximum(small, 1), 0.0)
+
+        is_mh = jacc >= cfg.jaccard_threshold
+        is_ct = (~is_mh) & (small >= cfg.min_containment_shingles) \
+            & (contain >= cfg.containment_threshold) & both
+        keep = is_mh | is_ct
+        via = np.where(is_mh, "minhash", "contain").astype(object)
+        score = np.where(is_mh, jacc, contain)
+        return pa.table({"id_a": pa.array(a[keep], pa.string()),
+                         "id_b": pa.array(b[keep], pa.string()),
+                         "via": pa.array(via[keep], pa.string()),
+                         "score": pa.array(score[keep], pa.float64())})
 
     return verify_pairs
 

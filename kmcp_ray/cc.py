@@ -117,6 +117,113 @@ def spanning_forest_batch(batch: pa.Table) -> pa.Table:
                      "id_b": pa.array(nodes[keep], pa.string())})
 
 
+def _min_label_per_node(rows_ds, P: int):
+    """(node, label) rows → one (node, min label) row per node via one
+    packed exchange keyed by node."""
+    import pandas as pd
+    from kmcp_ray.exchange import Exchange, hash_part_fn
+
+    ex = Exchange([("node", pa.string()), ("label", pa.string())], P)
+    packed = rows_ds.map_batches(ex.make_pack_fn(
+        hash_part_fn("node", P=P)), batch_format="pyarrow",
+        zero_copy_batch=True)
+
+    def mins(group: pa.Table) -> pa.Table:
+        u = ex.unpack(group)
+        node = u["node"].to_numpy(zero_copy_only=False)
+        label = u["label"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((label, node))
+        node_s, label_s = node[order], label[order]
+        first = np.concatenate(([True], node_s[1:] != node_s[:-1])) \
+            if len(node_s) else np.empty(0, bool)
+        return pa.table({"node": pa.array(node_s[first], pa.string()),
+                         "label": pa.array(label_s[first], pa.string())})
+
+    return packed.groupby("part").map_groups(mins, batch_format="pyarrow")
+
+
+def _label_signature(labels_ds) -> tuple:
+    """(n_rows, additive content hash) — equal signatures across rounds
+    ⇒ the labeling is stable (probabilistically exact)."""
+    from kmcp_ray import hashing
+
+    def sig(batch: pa.Table) -> pa.Table:
+        node = batch.column("node").to_numpy(zero_copy_only=False)
+        label = batch.column("label").to_numpy(zero_copy_only=False)
+        h = hashing.splitmix64(hashing.hash_strings(node)
+                               + hashing.hash_strings(label) * np.uint64(3))
+        return pa.table({"n": pa.array([len(node)], pa.int64()),
+                         "h": pa.array([int(h.sum() % (1 << 63))], pa.int64())})
+
+    parts = labels_ds.map_batches(sig, batch_format="pyarrow",
+                                  zero_copy_batch=True).to_pandas()
+    return int(parts["n"].sum()), int(parts["h"].sum() % (1 << 63))
+
+
+def labels_via_exchange(edges_ds, P: int = 64, max_rounds: int = 32):
+    """Fully-distributed connected components: edges → (node,
+    label=min-id of component) Dataset, no driver-side union-find.
+
+    Hook + pointer-jump label propagation (the classic Shiloach-Vishkin
+    shape on Datasets): each round (a) hooks every node to the minimum
+    of its neighbors' labels and its own, (b) compresses label chains by
+    one pointer-jump join; distance-to-root roughly halves per round, so
+    rounds ≈ log2(longest chain).  All steps are packed exchanges; no
+    per-row shuffle, nothing driver-resident.  Terminates when the label
+    signature is stable.
+    """
+    from kmcp_ray.exchange import join_lookup
+
+    arcs = edges_ds.map_batches(
+        lambda t: pa.table({
+            "node": pa.concat_arrays([
+                t.column("id_a").combine_chunks().cast(pa.string()),
+                t.column("id_b").combine_chunks().cast(pa.string())]),
+            "nbr": pa.concat_arrays([
+                t.column("id_b").combine_chunks().cast(pa.string()),
+                t.column("id_a").combine_chunks().cast(pa.string())])}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    # round 0: label(v) = min(v, min neighbor)
+    labels = _min_label_per_node(
+        arcs.map_batches(lambda t: pa.table({
+            "node": pa.concat_arrays([t.column("node").combine_chunks(),
+                                      t.column("node").combine_chunks()]),
+            "label": pa.concat_arrays([t.column("node").combine_chunks(),
+                                       t.column("nbr").combine_chunks()])}),
+            batch_format="pyarrow", zero_copy_batch=True), P).materialize()
+    prev_sig = _label_signature(labels)
+
+    for _round in range(max_rounds):
+        # (a) hook: candidate labels from neighbors' current labels
+        nbr_labels = join_lookup(arcs, "nbr", labels, "node", "label",
+                                 P, out_col="label", carry_col="node")
+        cand = nbr_labels.map_batches(
+            lambda t: pa.table({"node": t.column("node"),
+                                "label": t.column("label")}),
+            batch_format="pyarrow", zero_copy_batch=True)
+        # materialize: consumed twice below (self-join) — a lazy
+        # self-union deadlocks Ray's streaming executor in this release.
+        # repartition bounds the block count, which otherwise grows ~4x
+        # per round through the chained groupbys (each round's cost
+        # would grow geometrically with scheduling overhead).
+        hooked = _min_label_per_node(cand.union(labels), P) \
+            .repartition(P).materialize()
+        # (b) pointer jump: label(v) <- label(label(v))
+        jumped = join_lookup(hooked, "label", hooked, "node", "label",
+                             P, out_col="label2", carry_col="node")
+        labels = jumped.map_batches(
+            lambda t: pa.table({"node": t.column("node"),
+                                "label": t.column("label2")}),
+            batch_format="pyarrow", zero_copy_batch=True) \
+            .repartition(P).materialize()
+        sig = _label_signature(labels)
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    return labels
+
+
 def connected_components(edges_ds, reduce_rounds: int = 1,
                          reduce_batch_size: int = 1 << 20) -> dict:
     """edges Dataset (id_a, id_b, ...) → {node: canonical_cluster_id}.

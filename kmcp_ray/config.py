@@ -88,6 +88,12 @@ class DedupConfig:
     #: (ray.put once, ~0.5 KB/row) instead of joined — kmcp's
     #: load-whole-index vs mmap mode switch (search.go:66-83 analogue).
     broadcast_verify_rows: int = 2_000_000
+    #: edge sets up to this many rows finish union-find on the driver
+    #: and broadcast the cluster map; above it, connected components run
+    #: fully distributed (cc.labels_via_exchange) and cluster ids are
+    #: attached by a partitioned join (pipeline.assign_via_join) — no
+    #: driver-resident dict of duplicate rows on dup-heavy corpora.
+    broadcast_assign_edges: int = 2_000_000
 
     @property
     def rows_per_band(self) -> int:

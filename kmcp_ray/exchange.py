@@ -88,25 +88,115 @@ def hash_part_fn(*cols, P: int, salt: int = 0):
     return part_of
 
 
-def dedup_pairs(pairs_ds, P: int):
-    """Globally deduplicate (id_a, id_b) string pairs via one packed
-    exchange + per-partition drop_duplicates."""
+def dedup_pairs(pairs_ds, P: int, typ=pa.string()):
+    """Globally deduplicate (id_a, id_b) pairs (string or int64 ids)
+    via one packed exchange + per-partition drop_duplicates."""
     import pandas as pd
 
-    ex = Exchange([("id_a", pa.string()), ("id_b", pa.string())], P)
-    packed = pairs_ds.map_batches(ex.make_pack_fn(
-        hash_part_fn("id_a", "id_b", P=P)), batch_format="pyarrow",
-        zero_copy_batch=True)
+    ex = Exchange([("id_a", typ), ("id_b", typ)], P)
+    if typ == pa.string():
+        part_fn = hash_part_fn("id_a", "id_b", P=P)
+    else:
+        from kmcp_ray import hashing
+
+        def part_fn(batch: pa.Table) -> np.ndarray:
+            a = batch.column("id_a").to_numpy(zero_copy_only=False) \
+                .astype(np.int64).view(np.uint64)
+            b = batch.column("id_b").to_numpy(zero_copy_only=False) \
+                .astype(np.int64).view(np.uint64)
+            h = hashing.splitmix64(hashing.splitmix64(a) + b * np.uint64(3))
+            return (h % np.uint64(P)).astype(np.int64)
+    packed = pairs_ds.map_batches(ex.make_pack_fn(part_fn),
+                                  batch_format="pyarrow",
+                                  zero_copy_batch=True)
 
     def uniq(group: pa.Table) -> pa.Table:
         u = ex.unpack(group)
         df = pd.DataFrame({"id_a": u["id_a"].to_numpy(zero_copy_only=False),
                            "id_b": u["id_b"].to_numpy(zero_copy_only=False)})
         df = df.drop_duplicates()
-        return pa.table({"id_a": pa.array(df["id_a"].to_numpy(), pa.string()),
-                         "id_b": pa.array(df["id_b"].to_numpy(), pa.string())})
+        return pa.table({"id_a": pa.array(df["id_a"].to_numpy(), typ),
+                         "id_b": pa.array(df["id_b"].to_numpy(), typ)})
 
     return packed.groupby("part").map_groups(uniq, batch_format="pyarrow")
+
+
+def join_lookup(probe_ds, key_col: str, kv_ds, kv_key: str, kv_val: str,
+                P: int, out_col: str, carry_col: str = None,
+                default_self: bool = False):
+    """Partitioned hash join: attach ``kv_val`` (string) from ``kv_ds``
+    to every probe row by ``key_col`` — one packed exchange, no
+    broadcast.  ``carry_col``: one extra probe string column carried
+    through.  Missing keys yield the key itself (``default_self``) or
+    null.  This is the scalable (non-broadcast) arm of kmcp's
+    load-whole-index vs mmap mode switch (search.go:66-83 analogue).
+    """
+    import pandas as pd
+
+    ex = Exchange([("rt", pa.int8()), ("k", pa.string()),
+                   ("c", pa.string()), ("v", pa.string())], P)
+    pack = ex.make_pack_fn(hash_part_fn("k", P=P))
+
+    def tag_kv(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({"rt": pa.array(np.zeros(n, np.int8), pa.int8()),
+                         "k": batch.column(kv_key),
+                         "c": pa.nulls(n, pa.string()),
+                         "v": batch.column(kv_val)})
+
+    def tag_probe(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        carry = batch.column(carry_col) if carry_col else \
+            pa.nulls(n, pa.string())
+        return pa.table({"rt": pa.array(np.ones(n, np.int8), pa.int8()),
+                         "k": batch.column(key_col),
+                         "c": carry,
+                         "v": pa.nulls(n, pa.string())})
+
+    def join_group(group: pa.Table) -> pa.Table:
+        u = ex.unpack(group)
+        rt = u["rt"].to_numpy(zero_copy_only=False)
+        k = u["k"].to_numpy(zero_copy_only=False)
+        is_kv = rt == 0
+        probe = np.nonzero(~is_kv)[0]
+        if len(probe) == 0:
+            return pa.table({key_col: pa.array([], pa.string()),
+                             carry_col or "_c": pa.array([], pa.string()),
+                             out_col: pa.array([], pa.string())})
+        kv_k = np.asarray(k[is_kv], dtype="S")
+        kv_v = u["v"].to_numpy(zero_copy_only=False)[is_kv]
+        order = np.argsort(kv_k, kind="stable")
+        kv_k, kv_v = kv_k[order], kv_v[order]
+        pk = np.asarray(k[probe], dtype="S")
+        w = max(kv_k.dtype.itemsize, pk.dtype.itemsize, 1)
+        kv_kw, pkw = kv_k.astype(f"S{w}"), pk.astype(f"S{w}")
+        if len(kv_kw) == 0:
+            vals = k[probe] if default_self \
+                else np.full(len(probe), None, dtype=object)
+        else:
+            pos = np.searchsorted(kv_kw, pkw)
+            pos_c = np.clip(pos, 0, len(kv_kw) - 1)
+            hit = (pos < len(kv_kw)) & (kv_kw[pos_c] == pkw)
+            vals = np.where(hit, kv_v[pos_c],
+                            k[probe] if default_self else None)
+        return pa.table({
+            key_col: pa.array(k[probe], pa.string()),
+            carry_col or "_c": pa.array(
+                u["c"].to_numpy(zero_copy_only=False)[probe], pa.string()),
+            out_col: pa.array(vals, pa.string())})
+
+    kv_packed = kv_ds.map_batches(tag_kv, batch_format="pyarrow",
+                                  zero_copy_batch=True) \
+        .map_batches(pack, batch_format="pyarrow", zero_copy_batch=True)
+    probe_packed = probe_ds.map_batches(tag_probe, batch_format="pyarrow",
+                                        zero_copy_batch=True) \
+        .map_batches(pack, batch_format="pyarrow", zero_copy_batch=True)
+    out = probe_packed.union(kv_packed).groupby("part").map_groups(
+        join_group, batch_format="pyarrow")
+    if not carry_col:
+        out = out.map_batches(lambda t: t.drop_columns(["_c"]),
+                              batch_format="pyarrow", zero_copy_batch=True)
+    return out
 
 
 def count_pairs(pairs_ds, P: int, col_a: str, col_b: str,

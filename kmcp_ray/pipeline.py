@@ -207,6 +207,18 @@ def assign_stage(ids_ds, cluster_map: dict, id_col: str = "image_id"):
                               zero_copy_batch=True)
 
 
+def assign_via_join(ids_ds, labels_ds, cfg: DedupConfig,
+                    id_col: str = "image_id"):
+    """Dup-heavy-corpus emission: attach cluster ids by a partitioned
+    hash join against the distributed (node, label) table — nothing
+    driver-resident; unmatched rows are their own singleton cluster."""
+    from kmcp_ray.exchange import join_lookup
+    out = join_lookup(ids_ds, id_col, labels_ds, "node", "label",
+                      cfg.num_partitions, out_col="cluster_id",
+                      default_self=True)
+    return out
+
+
 def cluster_stats(assignments):
     """Per-cluster aggregates — the kmcp `profile` analogue (small)."""
     from ray.data.aggregate import Count
@@ -252,9 +264,18 @@ def dedup_pipeline(ds, cfg: DedupConfig = DedupConfig(), *,
             edges_ds = _checkpoint(edges_ds, workdir, "02_edges")
 
     # --- stage 3: connected components + emission ---
-    cluster_map = cc_mod.connected_components(edges_ds)
+    # mode switch (kmcp load-whole vs mmap analogue): small edge sets
+    # finish union-find on the driver + broadcast the map; large ones
+    # run distributed label propagation + a partitioned join
     ids_ds = sig_ds.select_columns([id_col])
-    assignments = assign_stage(ids_ds, cluster_map, id_col=id_col)
+    n_edges = edges_ds.count()
+    if n_edges <= cfg.broadcast_assign_edges:
+        cluster_map = cc_mod.connected_components(edges_ds)
+        assignments = assign_stage(ids_ds, cluster_map, id_col=id_col)
+    else:
+        cluster_map = {}
+        labels = cc_mod.labels_via_exchange(edges_ds, cfg.num_partitions)
+        assignments = assign_via_join(ids_ds, labels, cfg, id_col=id_col)
     if workdir and not _done(workdir, "03_clusters"):
         assignments = _checkpoint(assignments, workdir, "03_clusters")
     elif workdir:

@@ -38,22 +38,60 @@ def cluster_profile(assignments, edges, cluster_map: dict):
                          "via": batch.column("via"),
                          "score": batch.column("score")})
 
-    def agg_group(g: pd.DataFrame) -> pd.DataFrame:
-        vias = g["via"].value_counts()
-        return pd.DataFrame({
-            "cluster_id": [g["cluster_id"].iloc[0]],
-            "n_edges": [len(g)],
-            "n_exact": [int(vias.get("exact", 0))],
-            "n_minhash": [int(vias.get("minhash", 0))],
-            "n_contain": [int(vias.get("contain", 0))],
-            "n_phash": [int(vias.get("phash", 0))],
-            "mean_score": [float(g["score"].mean())],
-            "p90_score": [float(np.quantile(g["score"].to_numpy(), 0.9))],
-        })
+    def agg_partition(group: pa.Table) -> pa.Table:
+        """One hash partition of tagged edges → per-cluster stats,
+        fully vectorized (segment ops over a (cluster, score) sort —
+        no per-cluster Python; replaces the per-group one-row-DataFrame
+        anti-pattern flagged in round 1)."""
+        u = ex.unpack(group)
+        cl = u["cluster_id"].to_numpy(zero_copy_only=False)
+        via = u["via"].to_numpy(zero_copy_only=False)
+        sc = u["score"].to_numpy(zero_copy_only=False)
+        if len(cl) == 0:
+            return pa.table({c: pa.array([], t) for c, t in [
+                ("cluster_id", pa.string()), ("n_edges", pa.int64()),
+                ("n_exact", pa.int64()), ("n_minhash", pa.int64()),
+                ("n_contain", pa.int64()), ("n_phash", pa.int64()),
+                ("mean_score", pa.float64()), ("p90_score", pa.float64())]})
+        order = np.lexsort((sc, cl))
+        cl_s, sc_s, via_s = cl[order], sc[order], via[order]
+        first = np.concatenate(([True], cl_s[1:] != cl_s[:-1]))
+        seg = np.cumsum(first) - 1
+        starts = np.nonzero(first)[0]
+        nseg = len(starts)
+        lens = np.diff(np.concatenate((starts, [len(cl_s)])))
+        via_code = np.zeros(len(via_s), np.int64)
+        for code, name in enumerate(["exact", "minhash", "contain",
+                                     "phash"], start=0):
+            via_code[via_s == name] = code
+        via_counts = np.bincount(seg * 4 + via_code,
+                                 minlength=nseg * 4).reshape(nseg, 4)
+        sums = np.add.reduceat(sc_s, starts)
+        mean = sums / lens
+        # np.quantile(x, .9) linear interpolation on the sorted segment
+        pos = 0.9 * (lens - 1)
+        lo = starts + np.floor(pos).astype(np.int64)
+        hi = starts + np.ceil(pos).astype(np.int64)
+        frac = pos - np.floor(pos)
+        p90 = sc_s[lo] * (1 - frac) + sc_s[hi] * frac
+        return pa.table({
+            "cluster_id": pa.array(cl_s[first], pa.string()),
+            "n_edges": pa.array(lens.astype(np.int64), pa.int64()),
+            "n_exact": pa.array(via_counts[:, 0], pa.int64()),
+            "n_minhash": pa.array(via_counts[:, 1], pa.int64()),
+            "n_contain": pa.array(via_counts[:, 2], pa.int64()),
+            "n_phash": pa.array(via_counts[:, 3], pa.int64()),
+            "mean_score": pa.array(mean, pa.float64()),
+            "p90_score": pa.array(p90, pa.float64())})
 
+    from kmcp_ray.exchange import Exchange, hash_part_fn
+    ex = Exchange([("cluster_id", pa.string()), ("via", pa.string()),
+                   ("score", pa.float64())], 64)
     edge_stats = edges.map_batches(tag_edges, batch_format="pyarrow",
                                    zero_copy_batch=True) \
-        .groupby("cluster_id").map_groups(agg_group, batch_format="pandas")
+        .map_batches(ex.make_pack_fn(hash_part_fn("cluster_id", P=64)),
+                     batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby("part").map_groups(agg_partition, batch_format="pyarrow")
 
     from ray.data.aggregate import Count
     sizes = assignments.groupby("cluster_id").aggregate(

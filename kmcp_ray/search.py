@@ -204,6 +204,80 @@ def top_scores_per_query(matches, n: int):
     return matches.groupby("query").map_groups(cut, batch_format="pyarrow")
 
 
+_MATCH_EX_SCHEMA = [("query", pa.string()), ("q_kept", pa.int64()),
+                    ("target", pa.string()), ("t_kept", pa.int64()),
+                    ("m_shared", pa.int64()), ("qcov", pa.float64()),
+                    ("tcov", pa.float64()), ("jacc", pa.float64()),
+                    ("fpr", pa.float64())]
+
+
+def _match_exchange(ds_list, P):
+    from kmcp_ray.exchange import Exchange, hash_part_fn
+    ex = Exchange(_MATCH_EX_SCHEMA, P)
+    pack = ex.make_pack_fn(hash_part_fn("query", P=P))
+    packed = None
+    for ds in ds_list:
+        p = ds.map_batches(pack, batch_format="pyarrow", zero_copy_batch=True)
+        packed = p if packed is None else packed.union(p)
+    return ex, packed
+
+
+def intersect_search_results(result_dses, num_partitions: int = 64):
+    """Multi-DB search intersection (J2): keep (query, target) matches
+    present in ALL result sets, with the minimum shared-count row's
+    scores — the kmcp multi-database workflow semantics (reference:
+    kmcp/cmd/util-db-search.go:359-474, re-derived: per query, targets
+    missing from any DB are deleted and the minimum k-mer count wins)."""
+    n_dbs = len(result_dses)
+    ex, packed = _match_exchange(result_dses, num_partitions)
+
+    def isect(group: pa.Table) -> pa.Table:
+        u = ex.unpack(group)
+        cols = {name: u[name].to_numpy(zero_copy_only=False)
+                for name, _t in _MATCH_EX_SCHEMA}
+        q, t, m = cols["query"], cols["target"], cols["m_shared"]
+        order = np.lexsort((m, t, q))
+        q_s, t_s = q[order], t[order]
+        first = np.concatenate(([True],
+                                (q_s[1:] != q_s[:-1]) | (t_s[1:] != t_s[:-1]))) \
+            if len(q_s) else np.empty(0, bool)
+        seg = np.cumsum(first) - 1
+        sizes = np.bincount(seg) if len(seg) else np.empty(0, np.int64)
+        keep_seg = sizes == n_dbs
+        # min m_shared row = first row of each kept segment (m-sorted)
+        keep_rows = first & keep_seg[seg] if len(seg) else first
+        sel = order[keep_rows]
+        return pa.table({name: pa.array(cols[name][sel], typ)
+                         for name, typ in _MATCH_EX_SCHEMA})
+
+    return packed.groupby("part").map_groups(isect, batch_format="pyarrow")
+
+
+def add_hits(matches, num_partitions: int = 64):
+    """Attach the per-query ``hits`` column (number of matched targets)
+    — recomputed AFTER any merge, the kmcp post-merge hits rewrite
+    (reference: kmcp/cmd/merge.go:210-224)."""
+    ex, packed = _match_exchange([matches], num_partitions)
+
+    def hits(group: pa.Table) -> pa.Table:
+        u = ex.unpack(group)
+        cols = {name: u[name].to_numpy(zero_copy_only=False)
+                for name, _t in _MATCH_EX_SCHEMA}
+        q = cols["query"]
+        order = np.argsort(q, kind="stable")
+        q_s = q[order]
+        first = np.concatenate(([True], q_s[1:] != q_s[:-1])) \
+            if len(q_s) else np.empty(0, bool)
+        seg = np.cumsum(first) - 1
+        sizes = np.bincount(seg) if len(seg) else np.empty(0, np.int64)
+        out = {name: pa.array(cols[name][order], typ)
+               for name, typ in _MATCH_EX_SCHEMA}
+        out["hits"] = pa.array(sizes[seg], pa.int64())
+        return pa.table(out)
+
+    return packed.groupby("part").map_groups(hits, batch_format="pyarrow")
+
+
 def merge_search_results(result_dses, top_n_scores: int = 0):
     """Union per-shard search outputs; re-apply the per-query cut.
 

@@ -107,29 +107,37 @@ _LANG_MARKERS = {
 
 
 class LangIdStage:
-    """Actor-pool language classifier: marker tables built once per actor
-    (__init__), per-batch vectorized scoring (__call__)."""
+    """Actor-pool language classifier: sorted marker-hash tables built
+    once per actor (__init__), per-batch fully-vectorized scoring
+    (__call__) — token membership via searchsorted on 64-bit token
+    hashes, non-ASCII detection via one RE2 pass."""
 
     def __init__(self, id_col="doc_id", text_col="text"):
         self.id_col, self.text_col = id_col, text_col
-        self.markers = {k: frozenset(v) for k, v in _LANG_MARKERS.items()}
+        self.langs = sorted(k for k, v in _LANG_MARKERS.items() if v)
+        self.marker_hashes = {
+            lang: np.sort(hashing.hash_tokens(
+                np.array(sorted(_LANG_MARKERS[lang]), dtype=object)))
+            for lang in self.langs}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         flat_tokens, row_ids, n = text.tokenize(batch.column(self.text_col))
-        scores = {lang: np.zeros(n) for lang in self.markers if self.markers[lang]}
-        for lang, mk in self.markers.items():
-            if not mk:
-                continue
-            hit = np.array([t in mk for t in flat_tokens], dtype=np.float64) \
-                if len(flat_tokens) else np.empty(0)
-            scores[lang] = np.bincount(row_ids, weights=hit, minlength=n)
-        texts_np = batch.column(self.text_col).to_pandas().fillna("").to_numpy()
-        non_ascii = np.array([any(ord(ch) > 127 for ch in t[:200]) for t in texts_np])
-        langs = sorted(scores)
-        mat = np.stack([scores[la] for la in langs], axis=1)
+        th = hashing.hash_tokens(flat_tokens)
+        mat = np.zeros((n, len(self.langs)))
+        for li, lang in enumerate(self.langs):
+            mk = self.marker_hashes[lang]
+            pos = np.searchsorted(mk, th)
+            pos_c = np.clip(pos, 0, len(mk) - 1)
+            hit = ((pos < len(mk)) & (mk[pos_c] == th)).astype(np.float64) \
+                if len(th) else np.empty(0)
+            mat[:, li] = np.bincount(row_ids, weights=hit, minlength=n)
+        head = pc.utf8_slice_codeunits(
+            pc.fill_null(batch.column(self.text_col), ""), 0, 200)
+        non_ascii = pc.match_substring_regex(head, "[^\\x00-\\x7f]") \
+            .to_numpy(zero_copy_only=False).astype(bool)
         best = mat.argmax(axis=1)
         best_score = mat.max(axis=1)
-        pred = np.array(langs, dtype=object)[best]
+        pred = np.array(self.langs, dtype=object)[best]
         pred[best_score == 0] = "und"
         pred[non_ascii] = "zh"
         return pa.table({self.id_col: batch.column(self.id_col),

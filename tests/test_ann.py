@@ -76,3 +76,29 @@ def test_topk_ties_prefer_smaller_id(ray_session):
     q = (np.array([0], dtype=np.int64), np.array([[1.0, 0.0, 0.0]]))
     out = ann.topk_cosine(ds, q, k=3).to_pandas().sort_values("rank")
     assert out["neighbor_id"].tolist() == [1, 2, 3]
+
+
+def test_lsh_exchange_attach_path_matches_broadcast(ray_session):
+    """Forcing the partitioned-attach verification path (as if the
+    matrix were too big to broadcast) must give the same pairs."""
+    import dataclasses
+    import ray.data
+    from kmcp_ray import ann
+    from kmcp_ray.config import DedupConfig
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((40, 16))
+    near = base[:10] + 0.02 * rng.standard_normal((10, 16))
+    mat = np.vstack([base, near])
+    tbl = pa.table({"vec_id": pa.array(range(len(mat)), pa.int64()),
+                    "embedding": pa.array(list(mat),
+                                          pa.list_(pa.float64()))})
+    ds = ray.data.from_arrow(tbl)
+    cfg_b = DedupConfig(num_partitions=8)
+    cfg_j = dataclasses.replace(cfg_b, broadcast_verify_rows=0)
+    got_b = ann.lsh_cosine_pairs(ds, 0.9, cfg_b).to_pandas() \
+        .sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    got_j = ann.lsh_cosine_pairs(ds, 0.9, cfg_j).to_pandas() \
+        .sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    assert got_b[["id_a", "id_b"]].values.tolist() == \
+        got_j[["id_a", "id_b"]].values.tolist()
+    assert len(got_b) >= 10      # the 10 planted near-dups all found

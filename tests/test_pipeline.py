@@ -198,3 +198,42 @@ def test_checkpoint_stale_partial_stage_cleared(ray_session, corpus, tmp_path):
     res2 = dedup_pipeline(ray.data.from_arrow(table), CFG, workdir=wd)
     assert res2.assignments.count() == n1
     assert res2.signatures.count() == len(table)
+
+
+def test_distributed_cc_matches_numpy(ray_session):
+    """labels_via_exchange (hook + pointer-jump, no driver union-find)
+    must agree with the numpy CC on random graphs and a long path."""
+    import ray.data
+    from kmcp_ray.cc import labels_via_exchange, numpy_components
+    rng = np.random.default_rng(3)
+    a = np.array([f"n{int(x):04d}" for x in rng.integers(0, 300, 500)],
+                 dtype=object)
+    b = np.array([f"n{int(x):04d}" for x in rng.integers(0, 300, 500)],
+                 dtype=object)
+    # long path: stresses pointer jumping (diameter 200)
+    pa_ids = np.array([f"p{i:04d}" for i in range(200)], dtype=object)
+    a = np.concatenate([a, pa_ids[:-1]])
+    b = np.concatenate([b, pa_ids[1:]])
+    edges = pa.table({"id_a": pa.array(a, pa.string()),
+                      "id_b": pa.array(b, pa.string())})
+    got = labels_via_exchange(ray.data.from_arrow(edges), P=8).to_pandas()
+    nodes, roots = numpy_components(a, b)
+    want = dict(zip(nodes, roots))
+    gotd = dict(zip(got.node, got.label))
+    assert gotd == want
+
+
+def test_pipeline_join_emission_matches_oracle(ray_session, corpus,
+                                               oracle_result):
+    """Forcing the distributed-CC + partitioned-join emission path must
+    reproduce the oracle assignments exactly."""
+    import dataclasses
+    import ray.data
+    table, _, _ = corpus
+    cfg = dataclasses.replace(CFG, broadcast_assign_edges=0)
+    res = dedup_pipeline(ray.data.from_arrow(table), cfg)
+    adf = res.assignments.to_pandas()
+    eng = dict(zip(adf.image_id, adf.cluster_id))
+    oassign, _ = oracle_result
+    assert len(eng) == table.num_rows
+    assert all(eng[k] == v for k, v in oassign.items())

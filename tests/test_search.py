@@ -127,3 +127,67 @@ def test_binom_sf_matches_scalar_reference():
     want = np.array([scalar(int(a), int(b), float(p))
                      for a, b, p in zip(n, m, ps)])
     np.testing.assert_allclose(got, want, rtol=1e-10)
+
+
+def test_intersect_search_results(ray_session):
+    """J2: keep only (query, target) present in ALL DBs, min-count row
+    wins (kmcp util-db-search.go:359-474 semantics)."""
+    import ray.data
+    shared = REF_TEXTS[0]
+    only_a = REF_TEXTS[1]
+    only_b = REF_TEXTS[2]
+    refs_a = ray.data.from_arrow(_mk([shared, only_a], start=0))
+    refs_b = ray.data.from_arrow(_mk([shared, only_b], start=10))
+
+    # make the shared target the SAME id in both shards
+    import pyarrow.compute as pc
+
+    def rename(t):
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).copy()
+        ids[0] = "rshared"
+        return pa.table({"doc_id": pa.array(ids, pa.string()),
+                         "text": t.column("text")})
+    refs_a = refs_a.map_batches(rename, batch_format="pyarrow")
+    refs_b = refs_b.map_batches(rename, batch_format="pyarrow")
+
+    queries = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(["q1"], pa.string()),
+        "text": pa.array([shared], pa.string())}))
+    ra = search.search(queries, refs_a, CFG, min_qcov=0.2, min_shared=1)
+    rb = search.search(queries, refs_b, CFG, min_qcov=0.2, min_shared=1)
+    # each shard alone matches its private target too
+    assert set(ra.to_pandas().target) >= {"rshared"}
+    inter = search.intersect_search_results([ra, rb], num_partitions=8)
+    df = inter.to_pandas()
+    assert set(df.target) == {"rshared"}
+    assert len(df) == 1
+
+
+def test_intersect_min_count_row_wins(ray_session):
+    import ray.data
+    cols = ["query", "q_kept", "target", "t_kept", "m_shared",
+            "qcov", "tcov", "jacc", "fpr"]
+
+    def row(q, t, m, qc):
+        return dict(zip(cols, [q, 10, t, 10, m, qc, qc, qc, 0.0]))
+    a = ray.data.from_items([row("q", "t1", 7, 0.7), row("q", "t2", 5, 0.5)])
+    b = ray.data.from_items([row("q", "t1", 4, 0.4)])
+    df = search.intersect_search_results([a, b], num_partitions=4).to_pandas()
+    assert len(df) == 1
+    assert df.target.iloc[0] == "t1"
+    assert int(df.m_shared.iloc[0]) == 4      # the min-count row's values
+    assert abs(float(df.qcov.iloc[0]) - 0.4) < 1e-12
+
+
+def test_add_hits_counts_targets_per_query(ray_session):
+    import ray.data
+    cols = ["query", "q_kept", "target", "t_kept", "m_shared",
+            "qcov", "tcov", "jacc", "fpr"]
+
+    def row(q, t):
+        return dict(zip(cols, [q, 10, t, 10, 3, 0.5, 0.5, 0.5, 0.0]))
+    m = ray.data.from_items([row("q1", "a"), row("q1", "b"),
+                             row("q2", "c")])
+    df = search.add_hits(m, num_partitions=4).to_pandas()
+    got = {(r.query, r.target): r.hits for r in df.itertuples()}
+    assert got == {("q1", "a"): 2, ("q1", "b"): 2, ("q2", "c"): 1}
