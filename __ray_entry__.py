@@ -239,6 +239,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                                   captions=texts)
         return decode_verify(ray.data.from_arrow(table), concurrency=2)
 
+    def q_longdoc_overlap(sf):
+        """chunk slider + containment search: partial-overlap pairs
+        whole-document sketches cannot see (kmcp M5/M6 analogue)."""
+        import pyarrow as pa
+        import ray.data
+        from kmcp_ray import testgen
+        from kmcp_ray.chunks import longdoc_overlap_pairs
+        tbl, _planted = testgen.make_longdoc_corpus(n=60, seed=19)
+        sds = ray.data.from_arrow(pa.table({
+            "doc_id": pa.compute.cast(tbl["doc_id"], pa.string()),
+            "text": tbl["text"]}))
+        return longdoc_overlap_pairs(sds, cfg, chunk_tokens=64,
+                                     min_qcov=0.8, min_shared=4)
+
     def q_profile_em(sf):
         """kmcp profile funnel (stages 1-4 + EM abundance) on the
         deterministic planted-abundance match table."""
@@ -300,6 +314,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "substr_containment": q_substr,
         "cluster_profile": q_cluster_profile,
         "profile_em": q_profile_em,
+        "longdoc_overlap": q_longdoc_overlap,
         "decode_verify": q_decode_verify,
         "bucket_stats": q_bucket_stats,
     }

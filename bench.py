@@ -31,6 +31,10 @@ def run_bench() -> dict:
     import ray
     import ray.data
 
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from kmcp_ray.perf import tune_malloc
+    tune_malloc()      # before ray.init so workers inherit the env
+
     if not ray.is_initialized():
         # keep the worker pool stable: this VM's first-touch page faults
         # make fresh worker processes expensive, so never reap idle ones

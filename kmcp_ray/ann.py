@@ -231,7 +231,7 @@ def lsh_cosine_pairs(ds, threshold: float, cfg: DedupConfig = None,
                              "cos_sim": pa.array(sims[ok], pa.float64())})
 
         return pairs.map_batches(verify_b, batch_format="pyarrow",
-                                 zero_copy_batch=True)
+                                 batch_size=16384, zero_copy_batch=True)
 
     # large side: attach embedding blobs through the partitioned exchange
     from kmcp_ray.buckets import attach_sketches
@@ -280,7 +280,7 @@ def lsh_cosine_pairs(ds, threshold: float, cfg: DedupConfig = None,
             "cos_sim": pa.array(sims[ok], pa.float64())})
 
     return attached.map_batches(verify_j, batch_format="pyarrow",
-                                zero_copy_batch=True)
+                                batch_size=8192, zero_copy_batch=True)
 
 
 def _chunk_keys(sh: np.ndarray, chunks: int) -> np.ndarray:

@@ -40,6 +40,11 @@ class DedupConfig:
     #: position).  The frozen oracle contract covers "scaled".
     sketcher: str = "scaled"
     minimizer_w: int = 8
+    #: multi-k accumulation (kmcp -k 21,31,41 analogue,
+    #: compute.go:746-803): when non-empty, the "scaled" sketch unions
+    #: every listed k's shingle hashes (k-tagged folds never collide
+    #: across ks); empty = single shingle_k.
+    shingle_ks: tuple = ()
     # --- MinHash-LSH banding (kmcp index-block analogue) ---
     #: 16 bands x 4 rows: P(band hit | J=0.75) ≈ 0.9978 on its own; the
     #: shared-shingle containment generator independently catches the
@@ -109,6 +114,10 @@ class DedupConfig:
         return MAX_U64 // self.bucket_scale
 
     def __post_init__(self) -> None:
+        if isinstance(self.shingle_ks, list):
+            # JSON round-trips tuples as lists; normalize so resumed
+            # configs compare equal
+            object.__setattr__(self, "shingle_ks", tuple(self.shingle_ks))
         if self.num_perm % self.bands:
             raise ValueError("num_perm must be divisible by bands")
         if self.hamming_radius > self.phash_chunks - 1:

@@ -65,6 +65,47 @@ def report_kmcp(profile_df: pd.DataFrame) -> str:
     return "\n".join(lines) + "\n"
 
 
+def report_metaphlan(abundance_df: pd.DataFrame,
+                     version: int = 3) -> str:
+    """MetaPhlAn2/3-shaped report (reference:
+    kmcp/cmd/profile.go:2938-2994 shape, re-derived): v3 adds the
+    clade-taxid column; abundances are percentages, largest first."""
+    df = abundance_df.sort_values("fraction", ascending=False)
+    if version >= 3:
+        lines = ["#clade_name\tclade_taxid\trelative_abundance"]
+        for _, r in df.iterrows():
+            lines.append(f"{r['cluster_id']}\t-\t"
+                         f"{100.0 * r['fraction']:.6f}")
+    else:
+        lines = ["#clade_name\trelative_abundance"]
+        for _, r in df.iterrows():
+            lines.append(f"{r['cluster_id']}\t{100.0 * r['fraction']:.6f}")
+    return "\n".join(lines) + "\n"
+
+
+def cami_binning_lines(assignments):
+    """CAMI binning format (reference: kmcp/cmd/profile.go:2593-2784
+    shape, re-derived): per-ROW assignment lines ``@@SEQUENCEID\\tBINID``.
+    Unlike the profile reports this output is corpus-sized, so it stays
+    a Dataset of text lines (write with ``write_csv``/``write_parquet``);
+    prepend :func:`cami_binning_header` when assembling a file."""
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch.column("image_id" if "image_id" in batch.column_names
+                           else batch.column_names[0])
+        cl = batch.column("cluster_id")
+        import pyarrow.compute as pc
+        line = pc.binary_join_element_wise(ids.cast(pa.string()),
+                                           cl.cast(pa.string()), "\t")
+        return pa.table({"line": line})
+    return assignments.map_batches(fn, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+
+
+def cami_binning_header(sample_id: str = "sample_0") -> str:
+    return (f"@SampleID:{sample_id}\n@Version:0.10.0\n"
+            "@@SEQUENCEID\tBINID\n")
+
+
 def report_cami(abundance_df: pd.DataFrame, sample_id: str = "sample_0") -> str:
     """CAMI-profiling-format-shaped report (reference:
     kmcp/cmd/profile.go:2996-3046 shape, re-derived): header + one line

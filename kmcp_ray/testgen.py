@@ -370,3 +370,43 @@ def make_profile_matches(n_targets: int = 12, n_queries: int = 3000,
                      "qcov": pa.array(qc_col, pa.float64()),
                      "q_kept": pa.array(ql_col, pa.int64()),
                      "t_kept": pa.array(tk_col, pa.int64())})
+
+
+def make_longdoc_corpus(n: int = 60, seed: int = 19, n_tokens=(300, 600),
+                        slice_frac: float = 0.3):
+    """Long documents with planted PARTIAL overlaps: for each planted
+    pair, doc B embeds a contiguous ~slice_frac token slice of doc A
+    inside otherwise-unrelated text — whole-document sketch Jaccard
+    stays far below any dedup threshold, so only chunked containment
+    search can find these (kmcp chunk-slider scenario, M5/M6).
+
+    Returns (table(doc_id int64, text), planted [(id_a, id_b)]).
+    """
+    rng = np.random.default_rng(seed)
+    vocab = np.array(make_vocab(4000, seed=seed + 1), dtype=object)
+
+    def fresh_tokens(k):
+        return vocab[rng.integers(0, len(vocab), size=k)]
+
+    texts, planted = [], []
+    i = 0
+    while i < n:
+        la = int(rng.integers(*n_tokens))
+        a_toks = fresh_tokens(la)
+        texts.append(" ".join(a_toks))
+        ida = i
+        i += 1
+        if i < n and rng.random() < 0.5:
+            # plant a partial-overlap partner
+            sl = max(40, int(la * slice_frac))
+            s0 = int(rng.integers(0, la - sl))
+            lb = int(rng.integers(*n_tokens))
+            b_toks = np.concatenate([fresh_tokens(lb // 2),
+                                     a_toks[s0:s0 + sl],
+                                     fresh_tokens(lb - lb // 2)])
+            texts.append(" ".join(b_toks))
+            planted.append((ida, i))
+            i += 1
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    return tbl, planted

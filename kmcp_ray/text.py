@@ -116,6 +116,44 @@ def shingle_sets(texts, k: int, max_hash: int):
             "n_tokens": n_tokens, "n_distinct": n_distinct}
 
 
+def multi_k_shingle_sets(texts, ks, max_hash: int):
+    """Multi-k accumulation (kmcp compute.go:746-803): one sketch per
+    row holding the union of every k's shingle hashes.  Per-k folds are
+    k-tagged (fold seeds with k), so hashes never collide across ks.
+    Same return shape as :func:`shingle_sets`; ``n_distinct`` counts
+    the union before the scale filter."""
+    all_h, all_rows = [], []
+    n = 0
+    n_tokens = None
+    for k in ks:
+        ss = shingle_sets(texts, int(k), int(hashing.MAX_U64))
+        n = len(ss["offsets"]) - 1
+        n_tokens = ss["n_tokens"]
+        rows = np.repeat(np.arange(n), np.diff(ss["offsets"]))
+        all_h.append(ss["hashes"])
+        all_rows.append(rows)
+    wh = np.concatenate(all_h) if all_h else np.empty(0, np.uint64)
+    wrow = np.concatenate(all_rows) if all_rows else np.empty(0, np.int64)
+    n_distinct = np.zeros(n, dtype=np.int64)
+    if len(wh):
+        order = np.lexsort((wh, wrow))
+        wh, wrow = wh[order], wrow[order]
+        first = np.ones(len(wh), dtype=bool)
+        first[1:] = (wrow[1:] != wrow[:-1]) | (wh[1:] != wh[:-1])
+        wh, wrow = wh[first], wrow[first]
+        n_distinct = np.bincount(wrow, minlength=n).astype(np.int64)
+        if max_hash < int(hashing.MAX_U64):
+            keep = wh <= U64(max_hash)
+            wh, wrow = wh[keep], wrow[keep]
+    counts = np.bincount(wrow, minlength=n).astype(np.int64) if len(wrow) \
+        else np.zeros(n, dtype=np.int64)
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    return {"hashes": wh, "offsets": offsets,
+            "n_tokens": n_tokens if n_tokens is not None
+            else np.zeros(n, np.int64), "n_distinct": n_distinct}
+
+
 def minhash_signatures(hashes: np.ndarray, offsets: np.ndarray,
                        num_perm: int, perm_chunk: int = 8) -> np.ndarray:
     """(n_rows, num_perm) uint64 MinHash signature matrix.
@@ -177,6 +215,8 @@ def shingle_sets_sketcher(texts, cfg):
                 (kmcp -S, compute.go:763-775 semantics re-derived)
     """
     if cfg.sketcher == "scaled":
+        if cfg.shingle_ks:
+            return multi_k_shingle_sets(texts, cfg.shingle_ks, cfg.max_hash)
         return shingle_sets(texts, cfg.shingle_k, cfg.max_hash)
 
     flat_tokens, row_ids, n = tokenize(texts)

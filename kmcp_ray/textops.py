@@ -150,6 +150,83 @@ def lang_id(ds, id_col="doc_id", text_col="text", concurrency=4):
         batch_format="pyarrow", concurrency=concurrency, batch_size=4096)
 
 
+# ------------------------------------------- regex hooks (kmcp M8 / M9)
+
+def filter_blacklist(ds, col: str = "text", pattern: str = r"plasmid"):
+    """Drop rows whose ``col`` matches the blacklist regex (kmcp
+    -B/--seq-name-filter, reference: kmcp/cmd/compute.go:248-260,
+    586-598 semantics: case-insensitive containment)."""
+    def fn(batch: pa.Table) -> pa.Table:
+        hit = pc.match_substring_regex(
+            pc.fill_null(batch.column(col), ""), pattern,
+            ignore_case=True)
+        return batch.filter(pc.invert(hit))
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def extract_name(ds, col: str, pattern: str, out_col: str = "ref_name"):
+    """Regex capture-group extraction into a new column (kmcp
+    -N/--ref-name-regexp, reference: kmcp/cmd/compute.go:230-246,
+    828-841: first capture group; non-matching rows keep the input)."""
+    # RE2 named group: rewrap "(...)" as "(?P<g>...)" for extract_regex
+    named = pattern.replace("(", "(?P<g>", 1)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        col_v = pc.fill_null(batch.column(col), "")
+        st = pc.extract_regex(col_v, named)
+        g = pc.struct_field(st, "g")
+        out = pc.if_else(pc.is_valid(g), g, col_v)
+        return batch.append_column(out_col, out)
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------- concat with spacers (kmcp M7)
+
+def concat_sketch(ds, *, id_col: str, parts_col: str, k: int,
+                  max_hash: int = None):
+    """Concatenate each row's list<string> parts into one pseudo-document
+    whose shingle sketch equals the UNION of the parts' sketches — no
+    shingle spans a junction, exactly kmcp's concat-with-k-1-N-spacers
+    semantics (reference: kmcp/cmd/compute.go:567-628: k-mers containing
+    the spacer are skipped, so junctions contribute nothing).
+
+    Output: (id, text = parts joined by one space, sketch list<uint64>).
+    """
+    from kmcp_ray.hashing import MAX_U64
+    mh = int(max_hash if max_hash is not None else MAX_U64)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        parts = batch.column(parts_col)
+        if isinstance(parts, pa.ChunkedArray):
+            parts = parts.combine_chunks()
+        flat = parts.flatten()
+        row_of_part = pc.list_parent_indices(parts).to_numpy(
+            zero_copy_only=False)
+        n = batch.num_rows
+        ss = text.shingle_sets(flat, k, mh)
+        h, off = ss["hashes"], ss["offsets"]
+        rows = row_of_part[np.repeat(np.arange(len(off) - 1),
+                                     np.diff(off))]
+        # union per row: sort (row, hash), unique
+        order = np.lexsort((h, rows))
+        h, rows = h[order], rows[order]
+        first = np.ones(len(h), dtype=bool)
+        first[1:] = (rows[1:] != rows[:-1]) | (h[1:] != h[:-1])
+        h, rows = h[first], rows[first]
+        counts = np.bincount(rows, minlength=n) if len(rows) \
+            else np.zeros(n, np.int64)
+        offsets = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(counts, out=offsets[1:])
+        joined = pc.binary_join(parts, " ")
+        return pa.table({
+            id_col: batch.column(id_col),
+            "text": joined,
+            "sketch": pa.ListArray.from_arrays(
+                pa.array(offsets, pa.int32()),
+                pa.array(h, pa.uint64()))})
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
 # ------------------------------------------------------------------ simhash
 
 def simhash_batch(texts, k: int) -> np.ndarray:

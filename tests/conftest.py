@@ -4,6 +4,8 @@ import pytest
 @pytest.fixture(scope="session")
 def ray_session():
     import ray
+    from kmcp_ray.perf import tune_malloc
+    tune_malloc()      # sandbox first-touch fault mitigation (perf.py)
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=4, include_dashboard=False,
                  ignore_reinit_error=True, logging_level="ERROR")

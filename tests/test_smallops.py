@@ -1,0 +1,138 @@
+"""Small operator-surface tests: regex hooks (M8/M9), concat-with-
+spacers (M7), duplicate-name/input validation (D4/D5), dir walk +
+regex filter (S2), Lance-fallback I/O, report writers (S10), size-sort
+option (O5)."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from kmcp_ray import ioops, text, textops
+
+
+def _docs(texts):
+    return pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                     "text": pa.array(texts, pa.string())})
+
+
+def test_filter_blacklist(ray_session):
+    import ray.data
+    ds = ray.data.from_arrow(_docs(["keep me", "a PLASMID sequence",
+                                    "also keep", None]))
+    out = textops.filter_blacklist(ds, "text", r"plasmid").to_pandas()
+    assert sorted(out.doc_id.tolist()) == [0, 2, 3]
+
+
+def test_extract_name(ray_session):
+    import ray.data
+    tbl = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                    "path": pa.array(["refs/GCF_000123.fa",
+                                      "nomatch.txt"], pa.string())})
+    out = textops.extract_name(ray.data.from_arrow(tbl), "path",
+                               r"(GCF_\d+)").to_pandas().sort_values("doc_id")
+    assert out.ref_name.tolist() == ["GCF_000123", "nomatch.txt"]
+
+
+def test_concat_sketch_is_union_not_naive(ray_session):
+    """Sketch of concatenated parts == union of part sketches (no
+    shingle spans a junction) and != the naive joined-text sketch."""
+    import ray.data
+    p1, p2 = "aa bb cc dd ee", "ff gg hh ii jj"
+    tbl = pa.table({"doc_id": pa.array([0], pa.int64()),
+                    "parts": pa.array([[p1, p2]],
+                                      pa.list_(pa.string()))})
+    out = textops.concat_sketch(ray.data.from_arrow(tbl), id_col="doc_id",
+                                parts_col="parts", k=3).to_pandas()
+    got = np.sort(np.array(out.sketch.iloc[0], dtype=np.uint64))
+    M = int((1 << 64) - 1)
+    want = np.union1d(text.shingle_sets(pa.array([p1]), 3, M)["hashes"],
+                      text.shingle_sets(pa.array([p2]), 3, M)["hashes"])
+    assert np.array_equal(got, want)
+    naive = text.shingle_sets(pa.array([p1 + " " + p2]), 3, M)["hashes"]
+    assert not np.array_equal(got, np.sort(naive))
+    assert out.text.iloc[0] == p1 + " " + p2
+
+
+def test_duplicate_names(ray_session):
+    import ray.data
+    tbl = pa.table({"name": pa.array(["a", "b", "a", "c", "b", "a"],
+                                     pa.string())})
+    out = ioops.duplicate_names(ray.data.from_arrow(tbl),
+                                "name").to_pandas()
+    assert dict(zip(out.name, out.n)) == {"a": 3, "b": 2}
+
+
+def test_check_duplicate_inputs(tmp_path):
+    p1 = tmp_path / "a.parquet"
+    p1.write_text("x")
+    ioops.check_duplicate_inputs([str(p1), str(tmp_path / "b")])
+    with pytest.raises(ValueError, match="duplicated"):
+        ioops.check_duplicate_inputs([str(p1), str(p1)])
+
+
+def test_list_files_regex(tmp_path):
+    (tmp_path / "sub").mkdir()
+    for name in ["x1.parquet", "x2.parquet", "skip.txt"]:
+        (tmp_path / name).write_text("")
+    (tmp_path / "sub" / "x3.parquet").write_text("")
+    got = ioops.list_files(str(tmp_path), r"\.parquet$")
+    assert sorted(os.path.basename(p) for p in got) == \
+        ["x1.parquet", "x2.parquet", "x3.parquet"]
+    assert got == sorted(got)
+    assert ioops.list_files(str(tmp_path), r"x1") == \
+        [str(tmp_path / "x1.parquet")]
+
+
+def test_io_fallback_roundtrip(ray_session, tmp_path):
+    """write_table/read_table: Lance when available, Parquet fallback
+    otherwise — either way a lossless round-trip."""
+    import ray.data
+    tbl = pa.table({"a": pa.array([1, 2, 3], pa.int64()),
+                    "b": pa.array(["x", "y", "z"], pa.string())})
+    out = str(tmp_path / "t")
+    fmt = ioops.write_table(ray.data.from_arrow(tbl), out)
+    assert fmt == ioops.io_format()
+    back = ioops.read_table(out).to_pandas().sort_values("a")
+    assert back.a.tolist() == [1, 2, 3]
+    assert back.b.tolist() == ["x", "y", "z"]
+
+
+def test_report_writers():
+    import pandas as pd
+    from kmcp_ray import diagnostics
+    ab = pd.DataFrame({"cluster_id": ["c1", "c2"],
+                       "size": [3, 1], "fraction": [0.75, 0.25]})
+    m3 = diagnostics.report_metaphlan(ab, version=3)
+    assert m3.startswith("#clade_name\tclade_taxid\trelative_abundance")
+    assert "c1\t-\t75.000000" in m3
+    m2 = diagnostics.report_metaphlan(ab, version=2)
+    assert "c1\t75.000000" in m2
+    hdr = diagnostics.cami_binning_header("s1")
+    assert hdr.startswith("@SampleID:s1")
+
+
+def test_cami_binning_lines(ray_session):
+    import ray.data
+    from kmcp_ray import diagnostics
+    a = ray.data.from_items([{"image_id": "i1", "cluster_id": "c1"},
+                             {"image_id": "i2", "cluster_id": "c1"}])
+    lines = sorted(diagnostics.cami_binning_lines(a).to_pandas().line)
+    assert lines == ["i1\tc1", "i2\tc1"]
+
+
+def test_size_sort_pipeline_unchanged(ray_session):
+    """O5 size-sort is a physical-layout knob: identical assignments."""
+    import ray.data
+    from kmcp_ray import testgen
+    from kmcp_ray.config import DedupConfig
+    from kmcp_ray.pipeline import dedup_pipeline
+    cfg = DedupConfig(num_partitions=8)
+    table, _p, _n = testgen.make_pairs_corpus(n=300, seed=3, cfg=cfg)
+    base = dedup_pipeline(ray.data.from_arrow(table), cfg).assignments \
+        .to_pandas()
+    sorted_run = dedup_pipeline(ray.data.from_arrow(table), cfg,
+                                size_sort=True).assignments.to_pandas()
+    assert dict(zip(base.image_id, base.cluster_id)) == \
+        dict(zip(sorted_run.image_id, sorted_run.cluster_id))
