@@ -239,6 +239,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                                   captions=texts)
         return decode_verify(ray.data.from_arrow(table), concurrency=2)
 
+    def q_merge_regions(sf):
+        """interval merge (kmcp merge-regions S11): deterministic
+        intervals derived from the events table."""
+        import pyarrow as pa
+        from kmcp_ray.regions import merge_regions
+
+        def to_intervals(t: pa.Table) -> pa.Table:
+            v = t.column("value").to_numpy(zero_copy_only=False)
+            u = t.column("user_id").to_numpy(zero_copy_only=False)
+            start = np.floor(v * 100).astype(np.int64)
+            return pa.table({
+                "chrom": pa.array((u % 20).astype(str), pa.string()),
+                "start": pa.array(start, pa.int64()),
+                "end": pa.array(start + 40, pa.int64())})
+        iv = _read(sf, "events", columns=["user_id", "value"]) \
+            .map_batches(to_intervals, batch_format="pyarrow",
+                         zero_copy_batch=True)
+        return merge_regions(iv, num_partitions=16) \
+            .sort(["chrom", "start"])
+
+    def q_assign_best(sf):
+        """fragment -> argmax target assignment (J5)."""
+        import pyarrow.compute as pc
+        from kmcp_ray import search as search_mod
+        docs = _docs(sf)
+        queries_ds = docs.map_batches(
+            lambda t: t.filter(pc.less(t["doc_id"], 30)),
+            batch_format="pyarrow", zero_copy_batch=True)
+        refs = docs.map_batches(
+            lambda t: t.filter(pc.greater_equal(t["doc_id"], 30)),
+            batch_format="pyarrow", zero_copy_batch=True)
+        return search_mod.assign_best_target(
+            queries_ds, refs, cfg, min_qcov=0.05, min_shared=1,
+            max_fpr=1.0)
+
     def q_longdoc_overlap(sf):
         """chunk slider + containment search: partial-overlap pairs
         whole-document sketches cannot see (kmcp M5/M6 analogue)."""
@@ -315,6 +350,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cluster_profile": q_cluster_profile,
         "profile_em": q_profile_em,
         "longdoc_overlap": q_longdoc_overlap,
+        "merge_regions": q_merge_regions,
+        "assign_best_target": q_assign_best,
         "decode_verify": q_decode_verify,
         "bucket_stats": q_bucket_stats,
     }
@@ -451,6 +488,38 @@ def oracle_sql() -> dict[str, str]:
                                           ELSE 0.0 END) - 5.0) / 10.0)))
                      * 1000000.0) AS BIGINT) AS quality_u
             FROM st
+        """,
+        "merge_regions": """
+            WITH iv AS (
+                SELECT CAST(user_id % 20 AS VARCHAR) AS chrom,
+                       CAST(floor(value * 100) AS BIGINT) AS start,
+                       CAST(floor(value * 100) AS BIGINT) + 40 AS "end"
+                FROM events
+            ), o AS (
+                SELECT chrom, start, "end",
+                       max("end") OVER (
+                           PARTITION BY chrom ORDER BY start, "end"
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) AS prev_max
+                FROM iv
+            ), flagged AS (
+                SELECT chrom, start, "end",
+                       CASE WHEN prev_max IS NULL OR start > prev_max
+                            THEN 1 ELSE 0 END AS new_r
+                FROM o
+            ), grp AS (
+                SELECT chrom, start, "end",
+                       sum(new_r) OVER (
+                           PARTITION BY chrom ORDER BY start, "end"
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS rid
+                FROM flagged
+            )
+            SELECT chrom, min(start) AS start,
+                   CAST(max("end") AS BIGINT) AS "end",
+                   count(*) AS n_merged
+            FROM grp GROUP BY chrom, rid
+            ORDER BY chrom, start
         """,
         "lang_id": """
             WITH t AS (

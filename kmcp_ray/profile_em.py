@@ -72,6 +72,11 @@ class ProfileParams:
     min_frags_prop: float = 0.2
     min_dreads_prop: float = 0.05
     max_mismatch_err: float = 0.05
+    #: stage-3 rel-depth uniformity gate (A7, profile.go:1832-1857):
+    #: drop targets whose per-chunk relative depth (qlen_i / total * n)
+    #: has population stddev above this (kmcp -D default 2.0; inert for
+    #: single-chunk targets, whose stddev is 0)
+    max_frags_depth_stdev: float = 2.0
     max_iters: int = 10
     abund_pct_threshold: float = 0.01
     norm_abund: str = "mean"          # mean | min | max
@@ -672,6 +677,9 @@ def profile_funnel(matches_ds, params: ProfileParams = ProfileParams(), *,
             parts.map_batches(make_cooc_kernel(cand_ref),
                               batch_format="pyarrow"),
             num_partitions, "id_a", "id_b", count_name="n").to_pandas()
+        if len(cooc) == 0:          # no ambiguous queries at all
+            cooc = __import__("pandas").DataFrame(
+                {"id_a": [], "id_b": [], "n": []})
         ia = _probe_index(cand_keys, np.asarray(cooc["id_a"].to_numpy(),
                                                 dtype="S"))
         ib = _probe_index(cand_keys, np.asarray(cooc["id_b"].to_numpy(),
@@ -691,18 +699,39 @@ def profile_funnel(matches_ds, params: ProfileParams = ProfileParams(), *,
     m3 = _sum_by_target(cand_keys, *_drop_key(piv3[K_MATCH]))
     u3 = _sum_by_target(cand_keys, *_drop_key(piv3[K_UNIQ]))
     h3 = _sum_by_target(cand_keys, *_drop_key(piv3[K_HIC]))
+    cand_gsize = meta_gsize[cand_mask]
+    cand_nchunk = meta_nchunk[cand_mask]
+    # stage-3 chunks fraction counts chunks with match >= min_reads
+    # (profile.go:1807-1814; the stage-1 pass used match > 0)
     tM, keyM, valM = piv3[K_MATCH]
     idxM = _probe_index(cand_keys, tM)
-    okM = (idxM >= 0) & (valM > 0)
+    okM = (idxM >= 0) & (valM >= params.min_reads)
     fc = np.unique(idxM[okM] * np.int64(_NBINS) + keyM[okM])
     frags3 = np.bincount((fc // _NBINS).astype(np.int64),
                          minlength=len(cand_keys)).astype(np.float64)
-    cand_gsize = meta_gsize[cand_mask]
-    cand_nchunk = meta_nchunk[cand_mask]
     fp3 = frags3 / np.maximum(cand_nchunk, 1.0)
+    # rel-depth uniformity (A7, profile.go:1832-1857): population std
+    # of qlen_i / total * n over the FULL n-chunk vector (absent
+    # chunks are zeros); Σrel == n ⇒ mean == 1 exactly
+    tQ, keyQ, valQ = piv3[K_QLEN]
+    idxQ = _probe_index(cand_keys, tQ)
+    okQ = idxQ >= 0
+    codeQ = idxQ[okQ] * np.int64(_NBINS) + keyQ[okQ]
+    cu, cinv = np.unique(codeQ, return_inverse=True)
+    chunk_sums = np.bincount(cinv, weights=valQ[okQ], minlength=len(cu))
+    ct = (cu // _NBINS).astype(np.int64)
+    M3 = len(cand_keys)
+    totq = np.bincount(ct, weights=chunk_sums, minlength=M3)
+    sumsq = np.bincount(ct, weights=chunk_sums ** 2, minlength=M3)
+    nch = np.maximum(cand_nchunk, 1.0)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        sum_rel_sq = np.where(totq > 0, (nch / totq) ** 2 * sumsq, 0.0)
+        depth_var = np.where(totq > 0, sum_rel_sq / nch - 1.0, 0.0)
+    depth_std = np.sqrt(np.maximum(depth_var, 0.0))
     wl_mask = ((m3 >= params.min_reads) & (u3 >= params.min_uniq_reads)
                & (h3 >= params.min_hic_ureads)
-               & (fp3 >= params.min_frags_prop))
+               & (fp3 >= params.min_frags_prop)
+               & (depth_std <= params.max_frags_depth_stdev))
     wl_keys = cand_keys[wl_mask]
     if len(wl_keys) == 0:
         return ray.data.from_arrow(empty)

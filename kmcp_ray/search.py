@@ -278,6 +278,157 @@ def add_hits(matches, num_partitions: int = 64):
     return packed.groupby("part").map_groups(hits, batch_format="pyarrow")
 
 
+def build_ref_index(ref_ds, cfg: DedupConfig, *, ref_id="doc_id",
+                    ref_text="text", scale: int = 1):
+    """Reference side → an in-memory inverted index (the kmcp
+    load-whole-index mode, reference: kmcp/cmd/util-db-search.go:
+    1238-1280 / search.go:66-83): sorted shingle-hash postings with
+    int32 target ids, plus per-target kept counts and names.
+
+    Returns numpy arrays (keys_sorted, tgt_of_posting, names, kept) —
+    near-zero-copy through ``ray.put``.
+    """
+    keys_parts, tgt_parts, name_parts, kept_parts = [], [], [], []
+    max_hash = hashing.MAX_U64 // np.uint64(scale)
+    base = 0
+    for b in ref_ds.iter_batches(batch_format="pyarrow"):
+        ss = shingle_sets(b.column(ref_text), cfg.shingle_k, int(max_hash))
+        h, off = ss["hashes"], ss["offsets"]
+        n = len(off) - 1
+        ids = b.column(ref_id).to_numpy(zero_copy_only=False)
+        if ids.dtype != object:
+            ids = ids.astype(str).astype(object)
+        lens = off[1:] - off[:-1]
+        keys_parts.append(h)
+        tgt_parts.append(np.repeat(np.arange(base, base + n), lens)
+                         .astype(np.int32))
+        name_parts.append(ids)
+        kept_parts.append(lens.astype(np.int64))
+        base += n
+    if not keys_parts:
+        return (np.empty(0, np.uint64), np.empty(0, np.int32),
+                np.empty(0, object), np.empty(0, np.int64))
+    keys = np.concatenate(keys_parts)
+    tgt = np.concatenate(tgt_parts)
+    order = np.argsort(keys, kind="stable")
+    return (keys[order], tgt[order], np.concatenate(name_parts),
+            np.concatenate(kept_parts))
+
+
+class IndexedSearcher:
+    """Actor-pool searcher: the broadcast index is fetched ONCE per
+    actor in ``__init__`` (kmcp per-worker index load, T1) along with
+    the per-actor FPR cache (T2 = relops' process-level log-factorial
+    table); ``__call__`` scores one query batch with searchsorted
+    probes + one sparse bincount — no shuffle at all."""
+
+    def __init__(self, index_ref, cfg: DedupConfig, min_qcov, min_shared,
+                 max_fpr, scale, query_id, query_text):
+        import ray as _ray
+        self.keys, self.tgt, self.names, self.kept = _ray.get(index_ref)
+        self.cfg = cfg
+        self.min_qcov, self.min_shared = min_qcov, min_shared
+        self.max_fpr, self.scale = max_fpr, scale
+        self.query_id, self.query_text = query_id, query_text
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cfg = self.cfg
+        max_hash = hashing.MAX_U64 // np.uint64(self.scale)
+        ss = shingle_sets(batch.column(self.query_text), cfg.shingle_k,
+                          int(max_hash))
+        h, off = ss["hashes"], ss["offsets"]
+        qids = batch.column(self.query_id).to_numpy(zero_copy_only=False)
+        if qids.dtype != object:
+            qids = qids.astype(str).astype(object)
+        nq = len(off) - 1
+        kq_all = (off[1:] - off[:-1]).astype(np.int64)
+        lo = np.searchsorted(self.keys, h, side="left")
+        hi = np.searchsorted(self.keys, h, side="right")
+        lens = hi - lo
+        from kmcp_ray.bands import _segment_gather
+        gather = _segment_gather(lo, lens)
+        row_of_shingle = np.repeat(np.arange(nq), off[1:] - off[:-1])
+        rows = np.repeat(row_of_shingle, lens)
+        tgts = self.tgt[gather].astype(np.int64)
+        T = max(len(self.kept), 1)
+        code = rows * T + tgts
+        uniq, counts = np.unique(code, return_counts=True)
+        qrow = (uniq // T).astype(np.int64)
+        tcol = (uniq % T).astype(np.int64)
+        c = counts.astype(np.int64)
+        kq = kq_all[qrow]
+        kt = self.kept[tcol]
+        ok = (c >= self.min_shared)
+        qrow, tcol, c, kq, kt = qrow[ok], tcol[ok], c[ok], kq[ok], kt[ok]
+        qcov = c / np.maximum(kq, 1)
+        keep = qcov >= self.min_qcov
+        qrow, tcol, c, kq, kt = (qrow[keep], tcol[keep], c[keep],
+                                 kq[keep], kt[keep])
+        qcov = qcov[keep]
+        tcov = c / np.maximum(kt, 1)
+        jacc = c / np.maximum(kq + kt - c, 1)
+        from kmcp_ray.relops import binom_sf
+        p_hit = np.minimum(0.999, kt / 2.0 ** 20)
+        fpr = binom_sf(kq, c, np.maximum(1e-12, p_hit))
+        keep2 = fpr <= self.max_fpr
+        return pa.table({
+            "query": pa.array(qids[qrow[keep2]], pa.string()),
+            "q_kept": pa.array(kq[keep2], pa.int64()),
+            "target": pa.array(self.names[tcol[keep2]], pa.string()),
+            "t_kept": pa.array(kt[keep2], pa.int64()),
+            "m_shared": pa.array(c[keep2], pa.int64()),
+            "qcov": pa.array(qcov[keep2], pa.float64()),
+            "tcov": pa.array(tcov[keep2], pa.float64()),
+            "jacc": pa.array(jacc[keep2], pa.float64()),
+            "fpr": pa.array(fpr[keep2], pa.float64()),
+        })
+
+
+def search_indexed(query_ds, ref_ds, cfg: DedupConfig = DedupConfig(), *,
+                   query_id="doc_id", query_text="text",
+                   ref_id="doc_id", ref_text="text",
+                   min_qcov: float = 0.5, min_shared: int = 3,
+                   max_fpr: float = 0.01, search_scale: int = 1,
+                   concurrency: int = 4, batch_size: int = 4096,
+                   top_n_scores: int = 0):
+    """Shuffle-free search against a broadcast inverted index held by an
+    actor pool — same MATCH_COLUMNS and semantics as :func:`search`
+    (verified equal in tests); right when the index fits in worker
+    memory and queries vastly outnumber references (the kmcp common
+    case: short reads vs a prebuilt DB)."""
+    import ray
+    index_ref = ray.put(build_ref_index(ref_ds, cfg, ref_id=ref_id,
+                                        ref_text=ref_text,
+                                        scale=search_scale))
+    matches = query_ds.map_batches(
+        IndexedSearcher, fn_constructor_args=(
+            index_ref, cfg, min_qcov, min_shared, max_fpr, search_scale,
+            query_id, query_text),
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency)
+    if top_n_scores > 0:
+        matches = top_scores_per_query(matches, top_n_scores)
+    return matches
+
+
+def assign_best_target(query_ds, ref_ds, cfg: DedupConfig = DedupConfig(),
+                       **search_kw):
+    """Fragment → most-similar-target assignment (J5, reference:
+    kmcp/cmd/split-genomes.go:538-580 semantics re-derived): search,
+    then keep each query's argmax match by (m_shared, qcov), ties by
+    target id; one row per assigned query."""
+    matches = search(query_ds, ref_ds, cfg, **search_kw)
+
+    def best(group: pa.Table) -> pa.Table:
+        m = group.column("m_shared").to_numpy(zero_copy_only=False)
+        qc = group.column("qcov").to_numpy(zero_copy_only=False)
+        t = group.column("target").to_numpy(zero_copy_only=False)
+        order = np.lexsort((t, -qc, -m))
+        return group.take(pa.array(order[:1], pa.int64()))
+
+    return matches.groupby("query").map_groups(best, batch_format="pyarrow")
+
+
 def merge_search_results(result_dses, top_n_scores: int = 0):
     """Union per-shard search outputs; re-apply the per-query cut.
 

@@ -159,10 +159,21 @@ def oracle_profile(table, params):
     wl = []
     for t in cands:
         m = sum(match3[t].values())
-        fp = sum(1 for v in match3[t].values() if v > 0) / max(nchunk[t], 1)
+        fp = sum(1 for v in match3[t].values()
+                 if v >= params.min_reads) / max(nchunk[t], 1)
+        # rel-depth population stddev over the full n-chunk vector
+        n = max(nchunk[t], 1)
+        total = sum(qlen3[t].values())
+        if total > 0:
+            rel = [qlen3[t].get(c, 0.0) / total * n for c in range(n)]
+            mean = sum(rel) / n
+            std = (sum((r - mean) ** 2 for r in rel) / n) ** 0.5
+        else:
+            std = 0.0
         if (m >= params.min_reads and uniq3.get(t, 0) >= params.min_uniq_reads
                 and hic3.get(t, 0) >= params.min_hic_ureads
-                and fp >= params.min_frags_prop):
+                and fp >= params.min_frags_prop
+                and std <= params.max_frags_depth_stdev):
             wl.append(t)
     wl = sorted(wl)
     if not wl:
@@ -235,7 +246,8 @@ def oracle_profile(table, params):
     import pandas as pd
     rows = []
     for t in sorted([t for t in wl if keep[t]], key=lambda t: -cov[t]):
-        fp3 = sum(1 for v in match3[t].values() if v > 0) / max(nchunk[t], 1)
+        fp3 = sum(1 for v in match3[t].values()
+                  if v >= params.min_reads) / max(nchunk[t], 1)
         rows.append(dict(
             target=t, percentage=pct[t], coverage=cov[t],
             score=_p90(hist_uniq.get(t, {})) * 100.0,

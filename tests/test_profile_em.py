@@ -119,3 +119,43 @@ def test_empty_matches(ray_session):
     out = profile_funnel(ray.data.from_arrow(empty), PARAMS,
                          num_partitions=4).to_pandas()
     assert len(out) == 0
+
+
+def test_depth_stddev_filter_chunked(ray_session):
+    """A7: a target whose coverage concentrates in one of 8 chunks has
+    rel-depth stddev ~2.65 > 2.0 and must be dropped; an evenly-covered
+    target stays.  Engine == oracle on chunk-aware matches."""
+    import pyarrow as pa
+    import ray.data
+    rows = {"query": [], "target": [], "qcov": [], "q_kept": [],
+            "t_kept": [], "chunk": [], "nchunk": []}
+    qn = 0
+    for name, spiky in [("even", False), ("spiky", True)]:
+        for i in range(200):
+            rows["query"].append(f"q{qn:05d}"); qn += 1
+            rows["target"].append(name)
+            rows["qcov"].append(0.9)
+            rows["q_kept"].append(50)
+            rows["t_kept"].append(1000)
+            rows["chunk"].append(0 if spiky else i % 8)
+            rows["nchunk"].append(8)
+    tbl = pa.table({k: pa.array(v) for k, v in rows.items()})
+    p = ProfileParams(min_qcov=0.5, min_reads=5, min_uniq_reads=2,
+                      min_hic_ureads=1, min_frags_prop=0.0,
+                      max_frags_depth_stdev=2.0)
+    got = profile_funnel(ray.data.from_arrow(tbl), p, num_partitions=4,
+                         chunk_col="chunk", nchunk_col="nchunk").to_pandas()
+    assert set(got.target) == {"even"}
+    want = oracle_profile(tbl, p)
+    assert list(got.target) == list(want.target)
+    np.testing.assert_allclose(got.coverage.to_numpy(),
+                               want.coverage.to_numpy(), rtol=1e-9)
+    np.testing.assert_allclose(got.chunks_frac.to_numpy(),
+                               want.chunks_frac.to_numpy(), rtol=1e-9)
+    # relaxing the gate keeps both
+    p2 = ProfileParams(min_qcov=0.5, min_reads=5, min_uniq_reads=2,
+                       min_hic_ureads=1, min_frags_prop=0.0,
+                       max_frags_depth_stdev=5.0)
+    got2 = profile_funnel(ray.data.from_arrow(tbl), p2, num_partitions=4,
+                          chunk_col="chunk", nchunk_col="nchunk").to_pandas()
+    assert set(got2.target) == {"even", "spiky"}

@@ -191,3 +191,30 @@ def test_add_hits_counts_targets_per_query(ray_session):
     df = search.add_hits(m, num_partitions=4).to_pandas()
     got = {(r.query, r.target): r.hits for r in df.itertuples()}
     assert got == {("q1", "a"): 2, ("q1", "b"): 2, ("q2", "c"): 1}
+
+
+def test_search_indexed_equals_shuffle_search(ray_session):
+    """The actor-pool indexed mode (T1/T2) must produce exactly the
+    shuffle mode's matches on the same inputs."""
+    import ray.data
+    rng = np.random.default_rng(13)
+    from kmcp_ray import testgen
+    vocab = testgen.make_vocab(400, seed=13)
+    refs_txt = [" ".join(vocab[i] for i in rng.integers(0, 400, 30))
+                for _ in range(40)]
+    # queries: slices of refs + noise
+    q_txt = [" ".join(r.split()[3:18]) for r in refs_txt[:15]]
+    q_txt += [" ".join(vocab[i] for i in rng.integers(0, 400, 12))
+              for _ in range(5)]
+    refs = ray.data.from_arrow(_mk(refs_txt, start=100))
+    queries = ray.data.from_arrow(_mk(q_txt, start=500))
+    kw = dict(min_qcov=0.3, min_shared=2, max_fpr=0.05)
+    a = search.search(queries, refs, CFG, **kw).to_pandas()
+    b = search.search_indexed(queries, refs, CFG, concurrency=2,
+                              **kw).to_pandas()
+    key = ["query", "target"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    assert len(a) == len(b) > 10
+    import pandas as pd
+    pd.testing.assert_frame_equal(a[sorted(a.columns)], b[sorted(b.columns)])

@@ -136,3 +136,56 @@ def test_size_sort_pipeline_unchanged(ray_session):
                                 size_sort=True).assignments.to_pandas()
     assert dict(zip(base.image_id, base.cluster_id)) == \
         dict(zip(sorted_run.image_id, sorted_run.cluster_id))
+
+
+def test_merge_regions_vs_python_sweep(ray_session):
+    import ray.data
+    from kmcp_ray.regions import merge_regions, to_bed6
+    rng = np.random.default_rng(11)
+    chrom = np.array([f"c{i}" for i in rng.integers(0, 5, 300)], dtype=object)
+    start = rng.integers(0, 1000, 300).astype(np.int64)
+    end = start + rng.integers(1, 80, 300)
+    tbl = pa.table({"chrom": pa.array(chrom, pa.string()),
+                    "start": pa.array(start, pa.int64()),
+                    "end": pa.array(end, pa.int64())})
+    got = merge_regions(ray.data.from_arrow(tbl), num_partitions=4) \
+        .to_pandas().sort_values(["chrom", "start"]).reset_index(drop=True)
+
+    # reference sweep
+    rows = sorted(zip(chrom, start, end), key=lambda r: (r[0], r[1], r[2]))
+    want = []
+    for c, s, e in rows:
+        if want and want[-1][0] == c and s <= want[-1][2]:
+            want[-1][2] = max(want[-1][2], e)
+            want[-1][3] += 1
+        else:
+            want.append([c, s, e, 1])
+    assert got[["chrom", "start", "end", "n_merged"]].values.tolist() == \
+        [[c, s, e, n] for c, s, e, n in want]
+    bed = to_bed6(merge_regions(ray.data.from_arrow(tbl),
+                                num_partitions=4)).to_pandas()
+    assert list(bed.columns) == ["chrom", "start", "end", "name",
+                                 "score", "strand"]
+    assert (bed.strand == ".").all()
+
+
+def test_assign_best_target(ray_session):
+    import ray.data
+    from kmcp_ray import search as search_mod
+    from kmcp_ray.config import DedupConfig
+    cfg = DedupConfig(num_partitions=8)
+    refs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(["r1", "r2"], pa.string()),
+        "text": pa.array(["alpha beta gamma delta epsilon zeta eta theta",
+                          "one two three four five six seven eight"],
+                         pa.string())}))
+    queries = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(["q1", "q2"], pa.string()),
+        "text": pa.array(["alpha beta gamma delta epsilon",
+                          "five six seven eight one two"], pa.string())}))
+    out = search_mod.assign_best_target(
+        queries, refs, cfg, min_qcov=0.1, min_shared=1,
+        max_fpr=1.0).to_pandas()
+    got = dict(zip(out["query"], out["target"]))
+    assert got == {"q1": "r1", "q2": "r2"}
+    assert len(out) == 2                      # exactly one row per query
