@@ -239,6 +239,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                                   captions=texts)
         return decode_verify(ray.data.from_arrow(table), concurrency=2)
 
+    def q_docs_pushdown(sf):
+        """M14 predicate pushdown: row filter + column pruning applied
+        AT THE SCAN (only matching row groups / columns leave disk)."""
+        import pyarrow.compute as pc
+        import ray.data
+        ds = ray.data.read_parquet(
+            f"{sf}/documents.parquet",
+            columns=["doc_id", "lang", "n_chars"],
+            filter=(pc.field("lang") == "en") & (pc.field("n_chars") > 500))
+        return ds.sort("doc_id")
+
+    def q_search_indexed(sf):
+        """kmcp load-whole-index search mode: actor-pool searcher over
+        a broadcast inverted index (T1/T2)."""
+        import pyarrow.compute as pc
+        from kmcp_ray import search as search_mod
+        docs = _docs(sf)
+        queries_ds = docs.map_batches(
+            lambda t: t.filter(pc.less(t["doc_id"], 20)),
+            batch_format="pyarrow", zero_copy_batch=True)
+        out = search_mod.search_indexed(
+            queries_ds, docs, cfg, query_id="doc_id", query_text="text",
+            ref_id="doc_id", ref_text="text", min_qcov=0.3, min_shared=2,
+            concurrency=2)
+        import pyarrow as pa
+
+        def drop_self(t: pa.Table) -> pa.Table:
+            return t.filter(pc.invert(pc.equal(t["query"], t["target"])))
+        return out.map_batches(drop_self, batch_format="pyarrow")
+
     def q_merge_regions(sf):
         """interval merge (kmcp merge-regions S11): deterministic
         intervals derived from the events table."""
@@ -352,6 +382,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "longdoc_overlap": q_longdoc_overlap,
         "merge_regions": q_merge_regions,
         "assign_best_target": q_assign_best,
+        "docs_pushdown_scan": q_docs_pushdown,
+        "search_indexed_docs": q_search_indexed,
         "decode_verify": q_decode_verify,
         "bucket_stats": q_bucket_stats,
     }
@@ -488,6 +520,11 @@ def oracle_sql() -> dict[str, str]:
                                           ELSE 0.0 END) - 5.0) / 10.0)))
                      * 1000000.0) AS BIGINT) AS quality_u
             FROM st
+        """,
+        "docs_pushdown_scan": """
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE lang = 'en' AND n_chars > 500
+            ORDER BY doc_id
         """,
         "merge_regions": """
             WITH iv AS (
