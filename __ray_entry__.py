@@ -210,8 +210,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
             [ra, rb], num_partitions=cfg.num_partitions)
 
     def q_substr(sf):
+        """substring containment over documents plus planted contained
+        variants (every 40th doc contributes a contiguous token slice
+        as a new row), so the operator's hit path is driver-visible."""
+        import pyarrow as pa
         from kmcp_ray import substr
-        return substr.substr_containment_pairs(_docs(sf), cfg)
+
+        def plant(t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+            txt = t.column("text").to_numpy(zero_copy_only=False)
+            sel = ids % 40 == 0
+            new_ids, new_txt = [], []
+            for i, x in zip(ids[sel], txt[sel]):
+                toks = (x or "").split()
+                if len(toks) < 24:
+                    continue
+                new_ids.append(int(i) + 1_000_000)
+                new_txt.append(" ".join(toks[4:4 + max(16, len(toks) // 2)]))
+            return pa.table({
+                "doc_id": pa.array(list(ids) + new_ids, pa.int64()),
+                "text": pa.array(list(txt) + new_txt, pa.string())})
+        docs = _read(sf, "documents", columns=["doc_id", "text"]) \
+            .map_batches(plant, batch_format="pyarrow", zero_copy_batch=True)
+        return substr.substr_containment_pairs(docs, cfg)
 
     def q_cluster_profile(sf):
         import pyarrow.parquet as pq

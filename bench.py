@@ -103,7 +103,8 @@ def run_bench() -> dict:
 
     for name in ["exact_dedup_docs", "minhash_dedup_docs", "simhash_dedup_docs",
                  "doc_stats", "lineitem_pricing", "events_hourly_user",
-                 "ann_topk", "lsh_cosine_pairs", "doc_fingerprint"]:
+                 "ann_topk", "lsh_cosine_pairs", "doc_fingerprint",
+                 "profile_em", "merge_regions", "search_indexed_docs"]:
         timed(name, lambda n=name: consume(qs[n](SF_DIR)))
 
     n_assign = ray.data.read_parquet(out_dir).count()

@@ -131,7 +131,9 @@ def ngram_jaccard_pairs(ds, cfg: DedupConfig = None, id_col="doc_id",
     from kmcp_ray.pipeline import edges_stage, sketch_stage
     sds = _with_str_id(ds, id_col, text_col)
     sig = sketch_stage(sds, cfg, id_col="image_id", text_col="caption",
-                       phash_col=None, bytes_col=None, batch_size=4096)
+                       phash_col=None, bytes_col=None, batch_size=4096) \
+        .materialize()     # consumed 3x in edges_stage (bands, attach,
+    #                        row-count mode switch) — sketch once
     edges = edges_stage(sig, cfg, enable=("minhash", "contain"))
 
     def to_int(batch: pa.Table) -> pa.Table:
