@@ -352,6 +352,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
                           min_hic_ureads=1, min_frags_prop=0.0),
             num_partitions=16)
 
+    def q_image_features(sf):
+        """actor-pool multimodal decode -> feature-extract stage
+        (DCT embedding per image; the model-inference plumbing)."""
+        import pyarrow.parquet as pq
+        import ray.data
+        from kmcp_ray import testgen
+        from kmcp_ray.imagecodec import image_features
+        texts = pq.read_table(f"{sf}/documents.parquet",
+                              columns=["text"]).column("text").to_pylist()
+        table, _p, _n = testgen.make_pairs_corpus(n=400, seed=42, cfg=cfg,
+                                                  captions=texts)
+        feats = image_features(ray.data.from_arrow(table), concurrency=2)
+
+        def summarize(t):
+            import pyarrow as pa
+            from kmcp_ray.arrowutil import list_to_numpy
+            vals, off = list_to_numpy(t.column("embedding"),
+                                      dtype=np.float64)
+            n = t.num_rows
+            dim = (off[1:] - off[:-1]).astype(np.int64)
+            l2 = np.sqrt(np.add.reduceat(vals * vals, off[:-1])) \
+                if len(vals) else np.zeros(n)
+            return pa.table({
+                "image_id": t.column("image_id"),
+                "emb_dim": pa.array(dim, pa.int64()),
+                "emb_l2_u": pa.array(np.floor(l2 * 1e3).astype(np.int64),
+                                     pa.int64())})
+        # scalar summary (the list column itself breaks value hashing)
+        return feats.map_batches(summarize, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+
     def q_bucket_stats(sf):
         from kmcp_ray.diagnostics import bucket_stats
         from kmcp_ray.pipeline import sketch_stage
@@ -406,6 +437,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_pushdown_scan": q_docs_pushdown,
         "search_indexed_docs": q_search_indexed,
         "decode_verify": q_decode_verify,
+        "image_features": q_image_features,
         "bucket_stats": q_bucket_stats,
     }
 

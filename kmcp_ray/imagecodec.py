@@ -188,3 +188,56 @@ def decode_verify(ds, concurrency: int = 4, batch_size: int = 256):
     return ds.map_batches(DecodeStage, batch_format="pyarrow",
                           concurrency=concurrency, batch_size=batch_size,
                           num_cpus=1)
+
+
+class FeatureStage:
+    """Actor-pool image feature extraction: decode → resize to a fixed
+    grid → per-channel stats + a low-frequency DCT embedding
+    (list<float32>), the input shape for the ann.* similarity ops.
+
+    The DCT basis is built ONCE per actor in __init__ (the model-load
+    analogue); __call__ is per-batch work over wide binary rows, so
+    keep ``batch_size`` small.  PRODUCTION: swap :func:`decode` for a
+    real codec and the DCT for a model forward pass — the Ray plumbing
+    (actor signature, schema, batch sizing) is unchanged.
+    """
+
+    def __init__(self, dct_k: int = 4):
+        self.decode = decode
+        self.d32 = _dct_matrix(32)
+        self.dct_k = dct_k
+
+    def __call__(self, batch):
+        import numpy as np
+        import pyarrow as pa
+        bts = batch.column("bytes").to_numpy(zero_copy_only=False)
+        k = self.dct_k
+        n = len(bts)
+        feats = np.zeros((n, k * k + 6), dtype=np.float32)
+        for i, data in enumerate(bts):
+            px = self.decode(data).astype(np.float64)
+            gray = px.mean(axis=2) if px.ndim == 3 else px
+            g32 = _resize32(gray)
+            coeffs = self.d32 @ g32 @ self.d32.T
+            feats[i, :k * k] = coeffs[:k, :k].reshape(-1)
+            ch = px.reshape(-1, px.shape[-1]) if px.ndim == 3 \
+                else px.reshape(-1, 1)
+            feats[i, k * k:k * k + 3] = ch.mean(axis=0)[:3] \
+                if ch.shape[1] >= 3 else ch.mean()
+            feats[i, k * k + 3:k * k + 6] = ch.std(axis=0)[:3] \
+                if ch.shape[1] >= 3 else ch.std()
+        off = pa.array(np.arange(n + 1, dtype=np.int32) * feats.shape[1])
+        emb = pa.ListArray.from_arrays(
+            off, pa.array(feats.reshape(-1), pa.float32()))
+        return pa.table({"image_id": batch.column("image_id"),
+                         "embedding": emb})
+
+
+def image_features(ds, concurrency: int = 4, batch_size: int = 256,
+                   dct_k: int = 4):
+    """Distributed decode → feature-extract: (image_id, embedding
+    list<float32>) ready for ann.topk_cosine / lsh_cosine_pairs."""
+    return ds.map_batches(FeatureStage,
+                          fn_constructor_kwargs={"dct_k": dct_k},
+                          batch_format="pyarrow", concurrency=concurrency,
+                          batch_size=batch_size, num_cpus=1)

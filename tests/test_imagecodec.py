@@ -48,3 +48,27 @@ def test_phash_chunk_keys_pigeonhole():
     ka = imagecodec.phash_chunk_keys(np.array([a]), cfg.phash_chunks)[0]
     kb = imagecodec.phash_chunk_keys(np.array([b]), cfg.phash_chunks)[0]
     assert (ka == kb).sum() >= 1
+
+
+def test_image_features_stage(ray_session):
+    """Decode -> resize -> DCT feature embedding: near-dup pixels give
+    near-identical embeddings; unrelated images do not."""
+    import ray.data
+    from kmcp_ray import imagecodec, testgen
+    from kmcp_ray.config import DedupConfig
+    cfg = DedupConfig(num_partitions=8)
+    table, planted, _neg = testgen.make_pairs_corpus(n=120, seed=21, cfg=cfg)
+    ds = ray.data.from_arrow(table)
+    feats = imagecodec.image_features(ds, concurrency=2).to_pandas()
+    assert len(feats) == len(table)
+    emb = {r.image_id: np.asarray(r.embedding, dtype=np.float64)
+           for r in feats.itertuples()}
+    d = next(iter(emb.values())).shape[0]
+    assert d == 22                                  # 4x4 DCT + 6 stats
+    # phash-planted pairs (same pixels + small noise) are cosine-close
+    ph_pairs = [(a, b) for a, b, c in planted if c == "phash"]
+    assert ph_pairs
+    for a, b in ph_pairs[:5]:
+        va, vb = emb[a], emb[b]
+        cos = va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb) + 1e-12)
+        assert cos > 0.98, (a, b, cos)
