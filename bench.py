@@ -91,8 +91,9 @@ def run_bench() -> dict:
         fn()
         queries[name] = round(time.time() - t, 3)
 
+    skip_queries = os.environ.get("GRAFT_SKIP_QUERIES") == "1"
     import __ray_entry__ as em
-    qs = em.queries()
+    qs = em.queries() if not skip_queries else {}
 
     def consume(ds_like):
         import pandas as pd
@@ -101,11 +102,13 @@ def run_bench() -> dict:
             return len(ds_like)
         return ds_like.count()
 
-    for name in ["exact_dedup_docs", "minhash_dedup_docs", "simhash_dedup_docs",
-                 "doc_stats", "lineitem_pricing", "events_hourly_user",
-                 "ann_topk", "lsh_cosine_pairs", "doc_fingerprint",
-                 "profile_em", "merge_regions", "search_indexed_docs"]:
-        timed(name, lambda n=name: consume(qs[n](SF_DIR)))
+    if not skip_queries:
+        for name in ["exact_dedup_docs", "minhash_dedup_docs",
+                     "simhash_dedup_docs", "doc_stats", "lineitem_pricing",
+                     "events_hourly_user", "ann_topk", "lsh_cosine_pairs",
+                     "doc_fingerprint", "profile_em", "merge_regions",
+                     "search_indexed_docs"]:
+            timed(name, lambda n=name: consume(qs[n](SF_DIR)))
 
     n_assign = ray.data.read_parquet(out_dir).count()
     result = {
@@ -134,7 +137,10 @@ def run_scaling() -> dict:
     design's scaling signal; all raw observations are reported.
     """
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        # scaling measures the headline pipeline only — the secondary
+        # query suite would quadruple wall time without adding signal
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   GRAFT_SKIP_QUERIES="1")
         out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                              env=env, capture_output=True, text=True,
                              check=True).stdout

@@ -12,6 +12,7 @@ import sys
 import time
 
 import duckdb
+import numpy as np
 import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -33,8 +34,11 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     for c in df.columns:
         if str(df[c].dtype).startswith("uint"):
             df[c] = df[c].astype("int64")
-    if len(df):
-        df = df.sort_values(list(df.columns), kind="mergesort")
+    sort_cols = [c for c in df.columns
+                 if len(df) == 0 or np.isscalar(df[c].iloc[0])
+                 or df[c].iloc[0] is None]
+    if len(df) and sort_cols:
+        df = df.sort_values(sort_cols, kind="mergesort")
     return df.reset_index(drop=True)
 
 
