@@ -405,6 +405,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                                   captions=texts)
         return dedup_pipeline(ray.data.from_arrow(table), cfg).assignments
 
+    def q_substr_exact(sf):
+        """Exact needle containment: 80-char prefixes of docs 0..199 as
+        needles, matched literally against the whole corpus."""
+        import pyarrow.parquet as pq
+        from kmcp_ray import substr
+        nt = pq.read_table(f"{sf}/documents.parquet",
+                           columns=["doc_id", "text"])
+        ids = nt.column("doc_id").to_numpy(zero_copy_only=False)
+        mask = ids < 200
+        needles = [(int(i), (s or "")[:80]) for i, s in
+                   zip(ids[mask], np.asarray(
+                       nt.column("text").to_numpy(zero_copy_only=False))[mask])]
+        return substr.contains_exact(_docs(sf), needles)
+
+    def q_token_jaccard(sf):
+        return docs_dedup.token_jaccard_exact(_docs(sf))
+
     return {
         "exact_dedup_docs": q_exact_dedup,
         "token_count": q_token_count,
@@ -439,6 +456,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decode_verify": q_decode_verify,
         "image_features": q_image_features,
         "bucket_stats": q_bucket_stats,
+        "substr_exact": q_substr_exact,
+        "token_jaccard_pairs": q_token_jaccard,
     }
 
 
@@ -639,5 +658,37 @@ def oracle_sql() -> dict[str, str]:
                         WHEN es >= fr THEN 'es'
                         ELSE 'fr' END AS lang_pred
             FROM sc
+        """,
+        "substr_exact": """
+            SELECT a.doc_id AS needle_id, b.doc_id AS hay_id
+            FROM documents a JOIN documents b
+              ON a.doc_id < 200 AND a.doc_id <> b.doc_id
+             AND contains(b.text, substr(a.text, 1, 80))
+            ORDER BY needle_id, hay_id
+        """,
+        "token_jaccard_pairs": """
+            WITH toks AS (
+                SELECT DISTINCT doc_id,
+                       unnest(regexp_extract_all(lower(text),
+                                                 '[a-z0-9]+')) AS tok
+                FROM documents WHERE doc_id < 300
+            ), cnt AS (
+                SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id
+            ), shared AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       count(*) AS n_shared
+                FROM toks a JOIN toks b USING (tok)
+                WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   CAST(floor(1000000.0 * n_shared /
+                              (ca.n + cb.n - n_shared)) AS BIGINT)
+                       AS jaccard_u
+            FROM shared
+            JOIN cnt ca ON ca.doc_id = id_a
+            JOIN cnt cb ON cb.doc_id = id_b
+            WHERE 1000000.0 * n_shared / (ca.n + cb.n - n_shared)
+                  >= 650000.0
+            ORDER BY id_a, id_b
         """,
     }

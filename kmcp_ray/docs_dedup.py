@@ -144,3 +144,82 @@ def ngram_jaccard_pairs(ds, cfg: DedupConfig = None, id_col="doc_id",
                          "via": batch.column("via"),
                          "score": batch.column("score")})
     return edges.map_batches(to_int, batch_format="pyarrow")
+
+
+# -------------------------------------------- exact token-Jaccard (oracle)
+
+def token_jaccard_exact(ds, *, max_id: int = 300, min_jacc_u: int = 650000,
+                        id_col="doc_id", text_col="text"):
+    """Exact distinct-token Jaccard over the ``doc_id < max_id`` slice —
+    the all-pairs ground-truth baseline the MinHash/LSH path
+    approximates (reference similarity definition:
+    kmcp/cmd/search.go:84-104 jaccard line).
+
+    Distributed shape: explode to distinct (doc, token) rows, pair
+    within per-token groups (the textbook exact algorithm — output is
+    sum_t C(df_t, 2) rows before the pair reduce, which is why LSH is
+    the scale path and this entry is bounded by ``max_id``), reduce
+    with one groupby, then attach the tiny per-doc distinct counts as
+    a broadcast lookup.
+
+    jaccard_u = floor(1e6 * shared / (n_a + n_b - shared)), float64
+    both here and in the DuckDB oracle so boundary rows agree bit-wise.
+    """
+    import pyarrow.compute as pc
+
+    sub = ds.map_batches(
+        lambda t: t.filter(pc.less(t[id_col], max_id)),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        lowered = pc.utf8_lower(batch.column(text_col))
+        lists = pc.split_pattern_regex(lowered, pattern="[^a-z0-9]+")
+        flat = pc.list_flatten(lists)
+        parent = pc.list_parent_indices(lists)
+        doc = pc.take(batch.column(id_col), parent)
+        t = pa.table({"doc": pc.cast(doc, pa.int64()), "tok": flat})
+        t = t.filter(pc.not_equal(t["tok"], ""))
+        # distinct (doc, tok) — docs are whole within a batch, so a
+        # per-batch distinct is a global distinct
+        return t.group_by(["doc", "tok"]).aggregate([])
+
+    toks = sub.map_batches(explode, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+    # per-doc distinct-token counts: <= max_id rows — the broadcast side
+    cnt_rows = toks.groupby("doc").count().take_all()
+    cnt_ids = np.array([r["doc"] for r in cnt_rows], np.int64)
+    cnt_n = np.array([r["count()"] for r in cnt_rows], np.float64)
+    order = np.argsort(cnt_ids)
+    cnt_ids, cnt_n = cnt_ids[order], cnt_n[order]
+
+    def pairs_fn(g: pa.Table) -> pa.Table:
+        d = np.sort(g.column("doc").to_numpy(zero_copy_only=False)
+                    .astype(np.int64))
+        if len(d) < 2:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64())})
+        ia, ib = np.triu_indices(len(d), k=1)
+        return pa.table({"id_a": d[ia], "id_b": d[ib]})
+
+    shared = toks.groupby("tok").map_groups(
+        pairs_fn, batch_format="pyarrow") \
+        .groupby(["id_a", "id_b"]).count()
+
+    def score(batch: pa.Table) -> pa.Table:
+        a = batch.column("id_a").to_numpy(zero_copy_only=False)
+        b = batch.column("id_b").to_numpy(zero_copy_only=False)
+        s = batch.column("count()").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        na = cnt_n[np.searchsorted(cnt_ids, a)]
+        nb = cnt_n[np.searchsorted(cnt_ids, b)]
+        j = 1000000.0 * s / (na + nb - s)
+        keep = j >= float(min_jacc_u)
+        return pa.table({
+            "id_a": pa.array(a[keep], pa.int64()),
+            "id_b": pa.array(b[keep], pa.int64()),
+            "jaccard_u": pa.array(np.floor(j[keep]).astype(np.int64),
+                                  pa.int64())})
+
+    return shared.map_batches(score, batch_format="pyarrow") \
+        .sort(["id_a", "id_b"])

@@ -135,3 +135,47 @@ def substr_containment_pairs(ds, cfg: DedupConfig = None,
             "score": batch.column("score")})
 
     return verified.map_batches(back_to_int, batch_format="pyarrow")
+
+
+# ------------------------------------------------- exact needle containment
+
+def contains_exact(ds, needles, *, id_col="doc_id", text_col="text"):
+    """Exact raw-character substring containment of a small needle set
+    against the whole corpus (the kmcp exact-containment query run in
+    reverse: instead of sketch-set containment, literal byte-sequence
+    membership, reference kmcp/cmd/search.go qCov=1 semantics).
+
+    ``needles`` is a list of ``(needle_id, needle_str)``; the set is
+    assumed small (it rides into every task as a closure constant — the
+    broadcast small side).  Each needle is matched against the corpus
+    with one vectorized ``pc.match_substring`` kernel per batch; for
+    needle counts beyond a few thousand an Aho-Corasick automaton in an
+    actor pool would replace the per-needle loop.
+
+    Returns (needle_id, hay_id) rows, self-matches excluded, sorted.
+    """
+    import pyarrow.compute as pc
+    nd = sorted((int(i), s) for i, s in needles)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        txt = batch.column(text_col)
+        out_n, out_h = [], []
+        for nid, ns in nd:
+            if not ns:
+                continue
+            m = pc.match_substring(txt, pattern=ns).to_numpy(
+                zero_copy_only=False)
+            hit = ids[np.asarray(m, dtype=bool)]
+            hit = hit[hit != nid]
+            if len(hit):
+                out_h.append(hit)
+                out_n.append(np.full(len(hit), nid, np.int64))
+        if not out_h:
+            return pa.table({"needle_id": pa.array([], pa.int64()),
+                             "hay_id": pa.array([], pa.int64())})
+        return pa.table({"needle_id": np.concatenate(out_n),
+                         "hay_id": np.concatenate(out_h)})
+
+    return ds.map_batches(fn, batch_format="pyarrow",
+                          zero_copy_batch=True).sort(["needle_id", "hay_id"])

@@ -70,3 +70,32 @@ def test_ngram_jaccard_pairs(ray_session):
     assert (0, 2) in pairs and pairs[(0, 2)][0] == "contain"
     assert pairs[(0, 2)][1] == 1.0             # true subset containment
     assert (3, 4) in pairs
+
+
+def test_contains_exact(ray_session):
+    import ray.data
+    from kmcp_ray import substr
+    texts = ["alpha beta gamma delta", "xx alpha beta gamma delta yy",
+             "unrelated words only here", "alpha beta"]
+    tbl = pa.table({"doc_id": pa.array(range(4), pa.int64()),
+                    "text": pa.array(texts)})
+    out = substr.contains_exact(
+        ray.data.from_arrow(tbl),
+        [(0, texts[0]), (3, texts[3])]).to_pandas()
+    got = set(zip(out.needle_id, out.hay_id))
+    # doc0 is a literal substring of doc1; "alpha beta" occurs in 0 and 1
+    assert got == {(0, 1), (3, 0), (3, 1)}
+
+
+def test_token_jaccard_exact(ray_session):
+    import ray.data
+    tbl = pa.table({"doc_id": pa.array(range(4), pa.int64()),
+                    "text": pa.array([
+                        "a b c d",            # {a,b,c,d}
+                        "a b c e",            # jacc with 0: 3/5 = 0.6
+                        "a b c d",            # exact dup of 0: 1.0
+                        "z y x w v"])})       # disjoint
+    out = docs_dedup.token_jaccard_exact(
+        ray.data.from_arrow(tbl), max_id=10, min_jacc_u=600000).to_pandas()
+    got = {(a, b): j for a, b, j in zip(out.id_a, out.id_b, out.jaccard_u)}
+    assert got == {(0, 1): 600000, (0, 2): 1000000, (1, 2): 600000}
