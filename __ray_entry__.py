@@ -422,6 +422,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_token_jaccard(sf):
         return docs_dedup.token_jaccard_exact(_docs(sf))
 
+    def q_grouped_sketch(sf):
+        """M7 concat-with-spacers analogue: docs grouped by doc_id%50,
+        one sketch per group = union of member shingle sets (shingles
+        never cross member boundaries); scalar columns only (the
+        sketch list itself breaks the driver's value hash)."""
+        import pyarrow as pa
+        from kmcp_ray.groupsketch import grouped_sketch
+
+        def add_gid(t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+            return t.append_column(
+                "group_id", pa.array((ids % 50).astype(str), pa.string()))
+        ds = _read(sf, "documents", columns=["doc_id", "text"]) \
+            .map_batches(add_gid, batch_format="pyarrow",
+                         zero_copy_batch=True)
+        out = grouped_sketch(ds, cfg, num_partitions=16)
+        return out.select_columns(
+            ["group_id", "n_members", "n_tokens", "n_distinct"]) \
+            .sort("group_id")
+
     return {
         "exact_dedup_docs": q_exact_dedup,
         "token_count": q_token_count,
@@ -458,6 +478,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bucket_stats": q_bucket_stats,
         "substr_exact": q_substr_exact,
         "token_jaccard_pairs": q_token_jaccard,
+        "grouped_sketch": q_grouped_sketch,
     }
 
 
@@ -665,6 +686,33 @@ def oracle_sql() -> dict[str, str]:
               ON a.doc_id < 200 AND a.doc_id <> b.doc_id
              AND contains(b.text, substr(a.text, 1, 80))
             ORDER BY needle_id, hay_id
+        """,
+        "grouped_sketch": """
+            WITH t AS (
+                SELECT CAST(doc_id % 50 AS VARCHAR) AS group_id,
+                       regexp_extract_all(lower(coalesce(text, '')),
+                                          '[a-z0-9]+') AS tk
+                FROM documents
+            ), sh AS (
+                SELECT group_id, unnest(
+                    CASE WHEN len(tk) >= 3 THEN list_transform(
+                              generate_series(1, len(tk) - 2),
+                              i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+                         WHEN len(tk) > 0 THEN [array_to_string(tk, ' ')]
+                         ELSE [] END) AS s
+                FROM t
+            ), d AS (
+                SELECT group_id, count(DISTINCT s) AS n_distinct
+                FROM sh GROUP BY group_id
+            ), m AS (
+                SELECT group_id, count(*) AS n_members,
+                       CAST(sum(len(tk)) AS BIGINT) AS n_tokens
+                FROM t GROUP BY group_id
+            )
+            SELECT m.group_id, m.n_members, m.n_tokens,
+                   CAST(coalesce(d.n_distinct, 0) AS BIGINT) AS n_distinct
+            FROM m LEFT JOIN d USING (group_id)
+            ORDER BY group_id
         """,
         "token_jaccard_pairs": """
             WITH toks AS (
