@@ -148,7 +148,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from kmcp_ray import search as search_mod
         docs = _docs(sf)
         queries_ds = docs.map_batches(
-            lambda t: t.filter(pc.less(t["doc_id"], 20)),
+            lambda t: t.filter(pc.less(t["doc_id"], 100)),
             batch_format="pyarrow", zero_copy_batch=True)
         out = search_mod.search(
             queries_ds, docs, cfg, query_id="doc_id", query_text="text",
@@ -278,7 +278,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from kmcp_ray import search as search_mod
         docs = _docs(sf)
         queries_ds = docs.map_batches(
-            lambda t: t.filter(pc.less(t["doc_id"], 20)),
+            lambda t: t.filter(pc.less(t["doc_id"], 100)),
             batch_format="pyarrow", zero_copy_batch=True)
         out = search_mod.search_indexed(
             queries_ds, docs, cfg, query_id="doc_id", query_text="text",
@@ -422,6 +422,47 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_token_jaccard(sf):
         return docs_dedup.token_jaccard_exact(_docs(sf))
 
+    def q_search_exact(sf):
+        """Exact containment search (J1/A1/A2) with the FPR gate off
+        and integer-ized scores — value-exact vs a 3-shingle self-join
+        oracle.  search_scale=1 makes candidate generation exhaustive
+        (every shared shingle is a bucket key), so this is kmcp's
+        exact k-mer containment mode end-to-end."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from kmcp_ray import search as search_mod
+        docs = _docs(sf)
+        queries_ds = docs.map_batches(
+            lambda t: t.filter(pc.less(t["doc_id"], 100)),
+            batch_format="pyarrow", zero_copy_batch=True)
+        out = search_mod.search(
+            queries_ds, docs, cfg, query_id="doc_id", query_text="text",
+            ref_id="doc_id", ref_text="text", min_qcov=0.01, min_shared=1,
+            max_fpr=1.0)
+
+        def finalize(t: pa.Table) -> pa.Table:
+            q = t.column("query").to_numpy(zero_copy_only=False)
+            tg = t.column("target").to_numpy(zero_copy_only=False)
+            keep = q != tg
+            c = t.column("m_shared").to_numpy(zero_copy_only=False)[keep]
+            kq = t.column("q_kept").to_numpy(zero_copy_only=False)[keep]
+            kt = t.column("t_kept").to_numpy(zero_copy_only=False)[keep]
+            return pa.table({
+                "query": pa.array(q[keep], pa.string()),
+                "target": pa.array(tg[keep], pa.string()),
+                "m_shared": pa.array(c.astype(np.int64), pa.int64()),
+                "q_kept": pa.array(kq.astype(np.int64), pa.int64()),
+                "t_kept": pa.array(kt.astype(np.int64), pa.int64()),
+                "qcov_u": pa.array(np.floor(1000000.0 * c / kq)
+                                   .astype(np.int64), pa.int64()),
+                "tcov_u": pa.array(np.floor(1000000.0 * c / kt)
+                                   .astype(np.int64), pa.int64()),
+                "jacc_u": pa.array(np.floor(1000000.0 * c / (kq + kt - c))
+                                   .astype(np.int64), pa.int64())})
+        return out.map_batches(finalize, batch_format="pyarrow",
+                               zero_copy_batch=True) \
+            .sort(["query", "target"])
+
     def q_grouped_sketch(sf):
         """M7 concat-with-spacers analogue: docs grouped by doc_id%50,
         one sketch per group = union of member shingle sets (shingles
@@ -479,6 +520,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "substr_exact": q_substr_exact,
         "token_jaccard_pairs": q_token_jaccard,
         "grouped_sketch": q_grouped_sketch,
+        "search_exact_docs": q_search_exact,
     }
 
 
@@ -686,6 +728,46 @@ def oracle_sql() -> dict[str, str]:
               ON a.doc_id < 200 AND a.doc_id <> b.doc_id
              AND contains(b.text, substr(a.text, 1, 80))
             ORDER BY needle_id, hay_id
+        """,
+        "search_exact_docs": """
+            WITH t AS (
+                SELECT CAST(doc_id AS VARCHAR) AS id, doc_id AS did,
+                       regexp_extract_all(lower(coalesce(text, '')),
+                                          '[a-z0-9]+') AS tk
+                FROM documents
+            ), sh AS (
+                SELECT id, did, unnest(
+                    CASE WHEN len(tk) >= 3 THEN list_transform(
+                              generate_series(1, len(tk) - 2),
+                              i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+                         WHEN len(tk) > 0 THEN [array_to_string(tk, ' ')]
+                         ELSE [] END) AS s
+                FROM t
+            ), d AS (
+                SELECT DISTINCT id, did, s FROM sh
+            ), cnt AS (
+                SELECT id, count(*) AS n FROM d GROUP BY id
+            ), shared AS (
+                SELECT q.id AS query, r.id AS target,
+                       count(*) AS m_shared
+                FROM d q JOIN d r USING (s)
+                WHERE q.did < 100 AND q.did <> r.did
+                GROUP BY 1, 2
+            )
+            SELECT query, target, m_shared,
+                   cq.n AS q_kept, cr.n AS t_kept,
+                   CAST(floor(1000000.0 * m_shared / cq.n) AS BIGINT)
+                       AS qcov_u,
+                   CAST(floor(1000000.0 * m_shared / cr.n) AS BIGINT)
+                       AS tcov_u,
+                   CAST(floor(1000000.0 * m_shared / (cq.n + cr.n - m_shared))
+                       AS BIGINT) AS jacc_u
+            FROM shared
+            JOIN cnt cq ON cq.id = query
+            JOIN cnt cr ON cr.id = target
+            WHERE m_shared >= 1
+              AND 1.0 * m_shared / cq.n >= 0.01
+            ORDER BY query, target
         """,
         "grouped_sketch": """
             WITH t AS (

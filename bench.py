@@ -136,10 +136,18 @@ def run_scaling() -> dict:
     level runs twice, alternating, and the best run per level is the
     design's scaling signal; all raw observations are reported.
     """
+    # the corpus must be compute-dominated at the LOW cpu count or the
+    # comparison only measures fixed startup overhead: at 100k rows the
+    # whole pipeline finishes in ~5 s and 8→32 CPUs can't show; 800k
+    # rows puts >30 s of parallel work on the board at 8 CPUs
+    rows = int(os.environ.get("GRAFT_SCALING_ROWS",
+                              str(max(BENCH_ROWS, 800000))))
+
     def run(ncpu: int) -> dict:
         # scaling measures the headline pipeline only — the secondary
         # query suite would quadruple wall time without adding signal
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   GRAFT_BENCH_ROWS=str(rows),
                    GRAFT_SKIP_QUERIES="1")
         out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                              env=env, capture_output=True, text=True,
@@ -157,10 +165,10 @@ def run_scaling() -> dict:
                   f"num_cpus={lo} vs {hi}; best of 2 alternating runs)",
         "sec_8": t_lo, "sec_32": t_hi,
         "all_sec_8": obs[lo], "all_sec_32": obs[hi],
-        "images_per_sec_8": round(BENCH_ROWS / t_lo, 1),
-        "images_per_sec_32": round(BENCH_ROWS / t_hi, 1),
+        "images_per_sec_8": round(rows / t_lo, 1),
+        "images_per_sec_32": round(rows / t_hi, 1),
         "scaling_efficiency": round(eff, 3),
-        "rows": BENCH_ROWS,
+        "rows": rows,
         "unit": "ratio",
         "value": round(eff, 3),
     }

@@ -16,22 +16,21 @@ import numpy as np
 
 def build_blob_table(ids, blobs):
     """ids: sequence of str; blobs: sequence of bytes|None →
-    (keys_S_sorted, offsets_int64, buffer_uint8)."""
+    (keys_S_sorted, starts_int64, lens_int64, buffer_uint8).
+
+    The byte buffer stays in INPUT order — only the per-row (start,
+    len) index is key-sorted.  Physically reordering the payload would
+    need a values-sized gather index (bytes-count int64 entries ≈ 8×
+    the payload in fresh pages), which on hosts with slow first-touch
+    faults costs more than the whole rest of the pipeline stage."""
     keys = np.asarray(ids, dtype="S")
     order = np.argsort(keys, kind="stable")
-    keys = keys[order]
-    lens = np.fromiter(((len(blobs[i]) if blobs[i] is not None else 0)
-                        for i in order), dtype=np.int64, count=len(order))
-    offsets = np.zeros(len(order) + 1, dtype=np.int64)
-    np.cumsum(lens, out=offsets[1:])
-    buf = np.empty(int(offsets[-1]), dtype=np.uint8)
-    pos = 0
-    for i in order:
-        b = blobs[i]
-        if b:
-            buf[pos:pos + len(b)] = np.frombuffer(b, dtype=np.uint8)
-            pos += len(b)
-    return keys, offsets, buf
+    lens_all = np.fromiter((len(b) if b is not None else 0 for b in blobs),
+                           dtype=np.int64, count=len(keys))
+    src_off = np.zeros(len(lens_all) + 1, dtype=np.int64)
+    np.cumsum(lens_all, out=src_off[1:])
+    buf = np.frombuffer(b"".join(b or b"" for b in blobs), dtype=np.uint8)
+    return keys[order], src_off[:-1][order], lens_all[order], buf
 
 
 def _harmonize(keys: np.ndarray, probe_ids) -> tuple:
@@ -44,7 +43,7 @@ def _harmonize(keys: np.ndarray, probe_ids) -> tuple:
 
 def probe_blob_table(table, probe_ids) -> list:
     """→ list of memoryview|None per probe id (slices of the buffer)."""
-    keys, offsets, buf = table
+    keys, starts, lens, buf = table
     if len(keys) == 0:
         return [None] * len(probe_ids)
     keys, probes = _harmonize(keys, probe_ids)
@@ -53,9 +52,9 @@ def probe_blob_table(table, probe_ids) -> list:
     n = len(keys)
     mv = memoryview(buf)
     for i, p in enumerate(pos):
-        if p < n and keys[p] == probes[i]:
-            s, e = offsets[p], offsets[p + 1]
-            out.append(mv[s:e] if e > s else None)
+        if p < n and keys[p] == probes[i] and lens[p] > 0:
+            s = starts[p]
+            out.append(mv[s:s + lens[p]])
         else:
             out.append(None)
     return out
@@ -130,8 +129,8 @@ def collect_blob_table(ds, id_col: str, blob_col: str):
         len_parts.append(lens)
         buf_parts.append(flat_np)
     if not ids_parts:
-        return (np.empty(0, "S1"), np.zeros(1, np.int64),
-                np.empty(0, np.uint8))
+        return (np.empty(0, "S1"), np.empty(0, np.int64),
+                np.empty(0, np.int64), np.empty(0, np.uint8))
     ids = np.concatenate(ids_parts)
     lens = np.concatenate(len_parts)
     buf = np.concatenate(buf_parts)
@@ -139,11 +138,8 @@ def collect_blob_table(ds, id_col: str, blob_col: str):
     np.cumsum(lens, out=src_off[1:])
     keys = np.asarray(ids, dtype="S")
     order = np.argsort(keys, kind="stable")
-    keys_s = keys[order]
-    lens_s = lens[order]
-    offsets = np.zeros(len(lens) + 1, dtype=np.int64)
-    np.cumsum(lens_s, out=offsets[1:])
-    # vectorized gather of the reordered blob bytes
-    from kmcp_ray.bands import _segment_gather
-    gather = _segment_gather(src_off[:-1][order], lens_s)
-    return keys_s, offsets, buf[gather]
+    # index-only sort: the byte buffer keeps arrival order; probes
+    # slice it via (start, len).  A physical reorder would need a
+    # bytes-count gather index (8 bytes per payload byte of fresh
+    # pages) — measured 70+ s at 133 MB payload on slow-fault hosts.
+    return keys[order], src_off[:-1][order], lens[order], buf
