@@ -33,6 +33,36 @@ def _read(sf_dir: str, name: str, columns=None):
     return ray.data.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
 
 
+def _finalize_matches(out, drop_self: bool = True):
+    """Match table → integer-ized score columns (micro units) sorted by
+    (query, target) — float qcov/tcov/jacc hash unreliably in the
+    driver's value compare, int64 floors don't."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def finalize(t: pa.Table) -> pa.Table:
+        q = t.column("query").to_numpy(zero_copy_only=False)
+        tg = t.column("target").to_numpy(zero_copy_only=False)
+        keep = (q != tg) if drop_self else np.ones(len(q), bool)
+        c = t.column("m_shared").to_numpy(zero_copy_only=False)[keep]
+        kq = t.column("q_kept").to_numpy(zero_copy_only=False)[keep]
+        kt = t.column("t_kept").to_numpy(zero_copy_only=False)[keep]
+        return pa.table({
+            "query": pa.array(q[keep], pa.string()),
+            "target": pa.array(tg[keep], pa.string()),
+            "m_shared": pa.array(c.astype(np.int64), pa.int64()),
+            "q_kept": pa.array(kq.astype(np.int64), pa.int64()),
+            "t_kept": pa.array(kt.astype(np.int64), pa.int64()),
+            "qcov_u": pa.array(np.floor(1000000.0 * c / kq)
+                               .astype(np.int64), pa.int64()),
+            "tcov_u": pa.array(np.floor(1000000.0 * c / kt)
+                               .astype(np.int64), pa.int64()),
+            "jacc_u": pa.array(np.floor(1000000.0 * c / (kq + kt - c))
+                               .astype(np.int64), pa.int64())})
+    return out.map_batches(finalize, batch_format="pyarrow",
+                           zero_copy_batch=True).sort(["query", "target"])
+
+
 # --------------------------------------------------------------- flagship
 
 def entry() -> Any:
@@ -189,7 +219,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from kmcp_ray import search as search_mod
         docs = _docs(sf)
         queries_ds = docs.map_batches(
-            lambda t: t.filter(pc.less(t["doc_id"], 10)),
+            lambda t: t.filter(pc.less(t["doc_id"], 100)),
             batch_format="pyarrow", zero_copy_batch=True)
         # shards overlap on doc_id % 3 == 1
         def shard(keep_mods):
@@ -202,12 +232,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                    zero_copy_batch=True)
         shard_b = docs.map_batches(shard([1, 2]), batch_format="pyarrow",
                                    zero_copy_batch=True)
-        ra = search_mod.search(queries_ds, shard_a, cfg, min_qcov=0.2,
-                               min_shared=1)
-        rb = search_mod.search(queries_ds, shard_b, cfg, min_qcov=0.2,
-                               min_shared=1)
-        return search_mod.intersect_search_results(
-            [ra, rb], num_partitions=cfg.num_partitions)
+        ra = search_mod.search(queries_ds, shard_a, cfg, min_qcov=0.01,
+                               min_shared=1, max_fpr=1.0)
+        rb = search_mod.search(queries_ds, shard_b, cfg, min_qcov=0.01,
+                               min_shared=1, max_fpr=1.0)
+        return _finalize_matches(search_mod.intersect_search_results(
+            [ra, rb], num_partitions=cfg.num_partitions))
 
     def q_substr(sf):
         """substring containment over documents plus planted contained
@@ -283,12 +313,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = search_mod.search_indexed(
             queries_ds, docs, cfg, query_id="doc_id", query_text="text",
             ref_id="doc_id", ref_text="text", min_qcov=0.3, min_shared=2,
-            concurrency=2)
-        import pyarrow as pa
-
-        def drop_self(t: pa.Table) -> pa.Table:
-            return t.filter(pc.invert(pc.equal(t["query"], t["target"])))
-        return out.map_batches(drop_self, batch_format="pyarrow")
+            max_fpr=1.0, concurrency=2)
+        return _finalize_matches(out)
 
     def q_merge_regions(sf):
         """interval merge (kmcp merge-regions S11): deterministic
@@ -321,9 +347,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         refs = docs.map_batches(
             lambda t: t.filter(pc.greater_equal(t["doc_id"], 30)),
             batch_format="pyarrow", zero_copy_batch=True)
-        return search_mod.assign_best_target(
+        return _finalize_matches(search_mod.assign_best_target(
             queries_ds, refs, cfg, min_qcov=0.05, min_shared=1,
-            max_fpr=1.0)
+            max_fpr=1.0), drop_self=False)
 
     def q_longdoc_overlap(sf):
         """chunk slider + containment search: partial-overlap pairs
@@ -439,29 +465,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             queries_ds, docs, cfg, query_id="doc_id", query_text="text",
             ref_id="doc_id", ref_text="text", min_qcov=0.01, min_shared=1,
             max_fpr=1.0)
-
-        def finalize(t: pa.Table) -> pa.Table:
-            q = t.column("query").to_numpy(zero_copy_only=False)
-            tg = t.column("target").to_numpy(zero_copy_only=False)
-            keep = q != tg
-            c = t.column("m_shared").to_numpy(zero_copy_only=False)[keep]
-            kq = t.column("q_kept").to_numpy(zero_copy_only=False)[keep]
-            kt = t.column("t_kept").to_numpy(zero_copy_only=False)[keep]
-            return pa.table({
-                "query": pa.array(q[keep], pa.string()),
-                "target": pa.array(tg[keep], pa.string()),
-                "m_shared": pa.array(c.astype(np.int64), pa.int64()),
-                "q_kept": pa.array(kq.astype(np.int64), pa.int64()),
-                "t_kept": pa.array(kt.astype(np.int64), pa.int64()),
-                "qcov_u": pa.array(np.floor(1000000.0 * c / kq)
-                                   .astype(np.int64), pa.int64()),
-                "tcov_u": pa.array(np.floor(1000000.0 * c / kt)
-                                   .astype(np.int64), pa.int64()),
-                "jacc_u": pa.array(np.floor(1000000.0 * c / (kq + kt - c))
-                                   .astype(np.int64), pa.int64())})
-        return out.map_batches(finalize, batch_format="pyarrow",
-                               zero_copy_batch=True) \
-            .sort(["query", "target"])
+        return _finalize_matches(out)
 
     def q_grouped_sketch(sf):
         """M7 concat-with-spacers analogue: docs grouped by doc_id%50,
@@ -527,6 +531,57 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # ------------------------------------------------------------- oracle SQL
 
 def oracle_sql() -> dict[str, str]:
+    # shared CTE: exact distinct 3-token-shingle sets per document +
+    # per-doc kept counts — the SQL mirror of the engine's scale=1
+    # (exact containment) sketch.  {QF}/{RF} filter the two join sides;
+    # {GATES} holds the per-query thresholds.
+    shingle_cte = """
+            WITH t AS (
+                SELECT CAST(doc_id AS VARCHAR) AS id, doc_id AS did,
+                       regexp_extract_all(lower(coalesce(text, '')),
+                                          '[a-z0-9]+') AS tk
+                FROM documents
+            ), sh AS (
+                SELECT id, did, unnest(
+                    CASE WHEN len(tk) >= 3 THEN list_transform(
+                              generate_series(1, len(tk) - 2),
+                              i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+                         WHEN len(tk) > 0 THEN [array_to_string(tk, ' ')]
+                         ELSE [] END) AS s
+                FROM t
+            ), d AS (
+                SELECT DISTINCT id, did, s FROM sh
+            ), cnt AS (
+                SELECT id, count(*) AS n FROM d GROUP BY id
+            ), shared AS (
+                SELECT q.id AS query, q.did AS qdid,
+                       r.id AS target, r.did AS tdid,
+                       count(*) AS m_shared
+                FROM d q JOIN d r USING (s)
+                WHERE ({QF}) AND ({RF}) AND q.did <> r.did
+                GROUP BY 1, 2, 3, 4
+            ), scored AS (
+                SELECT query, target, m_shared,
+                       cq.n AS q_kept, cr.n AS t_kept,
+                       CAST(floor(1000000.0 * m_shared / cq.n) AS BIGINT)
+                           AS qcov_u,
+                       CAST(floor(1000000.0 * m_shared / cr.n) AS BIGINT)
+                           AS tcov_u,
+                       CAST(floor(1000000.0 * m_shared
+                                  / (cq.n + cr.n - m_shared)) AS BIGINT)
+                           AS jacc_u
+                FROM shared
+                JOIN cnt cq ON cq.id = query
+                JOIN cnt cr ON cr.id = target
+                WHERE {GATES}
+            )
+    """
+
+    def containment(qf, rf, gates, tail):
+        return (shingle_cte
+                .replace("{QF}", qf).replace("{RF}", rf)
+                .replace("{GATES}", gates) + tail)
+
     return {
         "exact_dedup_docs": """
             SELECT doc_id,
@@ -729,46 +784,34 @@ def oracle_sql() -> dict[str, str]:
              AND contains(b.text, substr(a.text, 1, 80))
             ORDER BY needle_id, hay_id
         """,
-        "search_exact_docs": """
-            WITH t AS (
-                SELECT CAST(doc_id AS VARCHAR) AS id, doc_id AS did,
-                       regexp_extract_all(lower(coalesce(text, '')),
-                                          '[a-z0-9]+') AS tk
-                FROM documents
-            ), sh AS (
-                SELECT id, did, unnest(
-                    CASE WHEN len(tk) >= 3 THEN list_transform(
-                              generate_series(1, len(tk) - 2),
-                              i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
-                         WHEN len(tk) > 0 THEN [array_to_string(tk, ' ')]
-                         ELSE [] END) AS s
-                FROM t
-            ), d AS (
-                SELECT DISTINCT id, did, s FROM sh
-            ), cnt AS (
-                SELECT id, count(*) AS n FROM d GROUP BY id
-            ), shared AS (
-                SELECT q.id AS query, r.id AS target,
-                       count(*) AS m_shared
-                FROM d q JOIN d r USING (s)
-                WHERE q.did < 100 AND q.did <> r.did
-                GROUP BY 1, 2
-            )
-            SELECT query, target, m_shared,
-                   cq.n AS q_kept, cr.n AS t_kept,
-                   CAST(floor(1000000.0 * m_shared / cq.n) AS BIGINT)
-                       AS qcov_u,
-                   CAST(floor(1000000.0 * m_shared / cr.n) AS BIGINT)
-                       AS tcov_u,
-                   CAST(floor(1000000.0 * m_shared / (cq.n + cr.n - m_shared))
-                       AS BIGINT) AS jacc_u
-            FROM shared
-            JOIN cnt cq ON cq.id = query
-            JOIN cnt cr ON cr.id = target
-            WHERE m_shared >= 1
-              AND 1.0 * m_shared / cq.n >= 0.01
-            ORDER BY query, target
-        """,
+        "search_exact_docs": containment(
+            "q.did < 100", "TRUE",
+            "m_shared >= 1 AND 1.0 * m_shared / cq.n >= 0.01",
+            "SELECT * FROM scored ORDER BY query, target"),
+        "search_indexed_docs": containment(
+            "q.did < 100", "TRUE",
+            "m_shared >= 2 AND 1.0 * m_shared / cq.n >= 0.3",
+            "SELECT * FROM scored ORDER BY query, target"),
+        "search_intersect_docs": containment(
+            # targets must be present in BOTH overlapping shards
+            # (doc_id%3 in {0,1} and {1,2}) => doc_id%3 == 1; exact
+            # counts make the per-shard rows identical, so the
+            # min-count intersection row equals the single computation
+            "q.did < 100", "r.did % 3 = 1",
+            "m_shared >= 1 AND 1.0 * m_shared / cq.n >= 0.01",
+            "SELECT * FROM scored ORDER BY query, target"),
+        "assign_best_target": containment(
+            "q.did < 30", "r.did >= 30",
+            "m_shared >= 1 AND 1.0 * m_shared / cq.n >= 0.05",
+            """
+            SELECT query, target, m_shared, q_kept, t_kept,
+                   qcov_u, tcov_u, jacc_u
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY query
+                      ORDER BY m_shared DESC, target ASC) AS rn
+                  FROM scored)
+            WHERE rn = 1
+            ORDER BY query, target"""),
         "grouped_sketch": """
             WITH t AS (
                 SELECT CAST(doc_id % 50 AS VARCHAR) AS group_id,
