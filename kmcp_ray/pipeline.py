@@ -309,17 +309,24 @@ def dedup_pipeline(ds, cfg: DedupConfig = DedupConfig(), *,
             edges_ds = edges_ds.materialize()
 
     # --- stage 3: connected components + emission ---
-    # mode switch (kmcp load-whole vs mmap analogue): small edge sets
-    # finish union-find on the driver + broadcast the map; large ones
-    # run distributed label propagation + a partitioned join
+    # mode switch (kmcp load-whole vs mmap analogue): the raw candidate
+    # edge count is inflated by band duplication, so first reduce each
+    # edge block to its spanning forest (distributed, map-only; forest
+    # edges == non-root duplicate nodes) and switch on THAT — the
+    # metric that actually bounds driver memory.  Small forests finish
+    # union-find on the driver + broadcast the map; large ones run
+    # distributed label propagation + a partitioned join.
     ids_ds = sig_ds.select_columns([id_col])
-    n_edges = edges_ds.count()
-    if n_edges <= cfg.broadcast_assign_edges:
-        cluster_map = cc_mod.connected_components(edges_ds)
+    forest = edges_ds.select_columns(["id_a", "id_b"]) \
+        .map_batches(cc_mod.spanning_forest_batch, batch_format="pyarrow",
+                     batch_size=1 << 20).materialize()
+    n_forest = forest.count()
+    if n_forest <= cfg.broadcast_assign_edges:
+        cluster_map = cc_mod.connected_components(forest, reduce_rounds=0)
         assignments = assign_stage(ids_ds, cluster_map, id_col=id_col)
     else:
         cluster_map = {}
-        labels = cc_mod.labels_via_exchange(edges_ds, cfg.num_partitions)
+        labels = cc_mod.labels_via_exchange(forest, cfg.num_partitions)
         assignments = assign_via_join(ids_ds, labels, cfg, id_col=id_col)
     if workdir and not _done(workdir, "03_clusters"):
         assignments = _checkpoint(assignments, workdir, "03_clusters")
