@@ -68,6 +68,17 @@ def build_str_table(keys_seq, values_seq):
     return keys[order], values[order]
 
 
+def build_map_table(cluster_map):
+    """dict OR (nodes, roots) array pair → sorted str table.  The array
+    form skips the per-entry Python dict walk (a 1.5M-node cluster map
+    costs seconds as a dict, milliseconds as two numpy gathers)."""
+    if isinstance(cluster_map, tuple):
+        nodes, roots = cluster_map
+        return build_str_table(nodes, roots)
+    keys = list(cluster_map.keys())
+    return build_str_table(keys, [cluster_map[k] for k in keys])
+
+
 def probe_str_table(table, probe_ids, default_self: bool = True):
     """→ object ndarray of str; missing keys map to themselves when
     ``default_self`` (singleton rows are their own cluster)."""

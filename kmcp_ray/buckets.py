@@ -35,7 +35,6 @@ from __future__ import annotations
 import logging
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 from kmcp_ray import imagecodec
@@ -117,8 +116,11 @@ def make_bucket_verifier(cfg: DedupConfig):
         phash, _ = list_to_numpy(column(batch, "phash"), dtype=np.int64)
         ph_u = phash.view(np.uint64)
 
-        # rank ids once so all later sorts are integer sorts
-        _, id_rank = np.unique(ids, return_inverse=True)
+        # rank ids once so all later sorts are integer sorts; rank order
+        # == lexicographic id order, so rank compares replace string
+        # compares everywhere below
+        uids, id_rank = np.unique(ids, return_inverse=True)
+        n_ids = np.uint64(max(1, len(uids)))
 
         order = np.lexsort((id_rank, keys, kinds))
         k_s, key_s = kinds[order], keys[order]
@@ -145,7 +147,7 @@ def make_bucket_verifier(cfg: DedupConfig):
             pos = np.arange(m)[rows_mask]
             r, mem = _stars_by_group(order[pos], seg_id[pos])
             star_roots.append(r); star_members.append(mem)
-            star_via.append(np.full(len(mem), "exact", dtype=object))
+            star_via.append(np.full(len(mem), 0, dtype=np.int8))
 
         # ---- high-df containment buckets: identical-sketch stars only -----
         sel = (seg_kind == KIND_CONTAIN) & (seg_size > cfg.max_shingle_df)
@@ -157,7 +159,7 @@ def make_bucket_verifier(cfg: DedupConfig):
             r, mem = _stars_by_group(rows[sub], seg_id[pos][sub],
                                      sk_fold[rows][sub])
             star_roots.append(r); star_members.append(mem)
-            star_via.append(np.full(len(mem), "minhash", dtype=object))
+            star_via.append(np.full(len(mem), 1, dtype=np.int8))
 
         # ---- oversized buckets (salted): ident stars + capped rep pairs ---
         sel_over = (seg_size > cfg.max_bucket) &             ~((seg_kind == KIND_CONTAIN) & (seg_size > cfg.max_shingle_df)) &             (seg_kind != KIND_EXACT)
@@ -169,9 +171,9 @@ def make_bucket_verifier(cfg: DedupConfig):
                 else ph_u[rows]
             sub = np.argsort(ident, kind="stable")
             r, mem = _stars_by_group(rows[sub], ident[sub])
-            via = "phash" if kind == KIND_PHASH else "minhash"
             star_roots.append(r); star_members.append(mem)
-            star_via.append(np.full(len(mem), via, dtype=object))
+            star_via.append(np.full(
+                len(mem), 2 if kind == KIND_PHASH else 1, dtype=np.int8))
             first = np.concatenate(([True], ident[sub][1:] != ident[sub][:-1]))
             reps = rows[sub][first]
             reps = reps[np.argsort(id_rank[reps], kind="stable")]
@@ -181,9 +183,8 @@ def make_bucket_verifier(cfg: DedupConfig):
             if len(reps) >= 2:
                 ii, jj = np.triu_indices(len(reps), k=1)
                 pair_i.append(reps[ii]); pair_j.append(reps[jj])
-                pair_cls.append(np.full(len(ii),
-                                        "sk" if kind != KIND_PHASH else "ph",
-                                        dtype=object))
+                pair_cls.append(np.full(
+                    len(ii), 0 if kind == KIND_PHASH else 1, dtype=np.int8))
 
         # ---- normal buckets: all pairs ------------------------------------
         sel = (seg_size >= 2) & (seg_size <= cfg.max_bucket) & \
@@ -192,7 +193,7 @@ def make_bucket_verifier(cfg: DedupConfig):
         if sel.any():
             f, s2 = _pairs_within_segments(seg_start[sel], seg_end[sel])
             rows_f, rows_s = order[f], order[s2]
-            cls = np.where(k_s[f] == KIND_PHASH, "ph", "sk").astype(object)
+            cls = np.where(k_s[f] == KIND_PHASH, 0, 1).astype(np.int8)
             pair_i.append(rows_f); pair_j.append(rows_s)
             pair_cls.append(cls)
 
@@ -200,63 +201,67 @@ def make_bucket_verifier(cfg: DedupConfig):
             logger.warning("bucket cap overflow: %d representatives dropped "
                            "in partition (max_bucket=%d)", dropped, cfg.max_bucket)
 
-        # ---- assemble + dedup star edges ----------------------------------
+        # ---- assemble + dedup (integer ranks — no pandas object-dtype
+        # hashtables: on this host the per-group allocation volume of
+        # object-array factorize/drop_duplicates dominated wall time
+        # through machine-serialized first-touch page faults) ----------
+        VIA_NAMES = np.array(["exact", "minhash", "phash", "cand"],
+                             dtype=object)
         out_tables = []
         if star_roots:
             r = np.concatenate(star_roots)
             mem = np.concatenate(star_members)
-            via = np.concatenate(star_via)
-            df = pd.DataFrame({"a": ids[r], "b": ids[mem], "via": via})
-            df = df.drop_duplicates(subset=["a", "b", "via"])
+            viac = np.concatenate(star_via)
+            ra, rb = id_rank[r], id_rank[mem]
+            key = (viac.astype(np.uint64) * n_ids
+                   + ra.astype(np.uint64)) * n_ids + rb.astype(np.uint64)
+            _, ix = np.unique(key, return_index=True)
             out_tables.append(pa.table({
-                "id_a": pa.array(df["a"].to_numpy(), pa.string()),
-                "id_b": pa.array(df["b"].to_numpy(), pa.string()),
-                "via": pa.array(df["via"].to_numpy(), pa.string()),
-                "score": pa.array(np.ones(len(df)), pa.float64())}))
+                "id_a": pa.array(uids[ra[ix]], pa.string()),
+                "id_b": pa.array(uids[rb[ix]], pa.string()),
+                "via": pa.array(VIA_NAMES[viac[ix]], pa.string()),
+                "score": pa.array(np.ones(len(ix)), pa.float64())}))
 
         if pair_i:
             ci = np.concatenate(pair_i)
             cj = np.concatenate(pair_j)
-            ccls = np.concatenate(pair_cls)
-            swap = ids[ci] > ids[cj]
-            a = np.where(swap, ids[cj], ids[ci])
-            b = np.where(swap, ids[ci], ids[cj])
-            df = pd.DataFrame({"a": a, "b": b, "cls": ccls, "i": ci, "j": cj})
-            df = df[df["a"] != df["b"]]
-            df = df.drop_duplicates(subset=["a", "b", "cls"])
+            ccls = np.concatenate(pair_cls)        # int8: 0=ph, 1=sk
+            ra, rb = id_rank[ci], id_rank[cj]
+            swap = ra > rb
+            ra2 = np.where(swap, rb, ra)
+            rb2 = np.where(swap, ra, rb)
+            keep = ra2 != rb2
+            ra2, rb2, ccls = ra2[keep], rb2[keep], ccls[keep]
+            ci, cj = ci[keep], cj[keep]
+            key = (ccls.astype(np.uint64) * n_ids
+                   + ra2.astype(np.uint64)) * n_ids + rb2.astype(np.uint64)
+            _, ix = np.unique(key, return_index=True)
+            ra2, rb2, ccls = ra2[ix], rb2[ix], ccls[ix]
+            ci, cj = ci[ix], cj[ix]
 
-            ph_mask = (df["cls"] == "ph").to_numpy()
+            ph_mask = ccls == 0
             if ph_mask.any():
-                sub = df[ph_mask]
-                ham = np.asarray(imagecodec.hamming64(
-                    phash[sub["i"].to_numpy()], phash[sub["j"].to_numpy()]))
+                ii, jj = ci[ph_mask], cj[ph_mask]
+                ham = np.asarray(imagecodec.hamming64(phash[ii], phash[jj]))
                 ok = ham <= cfg.hamming_radius
                 out_tables.append(pa.table({
-                    "id_a": pa.array(sub["a"].to_numpy()[ok], pa.string()),
-                    "id_b": pa.array(sub["b"].to_numpy()[ok], pa.string()),
-                    "via": pa.array(np.full(int(ok.sum()), "phash", dtype=object),
-                                    pa.string()),
+                    "id_a": pa.array(uids[ra2[ph_mask][ok]], pa.string()),
+                    "id_b": pa.array(uids[rb2[ph_mask][ok]], pa.string()),
+                    "via": pa.array(np.full(int(ok.sum()), "phash",
+                                            dtype=object), pa.string()),
                     "score": pa.array(1.0 - ham[ok] / 64.0, pa.float64())}))
 
-            sk_mask = (df["cls"] == "sk").to_numpy()
+            sk_mask = ccls == 1
             if sk_mask.any():
-                sub = df[sk_mask]
-                fi = sk_fold[sub["i"].to_numpy()]
-                fj = sk_fold[sub["j"].to_numpy()]
-                same = fi == fj
-                n_same = int(same.sum())
+                ii, jj = ci[sk_mask], cj[sk_mask]
+                same = sk_fold[ii] == sk_fold[jj]
+                via_c = np.where(same, np.int8(1), np.int8(3))
                 out_tables.append(pa.table({
-                    "id_a": pa.array(sub["a"].to_numpy()[same], pa.string()),
-                    "id_b": pa.array(sub["b"].to_numpy()[same], pa.string()),
-                    "via": pa.array(np.full(n_same, "minhash", dtype=object),
-                                    pa.string()),
-                    "score": pa.array(np.ones(n_same), pa.float64())}))
-                out_tables.append(pa.table({
-                    "id_a": pa.array(sub["a"].to_numpy()[~same], pa.string()),
-                    "id_b": pa.array(sub["b"].to_numpy()[~same], pa.string()),
-                    "via": pa.array(np.full(int((~same).sum()), "cand",
-                                            dtype=object), pa.string()),
-                    "score": pa.array(np.zeros(int((~same).sum())), pa.float64())}))
+                    "id_a": pa.array(uids[ra2[sk_mask]], pa.string()),
+                    "id_b": pa.array(uids[rb2[sk_mask]], pa.string()),
+                    "via": pa.array(VIA_NAMES[via_c], pa.string()),
+                    "score": pa.array(same.astype(np.float64),
+                                      pa.float64())}))
 
         if not out_tables:
             return empty_edges()
@@ -402,7 +407,6 @@ def attach_sketches(pairs_ds, sig_small_ds, cfg: DedupConfig):
         kid = u["kid"].to_numpy(zero_copy_only=False)
         pl = u["pl"].to_numpy(zero_copy_only=False)
         is_sig = rt == 0
-        lookup = dict(zip(kid[is_sig], pl[is_sig]))
         pair_idx = np.nonzero(~is_sig)[0]
         if len(pair_idx) == 0:
             return pa.table({"kid": pa.array([], pa.string()),
@@ -411,7 +415,25 @@ def attach_sketches(pairs_ds, sig_small_ds, cfg: DedupConfig):
                              "pl": pa.array([], pa.binary())})
         oid = u["oid"].to_numpy(zero_copy_only=False)
         carry = u["carry"].to_numpy(zero_copy_only=False)
-        attached = [lookup.get(kid[i]) for i in pair_idx]
+        # vectorized probe: sorted sig keys + searchsorted (no per-row
+        # Python dict of bytes payloads)
+        sig_keys = np.asarray(kid[is_sig], dtype="S")
+        order = np.argsort(sig_keys, kind="stable")
+        keys_sorted = sig_keys[order]
+        pl_sorted = pl[is_sig][order]
+        probes = np.asarray(kid[pair_idx], dtype="S")
+        if keys_sorted.dtype.itemsize and probes.dtype.itemsize:
+            width = max(keys_sorted.dtype.itemsize, probes.dtype.itemsize)
+            keys_sorted = keys_sorted.astype(f"S{width}")
+            probes = probes.astype(f"S{width}")
+        n = len(keys_sorted)
+        if n:
+            pos = np.searchsorted(keys_sorted, probes)
+            pos_c = np.minimum(pos, n - 1)
+            hit = (pos < n) & (keys_sorted[pos_c] == probes)
+            attached = np.where(hit, pl_sorted[pos_c], None)
+        else:
+            attached = np.full(len(probes), None, dtype=object)
         return pa.table({
             "kid": pa.array(kid[pair_idx], pa.string()),
             "oid": pa.array(oid[pair_idx], pa.string()),
@@ -422,9 +444,12 @@ def attach_sketches(pairs_ds, sig_small_ds, cfg: DedupConfig):
     part_by_kid = hash_part_fn("kid", P=P)
     pack = ex.make_pack_fn(part_by_kid)
 
+    # materialize: consumed by BOTH attach rounds — lazy would re-run
+    # the full payload tag+pack (the dominant data volume) twice
     sig_tagged = sig_small_ds.map_batches(tag_sig, batch_format="pyarrow",
                                           zero_copy_batch=True) \
-        .map_batches(pack, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(pack, batch_format="pyarrow", zero_copy_batch=True) \
+        .materialize()
 
     # round 1: attach side a
     p1 = pairs_ds.map_batches(tag_pairs("id_a", "id_b", None),

@@ -224,12 +224,15 @@ def labels_via_exchange(edges_ds, P: int = 64, max_rounds: int = 32):
     return labels
 
 
-def connected_components(edges_ds, reduce_rounds: int = 1,
-                         reduce_batch_size: int = 1 << 20) -> dict:
-    """edges Dataset (id_a, id_b, ...) → {node: canonical_cluster_id}.
+def connected_components_arrays(edges_ds, reduce_rounds: int = 1,
+                                reduce_batch_size: int = 1 << 20):
+    """edges Dataset (id_a, id_b, ...) → (nodes, canonical_ids) numpy
+    arrays (only nodes touched by ≥1 edge).
 
     Streams through ``reduce_rounds`` distributed spanning-forest passes,
     then finishes on the driver over the (much smaller) forest stream.
+    The array form feeds ``broadcast.build_map_table`` directly — no
+    driver-side Python dict of every duplicate row.
     """
     ds = edges_ds.select_columns(["id_a", "id_b"])
     for _ in range(max(0, reduce_rounds)):
@@ -241,7 +244,16 @@ def connected_components(edges_ds, reduce_rounds: int = 1,
         parts_a.append(batch.column("id_a").to_numpy(zero_copy_only=False))
         parts_b.append(batch.column("id_b").to_numpy(zero_copy_only=False))
     if not parts_a:
-        return {}
-    nodes, roots = numpy_components(np.concatenate(parts_a),
-                                    np.concatenate(parts_b))
+        return np.empty(0, object), np.empty(0, object)
+    return numpy_components(np.concatenate(parts_a),
+                            np.concatenate(parts_b))
+
+
+def connected_components(edges_ds, reduce_rounds: int = 1,
+                         reduce_batch_size: int = 1 << 20) -> dict:
+    """Dict view of :func:`connected_components_arrays` (small corpora /
+    tests; the pipeline hot path uses the array form)."""
+    nodes, roots = connected_components_arrays(
+        edges_ds, reduce_rounds=reduce_rounds,
+        reduce_batch_size=reduce_batch_size)
     return dict(zip(nodes, roots))

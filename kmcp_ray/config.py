@@ -92,7 +92,11 @@ class DedupConfig:
     #: verification-sketch tables up to this many rows are broadcast
     #: (ray.put once, ~0.5 KB/row) instead of joined — kmcp's
     #: load-whole-index vs mmap mode switch (search.go:66-83 analogue).
-    broadcast_verify_rows: int = 2_000_000
+    #: The table lives once per NODE in the shared-memory object store
+    #: (workers map it zero-copy), so the bound is node plasma capacity,
+    #: not per-worker heap: 8M rows ≈ 4 GB — comfortable on the target
+    #: nodes; beyond it the partitioned-exchange attach takes over.
+    broadcast_verify_rows: int = 8_000_000
     #: edge sets up to this many rows finish union-find on the driver
     #: and broadcast the cluster map; above it, connected components run
     #: fully distributed (cc.labels_via_exchange) and cluster ids are

@@ -51,7 +51,8 @@ class PipelineResult:
     assignments: "ray.data.Dataset"   # (image_id, cluster_id)
     edges: "ray.data.Dataset"         # (id_a, id_b, via, score)
     signatures: "ray.data.Dataset"
-    cluster_map: dict                 # only rows touched by ≥1 edge
+    cluster_map: "dict | tuple"       # dict or (nodes, roots) arrays —
+    #                                   only rows touched by ≥1 edge
 
 
 # ---------------------------------------------------------------- checkpoints
@@ -226,10 +227,10 @@ def make_assign_fn(table_ref, id_col: str = "image_id"):
     return assign
 
 
-def assign_stage(ids_ds, cluster_map: dict, id_col: str = "image_id"):
-    from kmcp_ray.broadcast import build_str_table
-    keys = list(cluster_map.keys())
-    table = build_str_table(keys, [cluster_map[k] for k in keys])
+def assign_stage(ids_ds, cluster_map, id_col: str = "image_id"):
+    """``cluster_map``: dict or (nodes, roots) array pair."""
+    from kmcp_ray.broadcast import build_map_table
+    table = build_map_table(cluster_map)
     ref = ray.put(table)
     return ids_ds.map_batches(make_assign_fn(ref, id_col),
                               batch_format="pyarrow", batch_size=65536,
@@ -322,10 +323,11 @@ def dedup_pipeline(ds, cfg: DedupConfig = DedupConfig(), *,
                      batch_size=1 << 20).materialize()
     n_forest = forest.count()
     if n_forest <= cfg.broadcast_assign_edges:
-        cluster_map = cc_mod.connected_components(forest, reduce_rounds=0)
+        cluster_map = cc_mod.connected_components_arrays(forest,
+                                                         reduce_rounds=0)
         assignments = assign_stage(ids_ds, cluster_map, id_col=id_col)
     else:
-        cluster_map = {}
+        cluster_map = (np.empty(0, object), np.empty(0, object))
         labels = cc_mod.labels_via_exchange(forest, cfg.num_partitions)
         assignments = assign_via_join(ids_ds, labels, cfg, id_col=id_col)
     if workdir and not _done(workdir, "03_clusters"):

@@ -22,12 +22,12 @@ import pyarrow as pa
 import ray
 
 
-def cluster_profile(assignments, edges, cluster_map: dict):
+def cluster_profile(assignments, edges, cluster_map):
     """→ Dataset (cluster_id, size, n_edges, n_exact, n_minhash,
-    n_contain, n_phash, mean_score, p90_score)."""
-    from kmcp_ray.broadcast import build_str_table, probe_str_table
-    keys = list(cluster_map.keys())
-    table = build_str_table(keys, [cluster_map[k] for k in keys])
+    n_contain, n_phash, mean_score, p90_score).
+    ``cluster_map``: dict or (nodes, roots) array pair."""
+    from kmcp_ray.broadcast import build_map_table, probe_str_table
+    table = build_map_table(cluster_map)
     ref = ray.put(table)
 
     def tag_edges(batch: pa.Table) -> pa.Table:
