@@ -27,7 +27,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from kmcp_ray import hashing, imagecodec, text
+from kmcp_ray import imagecodec
 from kmcp_ray.arrowutil import column, list_to_numpy
 from kmcp_ray.config import DedupConfig
 
@@ -57,33 +57,28 @@ def make_band_fn(cfg: DedupConfig, enable=("minhash", "contain", "phash", "exact
     def band_batch(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         ids = column(batch, "image_id")
-        sketch_col = column(batch, "sketch")
-        sk_values, sk_offsets = list_to_numpy(sketch_col, dtype=np.uint64)
         sk_fold = batch.column("sk_fold").to_numpy(zero_copy_only=False).astype(np.uint64)
         phash = batch.column("phash").to_numpy(zero_copy_only=False).astype(np.int64)
         exact_key = batch.column("exact_key").to_numpy(zero_copy_only=False).astype(np.uint64)
-        n_sh = (sk_offsets[1:] - sk_offsets[:-1]).astype(np.int32)
 
         row_parts, key_parts, kind_parts = [], [], []
 
+        # band + containment bucket keys are FINALIZED by the sketch
+        # stage (sketch.py): this stage only fans them out into packed
+        # shuffle rows — no hashing work, no raw minhash in its input
         if "minhash" in enabled:
-            mh_values, _ = list_to_numpy(column(batch, "minhash"), dtype=np.uint64)
-            sig = mh_values.reshape(n, cfg.num_perm)
-            keys = text.band_keys(sig, cfg.bands)
-            rows = np.repeat(np.arange(n), cfg.bands)
-            flat = keys.reshape(-1)
-            keep = flat != hashing.MAX_U64
-            row_parts.append(rows[keep])
-            key_parts.append(flat[keep])
-            kind_parts.append(np.full(int(keep.sum()), KIND_MINHASH, dtype=np.int8))
+            bk_vals, bk_off = list_to_numpy(column(batch, "bkeys"),
+                                            dtype=np.uint64)
+            row_parts.append(np.repeat(np.arange(n), bk_off[1:] - bk_off[:-1]))
+            key_parts.append(bk_vals)
+            kind_parts.append(np.full(len(bk_vals), KIND_MINHASH, dtype=np.int8))
 
         if "contain" in enabled:
-            eligible = n_sh >= cfg.min_containment_shingles
-            row_of_val = np.repeat(np.arange(n), sk_offsets[1:] - sk_offsets[:-1])
-            keep = eligible[row_of_val] & (sk_values <= np.uint64(cfg.bucket_max_hash))
-            row_parts.append(row_of_val[keep])
-            key_parts.append(hashing.splitmix64(sk_values[keep] + _CONTAIN_SALT))
-            kind_parts.append(np.full(int(keep.sum()), KIND_CONTAIN, dtype=np.int8))
+            ck_vals, ck_off = list_to_numpy(column(batch, "ckeys"),
+                                            dtype=np.uint64)
+            row_parts.append(np.repeat(np.arange(n), ck_off[1:] - ck_off[:-1]))
+            key_parts.append(ck_vals)
+            kind_parts.append(np.full(len(ck_vals), KIND_CONTAIN, dtype=np.int8))
 
         if "phash" in enabled:
             pk = imagecodec.phash_chunk_keys(phash, cfg.phash_chunks)
@@ -124,7 +119,6 @@ def make_band_fn(cfg: DedupConfig, enable=("minhash", "contain", "phash", "exact
             "image_id": pack_list(ids_np[rows], pa.string()),
             "sk_fold": pack_list(sk_fold[rows], pa.uint64()),
             "phash": pack_list(phash[rows], pa.int64()),
-            "n_sh": pack_list(n_sh[rows].astype(np.int32), pa.int32()),
         })
         return out
 

@@ -3,8 +3,8 @@
 One vectorized ``map_batches`` transform (Arrow in / Arrow out,
 ``zero_copy_batch=True``) turns each input row into its sketch record:
 
-  image_id, n_tokens, n_distinct, sketch(list<u64>), sk_fold(u64),
-  minhash(list<u64> x num_perm), phash(i64), exact_key(u64)
+  image_id, n_tokens, n_distinct, n_sh(i32), bkeys(list<u64> ≤ bands),
+  ckeys(list<u64>), sk_fold(u64), phash(i64), exact_key(u64), vsk(binary)
 
 This is the `.unik`-producing core of the reference
 (kmcp/cmd/compute.go:746-824: per-k sketch iterators → scale filter →
@@ -12,6 +12,14 @@ sort+dedup → write) re-expressed columnar.  The heavy ``bytes`` payload
 is consumed here (exact-dup key + optional decode checks) and DROPPED —
 image bytes never enter the LSH shuffle, mirroring how kmcp never moves
 sequences past ``compute``.
+
+The LSH band keys (``bkeys``) and salted containment bucket keys
+(``ckeys``) are FINALIZED here rather than in the band stage: the
+signature table is the one full-corpus table the pipeline materializes,
+so storing 16 band keys (128 B) instead of the 64-perm raw minhash
+(512 B) plus pre-filtered contain keys instead of the whole scaled
+sketch cuts its footprint ~3x — every byte saved is an object-store
+page never faulted (the measured n-independent term in bench --scaling).
 """
 
 from __future__ import annotations
@@ -25,8 +33,8 @@ from kmcp_ray.config import DedupConfig
 _EXACT_SALT = np.uint64(0x71D67FFFEDA60000)
 
 SIGNATURE_SCHEMA_COLS = [
-    "image_id", "n_tokens", "n_distinct", "sketch", "sk_fold",
-    "minhash", "phash", "exact_key",
+    "image_id", "n_tokens", "n_distinct", "n_sh", "bkeys", "ckeys",
+    "sk_fold", "phash", "exact_key", "vsk",
 ]
 
 
@@ -101,13 +109,36 @@ def make_sketch_fn(cfg: DedupConfig, id_col: str = "image_id",
             # sentinel so accidental use cannot produce false buckets
             phash = pa.array(exact_key.view(np.int64), type=pa.int64())
 
-        mh_offsets = np.arange(n + 1, dtype=np.int64) * cfg.num_perm
+        from kmcp_ray.bands import _CONTAIN_SALT, _segment_gather
+
+        # ---- LSH band keys, finalized (empty-sketch rows band nowhere) --
+        bk = text.band_keys(sig, cfg.bands)          # (n, bands) uint64
+        bk_flat = bk.reshape(-1)
+        bk_keep = bk_flat != hashing.MAX_U64
+        bk_counts = bk_keep.reshape(n, cfg.bands).sum(axis=1)
+        bk_off = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(bk_counts, out=bk_off[1:])
+
+        # ---- salted containment bucket keys (kmcp exact k-mer query
+        # analogue): only rows with >= min_containment_shingles kept
+        # shingles emit, and only hashes under bucket_max_hash ----------
+        off = ss["offsets"]
+        seg_lens = off[1:] - off[:-1]
+        n_sh = seg_lens.astype(np.int32)
+        row_of_val = np.repeat(np.arange(n), seg_lens)
+        eligible = n_sh >= cfg.min_containment_shingles
+        ck_keep = eligible[row_of_val] \
+            & (ss["hashes"] <= np.uint64(cfg.bucket_max_hash))
+        with np.errstate(over="ignore"):  # uint64 wraparound is intended
+            ck_vals = hashing.splitmix64(ss["hashes"][ck_keep] + _CONTAIN_SALT)
+        ck_counts = np.bincount(row_of_val[ck_keep], minlength=n) \
+            if ck_keep.any() else np.zeros(n, dtype=np.int64)
+        ck_off = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(ck_counts, out=ck_off[1:])
 
         # verification blob: bottom-verify_k sketch as LE-uint64 bytes —
         # precomputed here so the verify stage needs no extra pass
-        off = ss["offsets"]
-        vlens = np.minimum(off[1:] - off[:-1], cfg.verify_k)
-        from kmcp_ray.bands import _segment_gather
+        vlens = np.minimum(seg_lens, cfg.verify_k)
         vgather = _segment_gather(off[:-1], vlens)
         voff = np.zeros(n + 1, dtype=np.int64)
         np.cumsum(vlens, out=voff[1:])
@@ -120,10 +151,11 @@ def make_sketch_fn(cfg: DedupConfig, id_col: str = "image_id",
             "image_id": batch.column(id_col),
             "n_tokens": pa.array(ss["n_tokens"], type=pa.int64()),
             "n_distinct": pa.array(ss["n_distinct"], type=pa.int64()),
-            "sketch": _list_array(ss["hashes"], ss["offsets"]),
+            "n_sh": pa.array(n_sh, type=pa.int32()),
+            "bkeys": _list_array(bk_flat[bk_keep], bk_off),
+            "ckeys": _list_array(ck_vals, ck_off),
             "sk_fold": pa.array(sketch_fold(ss["hashes"], ss["offsets"]),
                                 type=pa.uint64()),
-            "minhash": _list_array(sig.reshape(-1), mh_offsets),
             "phash": phash,
             "exact_key": pa.array(exact_key, type=pa.uint64()),
             "vsk": vsk,
