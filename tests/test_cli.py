@@ -1,0 +1,83 @@
+"""CLI surface (python -m kmcp_ray ...) — each subcommand end-to-end
+on tiny inputs, reusing the session Ray (main() only shuts down a Ray
+session it started)."""
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from kmcp_ray import testgen
+from kmcp_ray.__main__ import main
+from kmcp_ray.config import DedupConfig
+
+CFG = DedupConfig(num_partitions=8)
+
+
+@pytest.fixture()
+def corpus_pq(tmp_path):
+    table, _, _ = testgen.make_pairs_corpus(n=120, seed=5, cfg=CFG)
+    path = str(tmp_path / "pairs.parquet")
+    pq.write_table(table, path)
+    return path
+
+
+def _run(capsys, argv):
+    main(argv)
+    return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+
+def test_cli_compute(ray_session, corpus_pq, tmp_path, capsys):
+    out = str(tmp_path / "sig")
+    res = _run(capsys, ["compute", "--input", corpus_pq, "--output", out,
+                        "--config", json.dumps({"num_partitions": 8})])
+    assert res["signatures"] == 120
+    cols = set(pq.read_schema(os.path.join(out, os.listdir(out)[0])).names)
+    assert {"image_id", "bkeys", "ckeys", "vsk"} <= cols
+
+
+def test_cli_dedup_and_profile(ray_session, corpus_pq, tmp_path, capsys):
+    out = str(tmp_path / "assign")
+    res = _run(capsys, ["dedup", "--input", corpus_pq, "--output", out,
+                        "--config", json.dumps({"num_partitions": 8})])
+    assert res["assignments"] == 120
+    prof = str(tmp_path / "prof")
+    res2 = _run(capsys, ["profile", "--input", corpus_pq,
+                         "--assignments", out, "--output", prof])
+    assert 0 < res2["clusters"] <= 120
+
+
+def test_cli_search_and_merge(ray_session, tmp_path, capsys):
+    docs = pa.table({
+        "doc_id": pa.array(["q1", "r1", "r2"], pa.string()),
+        "text": pa.array(["alpha beta gamma delta epsilon zeta eta theta",
+                          "alpha beta gamma delta epsilon zeta eta theta iota",
+                          "totally unrelated caption text here now ok fine"],
+                         pa.string())})
+    dpath = str(tmp_path / "docs.parquet")
+    pq.write_table(docs, dpath)
+    sout = str(tmp_path / "matches")
+    res = _run(capsys, ["search", "--queries", dpath, "--refs", dpath,
+                        "--output", sout, "--min-qcov", "0.8"])
+    assert res["matches"] >= 3       # self-matches + q1~r1 both directions
+
+    mout = str(tmp_path / "merged")
+    res2 = _run(capsys, ["merge", "--inputs", sout, sout, "--output", mout,
+                         "--mode", "intersect"])
+    assert res2["matches"] >= 3      # intersect of identical shards == shard
+
+
+def test_cli_merge_regions(ray_session, tmp_path, capsys):
+    tbl = pa.table({"chrom": pa.array(["c1", "c1", "c2"], pa.string()),
+                    "start": pa.array([0, 5, 100], pa.int64()),
+                    "end": pa.array([10, 20, 110], pa.int64())})
+    ipath = str(tmp_path / "iv.parquet")
+    pq.write_table(tbl, ipath)
+    bed = str(tmp_path / "out.bed")
+    res = _run(capsys, ["merge-regions", "--input", ipath, "--output", bed])
+    assert res["regions"] == 2
+    lines = [ln.split("\t") for ln in open(bed).read().splitlines()]
+    assert lines[0][:3] == ["c1", "0", "20"]
+    assert lines[1][:3] == ["c2", "100", "110"]
