@@ -96,9 +96,19 @@ def make_band_fn(cfg: DedupConfig, enable=("minhash", "contain", "phash", "exact
         kinds = np.concatenate(kind_parts) if kind_parts else np.empty(0, np.int8)
         part = (keys % np.uint64(cfg.num_partitions)).astype(np.int64)
 
+        # per-entry identity payload — ONE u64, selected by kind: the
+        # phash travels only with phash-band entries (Hamming verify +
+        # salted-bucket ident) and the sketch fold only with
+        # minhash/contain entries; exact entries verify by key alone.
+        # Shipping both (16 B) per entry doubled the shuffle payload for
+        # no reader.
+        ident = np.where(kinds == KIND_PHASH,
+                         phash.view(np.uint64)[rows], sk_fold[rows])
+
         # ---- pack: one output row per partition present in this batch ----
         order = np.argsort(part, kind="stable")
         rows, keys, kinds, part = rows[order], keys[order], kinds[order], part[order]
+        ident = ident[order]
         m = len(rows)
         bound = np.nonzero(np.concatenate(([True], part[1:] != part[:-1])))[0] \
             if m else np.empty(0, np.int64)
@@ -117,8 +127,7 @@ def make_band_fn(cfg: DedupConfig, enable=("minhash", "contain", "phash", "exact
             "key": pack_list(keys, pa.uint64()),
             "kind": pack_list(kinds, pa.int8()),
             "image_id": pack_list(ids_np[rows], pa.string()),
-            "sk_fold": pack_list(sk_fold[rows], pa.uint64()),
-            "phash": pack_list(phash[rows], pa.int64()),
+            "ident": pack_list(ident, pa.uint64()),
         })
         return out
 

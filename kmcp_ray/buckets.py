@@ -112,9 +112,9 @@ def make_bucket_verifier(cfg: DedupConfig):
             return empty_edges()
         keys, _ = list_to_numpy(column(batch, "key"), dtype=np.uint64)
         ids = column(batch, "image_id").flatten().to_numpy(zero_copy_only=False)
-        sk_fold, _ = list_to_numpy(column(batch, "sk_fold"), dtype=np.uint64)
-        phash, _ = list_to_numpy(column(batch, "phash"), dtype=np.int64)
-        ph_u = phash.view(np.uint64)
+        # one u64 identity per entry: sketch fold for minhash/contain
+        # entries, raw phash bits for phash entries (see bands.band_batch)
+        ident, _ = list_to_numpy(column(batch, "ident"), dtype=np.uint64)
 
         # rank ids once so all later sorts are integer sorts; rank order
         # == lexicographic id order, so rank compares replace string
@@ -155,9 +155,9 @@ def make_bucket_verifier(cfg: DedupConfig):
             rows_mask = seg_rows_mask(sel)
             pos = np.nonzero(rows_mask)[0]
             rows = order[pos]
-            sub = np.lexsort((id_rank[rows], sk_fold[rows], seg_id[pos]))
+            sub = np.lexsort((id_rank[rows], ident[rows], seg_id[pos]))
             r, mem = _stars_by_group(rows[sub], seg_id[pos][sub],
-                                     sk_fold[rows][sub])
+                                     ident[rows][sub])
             star_roots.append(r); star_members.append(mem)
             star_via.append(np.full(len(mem), 1, dtype=np.int8))
 
@@ -167,14 +167,13 @@ def make_bucket_verifier(cfg: DedupConfig):
             s, e = seg_start[sidx], seg_end[sidx]
             rows = order[s:e]                        # id-ascending
             kind = seg_kind[sidx]
-            ident = sk_fold[rows] if kind in (KIND_MINHASH, KIND_CONTAIN) \
-                else ph_u[rows]
-            sub = np.argsort(ident, kind="stable")
-            r, mem = _stars_by_group(rows[sub], ident[sub])
+            idn = ident[rows]
+            sub = np.argsort(idn, kind="stable")
+            r, mem = _stars_by_group(rows[sub], idn[sub])
             star_roots.append(r); star_members.append(mem)
             star_via.append(np.full(
                 len(mem), 2 if kind == KIND_PHASH else 1, dtype=np.int8))
-            first = np.concatenate(([True], ident[sub][1:] != ident[sub][:-1]))
+            first = np.concatenate(([True], idn[sub][1:] != idn[sub][:-1]))
             reps = rows[sub][first]
             reps = reps[np.argsort(id_rank[reps], kind="stable")]
             if len(reps) > cfg.max_bucket:
@@ -242,7 +241,7 @@ def make_bucket_verifier(cfg: DedupConfig):
             ph_mask = ccls == 0
             if ph_mask.any():
                 ii, jj = ci[ph_mask], cj[ph_mask]
-                ham = np.asarray(imagecodec.hamming64(phash[ii], phash[jj]))
+                ham = np.asarray(imagecodec.hamming64(ident[ii], ident[jj]))
                 ok = ham <= cfg.hamming_radius
                 out_tables.append(pa.table({
                     "id_a": pa.array(uids[ra2[ph_mask][ok]], pa.string()),
@@ -254,7 +253,7 @@ def make_bucket_verifier(cfg: DedupConfig):
             sk_mask = ccls == 1
             if sk_mask.any():
                 ii, jj = ci[sk_mask], cj[sk_mask]
-                same = sk_fold[ii] == sk_fold[jj]
+                same = ident[ii] == ident[jj]
                 via_c = np.where(same, np.int8(1), np.int8(3))
                 out_tables.append(pa.table({
                     "id_a": pa.array(uids[ra2[sk_mask]], pa.string()),

@@ -182,14 +182,46 @@ def edges_stage(sig_ds, cfg: DedupConfig, enable=ALL_GENERATORS):
     sig_small = sig_ds.select_columns(["image_id", "vsk"])
 
     # Two verification modes, mirroring kmcp's load-whole vs mmap index
-    # modes (reference: kmcp/cmd/search.go:66-83): when the verification
-    # sketch table fits comfortably in the object store, broadcast it
-    # once (ray.put) and verify pairs in a single map pass; at larger
-    # scale, attach sketches through the partitioned exchange.
-    n_rows = sig_ds.count()
-    if n_rows <= cfg.broadcast_verify_rows:
+    # modes (reference: kmcp/cmd/search.go:66-83).  The switch keys on
+    # the DEDUPLICATED pair count — the quantity that actually bounds
+    # the broadcast table — not on corpus rows: a trillion-row corpus
+    # with few duplicate candidates still takes the cheap broadcast arm.
+    n_pairs = pairs.count()          # materialized: metadata, no pass
+    if 2 * n_pairs <= cfg.broadcast_verify_rows:
         from kmcp_ray.broadcast import collect_blob_table, probe_blob_table
-        table = collect_blob_table(sig_small, "image_id", "vsk")
+
+        # semi-join: only ids that occur in >=1 candidate pair need a
+        # verification sketch on the driver (<= 2*n_pairs rows, vs the
+        # whole corpus before) — the filter pass stays distributed
+        import pyarrow.compute as pc
+        id_chunks = [np.empty(0, dtype=object)]
+        for b in pairs.iter_batches(batch_size=1 << 18,
+                                    batch_format="pyarrow"):
+            id_chunks.append(pc.unique(b.column("id_a"))
+                             .to_numpy(zero_copy_only=False))
+            id_chunks.append(pc.unique(b.column("id_b"))
+                             .to_numpy(zero_copy_only=False))
+        need = np.unique(np.concatenate(id_chunks).astype("S"))
+        need_ref = ray.put(need)     # sorted fixed-width key array
+
+        def filter_needed(batch: pa.Table) -> pa.Table:
+            keys = ray.get(need_ref)
+            if len(keys) == 0:
+                return batch.slice(0, 0)
+            probes = np.asarray(
+                batch.column("image_id").to_numpy(zero_copy_only=False),
+                dtype="S")
+            w = max(keys.dtype.itemsize, probes.dtype.itemsize, 1)
+            kk, pp = keys.astype(f"S{w}"), probes.astype(f"S{w}")
+            pos = np.searchsorted(kk, pp)
+            pos_c = np.minimum(pos, len(kk) - 1)
+            hit = (pos < len(kk)) & (kk[pos_c] == pp)
+            return batch.filter(pa.array(hit))
+
+        sig_needed = sig_small.map_batches(filter_needed,
+                                           batch_format="pyarrow",
+                                           zero_copy_batch=True)
+        table = collect_blob_table(sig_needed, "image_id", "vsk")
         ref = ray.put(table)       # three numpy arrays: near-zero-copy gets
 
         def attach_local(batch: pa.Table) -> pa.Table:
