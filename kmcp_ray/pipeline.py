@@ -121,7 +121,7 @@ def _checkpoint(ds: "ray.data.Dataset", workdir: str, name: str) -> "ray.data.Da
 
 def sketch_stage(ds, cfg: DedupConfig, *, id_col="image_id", text_col="caption",
                  phash_col="phash", bytes_col="bytes",
-                 batch_size: "int | None" = None):
+                 batch_size: "int | None" = None, with_vsk: bool = True):
     """Input rows → signature table; drops every payload column.
 
     ``batch_size=None`` (default) lets Ray FUSE this map with the
@@ -132,13 +132,15 @@ def sketch_stage(ds, cfg: DedupConfig, *, id_col="image_id", text_col="caption",
     double the stage's wall time and plasma traffic).  Pass a value
     only when upstream blocks are too large for worker heaps."""
     fn = sketch_mod.make_sketch_fn(cfg, id_col=id_col, text_col=text_col,
-                                   phash_col=phash_col, bytes_col=bytes_col)
+                                   phash_col=phash_col, bytes_col=bytes_col,
+                                   with_vsk=with_vsk)
     kw = {} if batch_size is None else {"batch_size": batch_size}
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True,
                           **kw)
 
 
-def edges_stage(sig_ds, cfg: DedupConfig, enable=ALL_GENERATORS):
+def edges_stage(sig_ds, cfg: DedupConfig, enable=ALL_GENERATORS,
+                vsk_provider=None):
     """Signatures → verified candidate-pair edges.
 
     Three shuffles, all over small rows:
@@ -148,6 +150,12 @@ def edges_stage(sig_ds, cfg: DedupConfig, enable=ALL_GENERATORS):
          colliding in many bands/partitions is verified exactly once
       3. two hash joins attach the bottom-k sketches from the signature
          table (kmcp: queries routed to the index that holds sketches)
+
+    ``vsk_provider(need_ids | None) -> Dataset[(image_id, vsk)]``: when
+    given, verification sketches come from this callable (the pipeline
+    passes a lazy re-sketch over the raw input, filtered to candidate
+    ids before tokenization) instead of a ``vsk`` column on ``sig_ds``
+    — so the materialized signature table never carries the blob.
     """
     import pyarrow.compute as pc
 
@@ -178,9 +186,6 @@ def edges_stage(sig_ds, cfg: DedupConfig, enable=ALL_GENERATORS):
     # cheaper than the fused plan
     pairs = dedup_pairs(cand, cfg.num_partitions).materialize()
 
-    # the bottom-k verification blob is precomputed by the sketch stage
-    sig_small = sig_ds.select_columns(["image_id", "vsk"])
-
     # Two verification modes, mirroring kmcp's load-whole vs mmap index
     # modes (reference: kmcp/cmd/search.go:66-83).  The switch keys on
     # the DEDUPLICATED pair count — the quantity that actually bounds
@@ -202,25 +207,21 @@ def edges_stage(sig_ds, cfg: DedupConfig, enable=ALL_GENERATORS):
             id_chunks.append(pc.unique(b.column("id_b"))
                              .to_numpy(zero_copy_only=False))
         need = np.unique(np.concatenate(id_chunks).astype("S"))
-        need_ref = ray.put(need)     # sorted fixed-width key array
 
-        def filter_needed(batch: pa.Table) -> pa.Table:
-            keys = ray.get(need_ref)
-            if len(keys) == 0:
-                return batch.slice(0, 0)
-            probes = np.asarray(
-                batch.column("image_id").to_numpy(zero_copy_only=False),
-                dtype="S")
-            w = max(keys.dtype.itemsize, probes.dtype.itemsize, 1)
-            kk, pp = keys.astype(f"S{w}"), probes.astype(f"S{w}")
-            pos = np.searchsorted(kk, pp)
-            pos_c = np.minimum(pos, len(kk) - 1)
-            hit = (pos < len(kk)) & (kk[pos_c] == pp)
-            return batch.filter(pa.array(hit))
+        if vsk_provider is not None:
+            sig_needed = vsk_provider(need)
+        else:
+            need_ref = ray.put(need)     # sorted fixed-width key array
 
-        sig_needed = sig_small.map_batches(filter_needed,
-                                           batch_format="pyarrow",
-                                           zero_copy_batch=True)
+            def filter_needed(batch: pa.Table) -> pa.Table:
+                hit = sketch_mod._membership(
+                    ray.get(need_ref),
+                    batch.column("image_id").to_numpy(zero_copy_only=False))
+                return batch.filter(pa.array(hit))
+
+            sig_needed = sig_ds.select_columns(["image_id", "vsk"]) \
+                .map_batches(filter_needed, batch_format="pyarrow",
+                             zero_copy_batch=True)
         table = collect_blob_table(sig_needed, "image_id", "vsk")
         ref = ray.put(table)       # three numpy arrays: near-zero-copy gets
 
@@ -241,6 +242,8 @@ def edges_stage(sig_ds, cfg: DedupConfig, enable=ALL_GENERATORS):
         attached = pairs.map_batches(attach_local, batch_format="pyarrow",
                                      batch_size=8192, zero_copy_batch=True)
     else:
+        sig_small = vsk_provider(None) if vsk_provider is not None \
+            else sig_ds.select_columns(["image_id", "vsk"])
         attached = buckets_mod.attach_sketches(pairs, sig_small, cfg)
     pair_verifier = buckets_mod.make_pair_verifier(cfg)
     # modest batch_size: the verifier's flat temporaries stay a few MB
@@ -318,12 +321,19 @@ def dedup_pipeline(ds, cfg: DedupConfig = DedupConfig(), *,
         _check_config(workdir, cfg)
 
     # --- stage 1: signatures ---
+    # Checkpointed runs persist the vsk verification blob with the
+    # signatures (a resume must verify without the raw input);
+    # in-memory runs keep the one full-corpus materialized table slim
+    # (no vsk, -36% bytes) and re-derive vsk lazily for candidate ids
+    # only via a filtered re-sketch of the raw input (``make_vsk_fn``).
+    vsk_provider = None
     if workdir and _done(workdir, "01_signatures"):
         sig_ds = ray.data.read_parquet(_stage_dir(workdir, "01_signatures"))
     else:
         sig_ds = sketch_stage(ds, cfg, id_col=id_col, text_col=text_col,
                               phash_col=phash_col, bytes_col=bytes_col,
-                              batch_size=sketch_batch_size)
+                              batch_size=sketch_batch_size,
+                              with_vsk=bool(workdir))
         if workdir:
             sig_ds = _checkpoint(sig_ds, workdir, "01_signatures")
         else:
@@ -331,6 +341,14 @@ def dedup_pipeline(ds, cfg: DedupConfig = DedupConfig(), *,
             # (payload-free, much-smaller-than-input) signature table in
             # the object store instead of recomputing the sketch stage
             sig_ds = sig_ds.materialize()
+
+            def vsk_provider(need):
+                fn = sketch_mod.make_vsk_fn(
+                    cfg, id_col=id_col, text_col=text_col,
+                    need_ref=ray.put(need) if need is not None else None)
+                return ds.select_columns([id_col, text_col]) \
+                    .map_batches(fn, batch_format="pyarrow",
+                                 zero_copy_batch=True)
 
     if size_sort:
         sig_ds = sig_ds.sort("n_tokens", descending=True)
@@ -341,7 +359,8 @@ def dedup_pipeline(ds, cfg: DedupConfig = DedupConfig(), *,
     else:
         gens = tuple(g for g in enable
                      if not (g == "phash" and phash_col is None))
-        edges_ds = edges_stage(sig_ds, cfg, enable=gens)
+        edges_ds = edges_stage(sig_ds, cfg, enable=gens,
+                               vsk_provider=vsk_provider)
         if workdir:
             edges_ds = _checkpoint(edges_ds, workdir, "02_edges")
         else:

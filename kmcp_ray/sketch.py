@@ -63,10 +63,74 @@ def sketch_fold(sketch_values: np.ndarray, offsets: np.ndarray) -> np.ndarray:
     return out
 
 
+def _vsk_array(ss: dict, cfg: DedupConfig) -> pa.Array:
+    """Bottom-``verify_k`` of each row's sorted-unique scaled sketch as
+    LE-uint64 binary — the pair-verification blob (single definition
+    shared by the full sketch pass and the lazy candidate-only pass)."""
+    from kmcp_ray.bands import _segment_gather
+
+    off = ss["offsets"]
+    n = len(off) - 1
+    seg_lens = off[1:] - off[:-1]
+    vlens = np.minimum(seg_lens, cfg.verify_k)
+    vgather = _segment_gather(off[:-1], vlens)
+    voff = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(vlens, out=voff[1:])
+    return pa.Array.from_buffers(
+        pa.binary(), n,
+        [None, pa.py_buffer((voff * 8).astype(np.int32).tobytes()),
+         pa.py_buffer(ss["hashes"][vgather].tobytes())])
+
+
+def _membership(sorted_keys: np.ndarray, probes_obj: np.ndarray) -> np.ndarray:
+    """Boolean mask: which probe strings are in the sorted S-dtype key
+    array (searchsorted on fixed-width bytes — no Python hashing)."""
+    if len(sorted_keys) == 0:
+        return np.zeros(len(probes_obj), dtype=bool)
+    probes = np.asarray(probes_obj, dtype="S")
+    w = max(sorted_keys.dtype.itemsize, probes.dtype.itemsize, 1)
+    kk, pp = sorted_keys.astype(f"S{w}"), probes.astype(f"S{w}")
+    pos = np.searchsorted(kk, pp)
+    pos_c = np.minimum(pos, len(kk) - 1)
+    return (pos < len(kk)) & (kk[pos_c] == pp)
+
+
+def make_vsk_fn(cfg: DedupConfig, id_col: str = "image_id",
+                text_col: str = "caption", need_ref=None):
+    """Candidate-only verification-sketch pass: batch → (image_id, vsk)
+    for rows whose id is in the broadcast ``need_ref`` set (all rows if
+    None).  Rows are filtered BEFORE tokenization, so a corpus scan
+    recomputing sketches for a small candidate set costs only the
+    membership test per non-candidate row.  This keeps the 10^12-row
+    signature table free of the ~160 B/row vsk blob that only
+    candidate-pair ids (≪ corpus) ever need."""
+    import ray as _ray
+
+    def vsk_batch(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col)
+        if need_ref is not None:
+            keys = _ray.get(need_ref)
+            hit = _membership(
+                keys, ids.to_numpy(zero_copy_only=False))
+            batch = batch.filter(pa.array(hit))
+            ids = batch.column(id_col)
+        ss = text.shingle_sets_sketcher(batch.column(text_col), cfg)
+        return pa.table({"image_id": ids.cast(pa.string()),
+                         "vsk": _vsk_array(ss, cfg)})
+
+    return vsk_batch
+
+
 def make_sketch_fn(cfg: DedupConfig, id_col: str = "image_id",
                    text_col: str = "caption", phash_col: "str | None" = "phash",
-                   bytes_col: "str | None" = "bytes"):
-    """Factory for the stateless sketch ``map_batches`` function."""
+                   bytes_col: "str | None" = "bytes", with_vsk: bool = True):
+    """Factory for the stateless sketch ``map_batches`` function.
+
+    ``with_vsk=False`` omits the verification blob (~160 B/row, 36% of
+    the signature row): the in-memory pipeline recomputes vsk lazily for
+    candidate ids only (``make_vsk_fn``), so the one full-corpus
+    materialized table stays minimal.  Checkpointed runs keep vsk so a
+    resume needs no raw input."""
 
     def sketch_batch(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -136,18 +200,7 @@ def make_sketch_fn(cfg: DedupConfig, id_col: str = "image_id",
         ck_off = np.zeros(n + 1, dtype=np.int64)
         np.cumsum(ck_counts, out=ck_off[1:])
 
-        # verification blob: bottom-verify_k sketch as LE-uint64 bytes —
-        # precomputed here so the verify stage needs no extra pass
-        vlens = np.minimum(seg_lens, cfg.verify_k)
-        vgather = _segment_gather(off[:-1], vlens)
-        voff = np.zeros(n + 1, dtype=np.int64)
-        np.cumsum(vlens, out=voff[1:])
-        vsk = pa.Array.from_buffers(
-            pa.binary(), n,
-            [None, pa.py_buffer((voff * 8).astype(np.int32).tobytes()),
-             pa.py_buffer(ss["hashes"][vgather].tobytes())])
-
-        return pa.table({
+        cols = {
             "image_id": batch.column(id_col),
             "n_tokens": pa.array(ss["n_tokens"], type=pa.int64()),
             "n_distinct": pa.array(ss["n_distinct"], type=pa.int64()),
@@ -158,7 +211,11 @@ def make_sketch_fn(cfg: DedupConfig, id_col: str = "image_id",
                                 type=pa.uint64()),
             "phash": phash,
             "exact_key": pa.array(exact_key, type=pa.uint64()),
-            "vsk": vsk,
-        })
+        }
+        if with_vsk:
+            # verification blob: bottom-verify_k sketch as LE-uint64
+            # bytes — precomputed so the verify stage needs no extra pass
+            cols["vsk"] = _vsk_array(ss, cfg)
+        return pa.table(cols)
 
     return sketch_batch
