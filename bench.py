@@ -43,6 +43,7 @@ def run_bench() -> dict:
                  _system_config={"kill_idle_workers_interval_ms": 0})
     ctx = ray.data.DataContext.get_current()
     ctx.enable_progress_bars = False
+    from kmcp_ray.perf import tune_data_context
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from kmcp_ray import testgen
@@ -59,6 +60,11 @@ def run_bench() -> dict:
     # VM's first-touch page faults serialize machine-wide (~8 ms/MB), so
     # the hot (second) rep is the meaningful number — same protocol as
     # the reference's hot-cache baselines (kmcp README.md:140-160).
+    # hash shuffle for the wide headline job only (see perf.py: it is a
+    # large-job setting; the small secondary queries run faster on the
+    # default sort strategy, restored below) — set before the warm-up so
+    # the aggregator actors + their heap pages are warm for the reps
+    tune_data_context("hash")
     ray.data.read_parquet(paths).count()
     # the warm-up must be SCALE-PROPORTIONAL: worker-heap pages are
     # faulted in proportion to per-task group size, so a 100k warm-up
@@ -93,6 +99,7 @@ def run_bench() -> dict:
         fn()
         queries[name] = round(time.time() - t, 3)
 
+    tune_data_context("sort")    # small queries: default strategy
     skip_queries = os.environ.get("GRAFT_SKIP_QUERIES") == "1"
     import __ray_entry__ as em
     qs = em.queries() if not skip_queries else {}

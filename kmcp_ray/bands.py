@@ -36,6 +36,16 @@ KIND_CONTAIN = 1
 KIND_PHASH = 2
 KIND_EXACT = 3
 
+#: high bit of the packed ``kind`` byte: this entry is its row's
+#: DESIGNATED star-emission site.  Identical sketches share their whole
+#: band-key vector (and identical phashes share all chunk keys), so
+#: linking identical-content members to a representative only needs to
+#: happen in ONE deterministic bucket — the row's first band / chunk 0 —
+#: instead of once per band (16x/8x duplicate star edges measured at
+#: 3.2M rows: 6.3M minhash + 1.5M phash stars before, ~0.6M after).
+#: Costs zero extra shuffle bytes; the verifier masks the bit off.
+STAR_FLAG = np.int8(8)
+
 _CONTAIN_SALT = np.uint64(0x9FB21C651E98DF25)
 
 
@@ -61,7 +71,7 @@ def make_band_fn(cfg: DedupConfig, enable=("minhash", "contain", "phash", "exact
         phash = batch.column("phash").to_numpy(zero_copy_only=False).astype(np.int64)
         exact_key = batch.column("exact_key").to_numpy(zero_copy_only=False).astype(np.uint64)
 
-        row_parts, key_parts, kind_parts = [], [], []
+        row_parts, key_parts, kind_parts, star_parts = [], [], [], []
 
         # band + containment bucket keys are FINALIZED by the sketch
         # stage (sketch.py): this stage only fans them out into packed
@@ -72,6 +82,9 @@ def make_band_fn(cfg: DedupConfig, enable=("minhash", "contain", "phash", "exact
             row_parts.append(np.repeat(np.arange(n), bk_off[1:] - bk_off[:-1]))
             key_parts.append(bk_vals)
             kind_parts.append(np.full(len(bk_vals), KIND_MINHASH, dtype=np.int8))
+            st = np.zeros(len(bk_vals), dtype=np.int8)
+            st[bk_off[:-1][bk_off[1:] > bk_off[:-1]]] = 1   # first band/row
+            star_parts.append(st)
 
         if "contain" in enabled:
             ck_vals, ck_off = list_to_numpy(column(batch, "ckeys"),
@@ -79,21 +92,33 @@ def make_band_fn(cfg: DedupConfig, enable=("minhash", "contain", "phash", "exact
             row_parts.append(np.repeat(np.arange(n), ck_off[1:] - ck_off[:-1]))
             key_parts.append(ck_vals)
             kind_parts.append(np.full(len(ck_vals), KIND_CONTAIN, dtype=np.int8))
+            st = np.zeros(len(ck_vals), dtype=np.int8)
+            if "minhash" not in enabled:
+                # fallback designated site: identical sketches share the
+                # whole (sorted) ckey list, so "first ckey" is the same
+                # bucket for every member of an identical group
+                st[ck_off[:-1][ck_off[1:] > ck_off[:-1]]] = 1
+            star_parts.append(st)
 
         if "phash" in enabled:
             pk = imagecodec.phash_chunk_keys(phash, cfg.phash_chunks)
             row_parts.append(np.repeat(np.arange(n), cfg.phash_chunks))
             key_parts.append(pk.reshape(-1))
             kind_parts.append(np.full(n * cfg.phash_chunks, KIND_PHASH, dtype=np.int8))
+            st = np.zeros(n * cfg.phash_chunks, dtype=np.int8)
+            st[::cfg.phash_chunks] = 1                       # chunk 0/row
+            star_parts.append(st)
 
         if "exact" in enabled:
             row_parts.append(np.arange(n))
             key_parts.append(exact_key)
             kind_parts.append(np.full(n, KIND_EXACT, dtype=np.int8))
+            star_parts.append(np.ones(n, dtype=np.int8))     # 1 entry/row
 
         rows = np.concatenate(row_parts) if row_parts else np.empty(0, np.int64)
         keys = np.concatenate(key_parts) if key_parts else np.empty(0, np.uint64)
         kinds = np.concatenate(kind_parts) if kind_parts else np.empty(0, np.int8)
+        stars = np.concatenate(star_parts) if star_parts else np.empty(0, np.int8)
         part = (keys % np.uint64(cfg.num_partitions)).astype(np.int64)
 
         # per-entry identity payload — ONE u64, selected by kind: the
@@ -104,6 +129,7 @@ def make_band_fn(cfg: DedupConfig, enable=("minhash", "contain", "phash", "exact
         # no reader.
         ident = np.where(kinds == KIND_PHASH,
                          phash.view(np.uint64)[rows], sk_fold[rows])
+        kinds = kinds | (stars * STAR_FLAG)   # flag rides the kind byte
 
         # ---- pack: one output row per partition present in this batch ----
         order = np.argsort(part, kind="stable")

@@ -107,6 +107,12 @@ def make_bucket_verifier(cfg: DedupConfig):
         from kmcp_ray.arrowutil import column, list_to_numpy
 
         kinds, _ = list_to_numpy(column(batch, "kind"), dtype=np.int8)
+        # high bit = designated star-emission site (bands.STAR_FLAG):
+        # identical-content star edges are emitted only where the member
+        # entry is flagged, so each (root, member) link exists once
+        # globally instead of once per band/chunk
+        star = kinds >= 8
+        kinds = (kinds & 7).astype(np.int8)
         m = len(kinds)
         if m < 2:
             return empty_edges()
@@ -158,6 +164,8 @@ def make_bucket_verifier(cfg: DedupConfig):
             sub = np.lexsort((id_rank[rows], ident[rows], seg_id[pos]))
             r, mem = _stars_by_group(rows[sub], seg_id[pos][sub],
                                      ident[rows][sub])
+            smask = star[mem]
+            r, mem = r[smask], mem[smask]
             star_roots.append(r); star_members.append(mem)
             star_via.append(np.full(len(mem), 1, dtype=np.int8))
 
@@ -170,6 +178,8 @@ def make_bucket_verifier(cfg: DedupConfig):
             idn = ident[rows]
             sub = np.argsort(idn, kind="stable")
             r, mem = _stars_by_group(rows[sub], idn[sub])
+            smask = star[mem]
+            r, mem = r[smask], mem[smask]
             star_roots.append(r); star_members.append(mem)
             star_via.append(np.full(
                 len(mem), 2 if kind == KIND_PHASH else 1, dtype=np.int8))
@@ -232,17 +242,33 @@ def make_bucket_verifier(cfg: DedupConfig):
             keep = ra2 != rb2
             ra2, rb2, ccls = ra2[keep], rb2[keep], ccls[keep]
             ci, cj = ci[keep], cj[keep]
+            # np.unique keeps the FIRST occurrence: order flagged-both
+            # instances first so cross-bucket dedup inside this partition
+            # never discards a designated-bucket instance in favor of a
+            # non-designated one (the emit gates below depend on it)
+            starboth = star[ci] & star[cj]
+            if not starboth.all():
+                ordp = np.argsort(~starboth, kind="stable")
+                ra2, rb2, ccls = ra2[ordp], rb2[ordp], ccls[ordp]
+                ci, cj = ci[ordp], cj[ordp]
             key = (ccls.astype(np.uint64) * n_ids
                    + ra2.astype(np.uint64)) * n_ids + rb2.astype(np.uint64)
             _, ix = np.unique(key, return_index=True)
             ra2, rb2, ccls = ra2[ix], rb2[ix], ccls[ix]
             ci, cj = ci[ix], cj[ix]
 
+            # identical-content pairs (Hamming 0 / equal sketch fold)
+            # co-occur in EVERY band/chunk bucket — emit them only where
+            # both entries are flagged (the designated bucket, see
+            # bands.STAR_FLAG), like the star edges above; non-identical
+            # verdicts keep per-bucket emission (cand is deduplicated
+            # downstream; low-Hamming pairs collide in few chunks)
             ph_mask = ccls == 0
             if ph_mask.any():
                 ii, jj = ci[ph_mask], cj[ph_mask]
                 ham = np.asarray(imagecodec.hamming64(ident[ii], ident[jj]))
-                ok = ham <= cfg.hamming_radius
+                ok = (ham <= cfg.hamming_radius) & \
+                    ((ham != 0) | (star[ii] & star[jj]))
                 out_tables.append(pa.table({
                     "id_a": pa.array(uids[ra2[ph_mask][ok]], pa.string()),
                     "id_b": pa.array(uids[rb2[ph_mask][ok]], pa.string()),
@@ -254,10 +280,12 @@ def make_bucket_verifier(cfg: DedupConfig):
             if sk_mask.any():
                 ii, jj = ci[sk_mask], cj[sk_mask]
                 same = ident[ii] == ident[jj]
+                emit = ~same | (star[ii] & star[jj])
+                ii, jj, same = ii[emit], jj[emit], same[emit]
                 via_c = np.where(same, np.int8(1), np.int8(3))
                 out_tables.append(pa.table({
-                    "id_a": pa.array(uids[ra2[sk_mask]], pa.string()),
-                    "id_b": pa.array(uids[rb2[sk_mask]], pa.string()),
+                    "id_a": pa.array(uids[ra2[sk_mask][emit]], pa.string()),
+                    "id_b": pa.array(uids[rb2[sk_mask][emit]], pa.string()),
                     "via": pa.array(VIA_NAMES[via_c], pa.string()),
                     "score": pa.array(same.astype(np.float64),
                                       pa.float64())}))

@@ -28,6 +28,7 @@ def bucket_stats(sig_ds, cfg: DedupConfig, enable=("minhash", "contain",
     def hist_partition(group: pa.Table) -> pa.Table:
         from kmcp_ray.arrowutil import column, list_to_numpy
         kinds, _ = list_to_numpy(column(group, "kind"), dtype=np.int8)
+        kinds = (kinds & 7).astype(np.int8)   # drop bands.STAR_FLAG bit
         keys, _ = list_to_numpy(column(group, "key"), dtype=np.uint64)
         if len(kinds) == 0:
             return pa.table({"kind": pa.array([], pa.int8()),

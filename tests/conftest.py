@@ -12,5 +12,8 @@ def ray_session():
     import ray.data
     ctx = ray.data.DataContext.get_current()
     ctx.enable_progress_bars = False
+    from kmcp_ray.perf import tune_data_context
+    tune_data_context()    # tests run the hash-shuffle strategy the
+    #                        bench/driver use, so fallout shows here
     yield
     ray.shutdown()

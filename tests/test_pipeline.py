@@ -237,3 +237,19 @@ def test_pipeline_join_emission_matches_oracle(ray_session, corpus,
     oassign, _ = oracle_result
     assert len(eng) == table.num_rows
     assert all(eng[k] == v for k, v in oassign.items())
+
+
+def test_inmemory_signature_table_is_slim(engine_result):
+    """The one full-corpus materialized table must not carry the vsk
+    verification blob (lazy candidate-only recompute path); the
+    checkpointed signature table keeps it (resume needs no raw input)."""
+    _, res = engine_result
+    assert "vsk" not in res.signatures.schema().names
+
+
+def test_checkpoint_signature_table_keeps_vsk(ray_session, tmp_path):
+    import ray.data
+    table, _, _ = testgen.make_pairs_corpus(n=100, seed=3, cfg=CFG)
+    res = dedup_pipeline(ray.data.from_arrow(table), CFG,
+                         workdir=str(tmp_path / "wd"))
+    assert "vsk" in res.signatures.schema().names
