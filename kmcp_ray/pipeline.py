@@ -166,6 +166,24 @@ def edges_stage(sig_ds, cfg: DedupConfig, enable=ALL_GENERATORS,
     raw = band_ds.groupby("part").map_groups(verifier, batch_format="pyarrow")
     raw = raw.materialize()          # small: pairs + star edges only
 
+    # hash shuffle (when the caller enabled it, see perf.py) is proven
+    # for the one wide exchange above — but this Ray release's
+    # aggregator crashes on the schema-less empty bundles that
+    # union-fed exchanges downstream can produce (ArrowInvalid: no
+    # FieldRef 'part' in empty schema).  Datasets capture the shuffle
+    # strategy from their ROOT's context, so restoring the ambient
+    # setting alone is not enough: re-root the materialized edge blocks
+    # (zero-copy refs) under the restored sort context so every
+    # downstream exchange runs sort-based.
+    import ray.data as _rd
+    from ray.data.context import ShuffleStrategy as _SS
+    if _rd.DataContext.get_current().shuffle_strategy == _SS.HASH_SHUFFLE:
+        _rd.DataContext.get_current().shuffle_strategy = \
+            _SS.SORT_SHUFFLE_PULL_BASED
+        refs = raw.to_arrow_refs()
+        if refs:
+            raw = _rd.from_arrow_refs(refs)
+
     verified = raw.map_batches(
         lambda t: t.filter(pc.not_equal(t["via"], "cand")),
         batch_format="pyarrow", zero_copy_batch=True)
