@@ -63,17 +63,20 @@ def empty_edges() -> pa.Table:
 
 def _pairs_within_segments(starts: np.ndarray, ends: np.ndarray):
     """Vectorized all-(i<j)-pairs generation inside [start, end) index
-    segments.  Returns (first, second) position arrays."""
-    sizes = ends - starts
-    reps_per_row = []
-    row_pos = []
-    for s, e in zip(starts, ends):          # loop over SEGMENTS (cheap)
-        row_pos.append(np.arange(s, e - 1))
-        reps_per_row.append(np.arange(e - 1 - s, 0, -1))
-    if not row_pos:
+    segments.  Returns (first, second) position arrays.  No per-segment
+    Python: the (row, countdown-reps) streams are built with the same
+    repeat/cumsum trick the inner index already used."""
+    starts = np.asarray(starts, dtype=np.int64)
+    ends = np.asarray(ends, dtype=np.int64)
+    lens1 = np.maximum(ends - starts - 1, 0)    # pair-emitting rows/segment
+    total1 = int(lens1.sum())
+    if total1 == 0:
         return np.empty(0, np.int64), np.empty(0, np.int64)
-    row_pos = np.concatenate(row_pos)
-    reps = np.concatenate(reps_per_row)
+    from kmcp_ray.bands import _segment_gather
+    row_pos = _segment_gather(starts, lens1)    # s..e-2 per segment, flat
+    excl = np.concatenate(([0], np.cumsum(lens1)[:-1]))
+    within_seg = np.arange(total1) - np.repeat(excl, lens1)
+    reps = np.repeat(lens1, lens1) - within_seg  # e-1-s, e-2-s, ..., 1
     total = int(reps.sum())
     first = np.repeat(row_pos, reps)
     csum = np.cumsum(reps)

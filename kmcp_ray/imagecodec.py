@@ -78,24 +78,40 @@ def _dct_matrix(n: int) -> np.ndarray:
 _DCT32 = _dct_matrix(32)
 
 
+_RGB_W = np.array([0.299, 0.587, 0.114])
+#: MSB-first weights matching the original shift-or loop: bit i of the
+#: 63-bit block (DC dropped) lands at position 62-i
+_PHASH_BIT_W = (np.uint64(1) << np.arange(62, -1, -1, dtype=np.uint64))
+
+
+def _phash_stack(g32: np.ndarray) -> np.ndarray:
+    """(n, 32, 32) float64 gray stack → (n,) int64 phashes — two batched
+    matmuls + one weighted bit sum (no per-bit / per-row Python)."""
+    coeffs = np.matmul(np.matmul(_DCT32[None, :, :], g32), _DCT32.T)
+    block = coeffs[:, :8, :8].reshape(len(g32), 64)[:, 1:]   # drop DC
+    med = np.median(block, axis=1, keepdims=True)
+    bits = (block > med).astype(np.uint64)
+    return (bits * _PHASH_BIT_W[None, :]).sum(axis=1,
+                                              dtype=np.uint64).view(np.int64)
+
+
 def phash64(pixels: np.ndarray) -> int:
     """64-bit perceptual hash of an RGB image (resized to 32x32 first)."""
-    gray = pixels.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
-    g = _resize32(gray)
-    coeffs = _DCT32 @ g @ _DCT32.T
-    block = coeffs[:8, :8].flatten()[1:]         # drop DC
-    med = np.median(block)
-    bits = block > med
-    h = 0
-    for bit in bits:                             # 63 bits
-        h = (h << 1) | int(bit)
-    return h
+    gray = pixels.astype(np.float64) @ _RGB_W
+    return int(_phash_stack(_resize32(gray)[None, :, :])[0])
 
 
 def phash64_batch(pixel_list) -> np.ndarray:
-    """Vectorized phash over a list of (h, w, 3) arrays of equal 32x32
-    size falls back to the scalar path for odd sizes."""
-    return np.array([phash64(p) for p in pixel_list], dtype=np.int64)
+    """Vectorized phash over a sequence of (h, w, 3) uint8 arrays: the
+    per-image gray/resize is cheap; the DCT + bit extraction run as one
+    stacked pass (``_phash_stack``)."""
+    n = len(pixel_list)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    g32 = np.empty((n, 32, 32), dtype=np.float64)
+    for i, p in enumerate(pixel_list):
+        g32[i] = _resize32(p.astype(np.float64) @ _RGB_W)
+    return _phash_stack(g32)
 
 
 def _resize32(gray: np.ndarray) -> np.ndarray:
@@ -155,7 +171,6 @@ class DecodeStage:
     def __init__(self):
         # PRODUCTION: import PIL here (once per actor), build decoders
         self.decode = decode
-        self.phash = phash64
 
     def __call__(self, batch):
         import numpy as np
@@ -163,17 +178,20 @@ class DecodeStage:
         bts = batch.column("bytes").to_numpy(zero_copy_only=False)
         phs = batch.column("phash").to_numpy(zero_copy_only=False)
         fmts = batch.column("fmt").to_numpy(zero_copy_only=False)
-        ok = np.zeros(len(bts), dtype=bool)
-        psnr_db = np.zeros(len(bts), dtype=np.float64)
-        ws = np.zeros(len(bts), dtype=np.int32)
-        hs = np.zeros(len(bts), dtype=np.int32)
-        for i, data in enumerate(bts):
+        n = len(bts)
+        psnr_db = np.zeros(n, dtype=np.float64)
+        ws = np.zeros(n, dtype=np.int32)
+        hs = np.zeros(n, dtype=np.int32)
+        pixels = []
+        for i, data in enumerate(bts):          # stub-inherent decode loop
             px = self.decode(data)
+            pixels.append(px)
             hs[i], ws[i] = px.shape[0], px.shape[1]
-            ok[i] = self.phash(px) == int(phs[i])
             rt = self.decode(encode(px, fmts[i]))
             p = psnr(px, rt)
             psnr_db[i] = 99.0 if p == float("inf") else p
+        # hash verification: one stacked DCT pass over the whole batch
+        ok = phash64_batch(pixels) == phs.astype(np.int64)
         return pa.table({
             "image_id": batch.column("image_id"),
             "phash_ok": pa.array(ok),

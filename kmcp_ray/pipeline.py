@@ -65,9 +65,22 @@ def _done(workdir: str, name: str) -> bool:
     return os.path.exists(os.path.join(_stage_dir(workdir, name), "_DONE"))
 
 
+def _schema_marker() -> str:
+    """Version marker of the persisted signature-table layout: resuming
+    a workdir whose checkpoints were written under an older column set
+    must be refused up front with a clear message instead of crashing in
+    the band stage with a missing-column error — the kmcp serialization
+    compatibility check (kmcp/cmd/index/serialization.go:90-99
+    analogue, ADVICE r2 #3)."""
+    from kmcp_ray.sketch import SIGNATURE_SCHEMA_COLS
+    return ",".join(SIGNATURE_SCHEMA_COLS)
+
+
 def _check_config(workdir: str, cfg: DedupConfig) -> None:
-    """Refuse resuming under a different sketch/signature config."""
+    """Refuse resuming under a different sketch/signature config or an
+    incompatible signature-table schema version."""
     path = os.path.join(workdir, "config.json")
+    spath = os.path.join(workdir, "schema.txt")
     if os.path.exists(path):
         with open(path) as f:
             stored = f.read()
@@ -76,10 +89,23 @@ def _check_config(workdir: str, cfg: DedupConfig) -> None:
                 f"checkpoint at {workdir} was produced with a different "
                 "DedupConfig — refusing to resume (kmcp compatibility-check "
                 "analogue). Delete the workdir or pass the original config.")
+        stored_schema = ""
+        if os.path.exists(spath):
+            with open(spath) as f:
+                stored_schema = f.read()
+        if stored_schema != _schema_marker():
+            raise ValueError(
+                f"checkpoint at {workdir} was written under signature-table "
+                f"schema [{stored_schema or '<pre-versioning>'}] but this "
+                f"build stores [{_schema_marker()}] — refusing to resume "
+                "(kmcp serialization compatibility-check analogue). Delete "
+                "the workdir to re-sketch.")
     else:
         os.makedirs(workdir, exist_ok=True)
         with open(path, "w") as f:
             f.write(cfg.to_json())
+        with open(spath, "w") as f:
+            f.write(_schema_marker())
 
 
 def _checkpoint(ds: "ray.data.Dataset", workdir: str, name: str) -> "ray.data.Dataset":
@@ -173,16 +199,21 @@ def edges_stage(sig_ds, cfg: DedupConfig, enable=ALL_GENERATORS,
     # FieldRef 'part' in empty schema).  Datasets capture the shuffle
     # strategy from their ROOT's context, so restoring the ambient
     # setting alone is not enough: re-root the materialized edge blocks
-    # (zero-copy refs) under the restored sort context so every
-    # downstream exchange runs sort-based.
+    # (zero-copy refs) under a temporary sort context so every
+    # downstream exchange of THIS pipeline runs sort-based — then
+    # restore the caller's strategy (a process that armed hash once
+    # keeps it across pipeline runs; ADVICE r2 #2).
     import ray.data as _rd
     from ray.data.context import ShuffleStrategy as _SS
-    if _rd.DataContext.get_current().shuffle_strategy == _SS.HASH_SHUFFLE:
-        _rd.DataContext.get_current().shuffle_strategy = \
-            _SS.SORT_SHUFFLE_PULL_BASED
-        refs = raw.to_arrow_refs()
-        if refs:
-            raw = _rd.from_arrow_refs(refs)
+    _ctx = _rd.DataContext.get_current()
+    if _ctx.shuffle_strategy == _SS.HASH_SHUFFLE:
+        _ctx.shuffle_strategy = _SS.SORT_SHUFFLE_PULL_BASED
+        try:
+            refs = raw.to_arrow_refs()
+            if refs:
+                raw = _rd.from_arrow_refs(refs)
+        finally:
+            _ctx.shuffle_strategy = _SS.HASH_SHUFFLE
 
     verified = raw.map_batches(
         lambda t: t.filter(pc.not_equal(t["via"], "cand")),

@@ -72,7 +72,14 @@ def _pairs_per_partition(group: pa.Table, max_df: int) -> pa.Table:
     """One partition: for every equal-key segment emit (query, target)
     once per shared kept shingle.  Buckets with more rows than
     ``max_df`` on either side are truncated with a warning counter
-    (high-df shingles; kmcp's Bloom-FPR cost analogue)."""
+    (high-df shingles; kmcp's Bloom-FPR cost analogue).
+
+    Fully vectorized: per-segment q/t counts fall out of one bincount
+    over (segment, role); non-mixed segments are masked out; the
+    cross-products of all mixed segments are emitted with one
+    repeat/arange pass — no per-distinct-shingle Python (at
+    search_scale=1 a big corpus has millions of segments/partition).
+    The rare ``max_df``-capped segments keep a per-segment loop."""
     keys = group.column("key").to_numpy(zero_copy_only=False).astype(np.uint64)
     roles = group.column("role").to_numpy(zero_copy_only=False)
     rids = group.column("rid").to_numpy(zero_copy_only=False)
@@ -80,23 +87,48 @@ def _pairs_per_partition(group: pa.Table, max_df: int) -> pa.Table:
     order = np.lexsort((roles, keys))
     keys_s, roles_s = keys[order], roles[order]
     m = len(keys_s)
-    bound = np.nonzero(np.concatenate(([True], keys_s[1:] != keys_s[:-1])))[0]
-    bound_end = np.concatenate((bound[1:], [m]))
+    if m == 0:
+        return pa.table({"query": pa.array([], pa.string()),
+                         "target": pa.array([], pa.string()),
+                         "q_kept": pa.array([], pa.int64()),
+                         "t_kept": pa.array([], pa.int64())})
+    seg_first = np.concatenate(([True], keys_s[1:] != keys_s[:-1]))
+    seg_id = np.cumsum(seg_first) - 1
+    nseg = int(seg_id[-1]) + 1
+    seg_start = np.nonzero(seg_first)[0]
+    # q rows sort before t rows within a segment (lexsort minor = role)
+    nq = np.bincount(seg_id[roles_s == 0], minlength=nseg)
+    nt = np.bincount(seg_id[roles_s == 1], minlength=nseg)
+    mixed = (nq > 0) & (nt > 0)
+    easy = mixed & (nq <= max_df) & (nt <= max_df)
+    capped = mixed & ~easy
+
     out_q, out_t = [], []
+    if easy.any():
+        qs_start = seg_start[easy]
+        ts_start = qs_start + nq[easy]
+        nqe = nq[easy]
+        nte = nt[easy]
+        counts = nqe * nte
+        total = int(counts.sum())
+        excl = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        within = np.arange(total) - np.repeat(excl, counts)
+        nte_r = np.repeat(nte, counts)
+        qi = within // nte_r
+        ti = within % nte_r
+        out_q.append(order[np.repeat(qs_start, counts) + qi])
+        out_t.append(order[np.repeat(ts_start, counts) + ti])
+
     dropped = 0
-    for s, e in zip(bound, bound_end):
-        seg = order[s:e]
-        r = roles_s[s:e]
-        qs = seg[r == 0]
-        ts = seg[r == 1]
-        if len(qs) == 0 or len(ts) == 0:
-            continue
-        if len(qs) > max_df or len(ts) > max_df:
-            # deterministic cut: sort each side by rid first — Ray's
-            # groupby row order is not stable across runs
-            dropped += max(0, len(qs) - max_df) + max(0, len(ts) - max_df)
-            qs = qs[np.argsort(rids[qs], kind="stable")][:max_df]
-            ts = ts[np.argsort(rids[ts], kind="stable")][:max_df]
+    for sidx in np.nonzero(capped)[0]:          # rare: df-capped segments
+        s = seg_start[sidx]
+        qs = order[s:s + nq[sidx]]
+        ts = order[s + nq[sidx]:s + nq[sidx] + nt[sidx]]
+        # deterministic cut: sort each side by rid first — Ray's
+        # groupby row order is not stable across runs
+        dropped += max(0, len(qs) - max_df) + max(0, len(ts) - max_df)
+        qs = qs[np.argsort(rids[qs], kind="stable")][:max_df]
+        ts = ts[np.argsort(rids[ts], kind="stable")][:max_df]
         qq, tt = np.meshgrid(qs, ts, indexing="ij")
         out_q.append(qq.ravel())
         out_t.append(tt.ravel())
@@ -390,13 +422,25 @@ def search_indexed(query_ds, ref_ds, cfg: DedupConfig = DedupConfig(), *,
                    min_qcov: float = 0.5, min_shared: int = 3,
                    max_fpr: float = 0.01, search_scale: int = 1,
                    concurrency: int = 4, batch_size: int = 4096,
-                   top_n_scores: int = 0):
+                   top_n_scores: int = 0, max_index_rows: int = 8_000_000):
     """Shuffle-free search against a broadcast inverted index held by an
     actor pool — same MATCH_COLUMNS and semantics as :func:`search`
     (verified equal in tests); right when the index fits in worker
     memory and queries vastly outnumber references (the kmcp common
-    case: short reads vs a prebuilt DB)."""
+    case: short reads vs a prebuilt DB).
+
+    ``max_index_rows`` guards the driver-side index build (the kmcp
+    load-whole-index mode bound, search.go:66-83): a reference side
+    larger than this falls back to the shuffle :func:`search` — same
+    output, no whole-reference materialization on the driver (mirrors
+    ann.cosine_pairs' ``max_broadcast_rows`` cutover)."""
     import ray
+    if ref_ds.count() > max_index_rows:
+        return search(query_ds, ref_ds, cfg, query_id=query_id,
+                      query_text=query_text, ref_id=ref_id,
+                      ref_text=ref_text, min_qcov=min_qcov,
+                      min_shared=min_shared, max_fpr=max_fpr,
+                      search_scale=search_scale, top_n_scores=top_n_scores)
     index_ref = ray.put(build_ref_index(ref_ds, cfg, ref_id=ref_id,
                                         ref_text=ref_text,
                                         scale=search_scale))

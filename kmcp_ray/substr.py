@@ -92,13 +92,9 @@ def substr_containment_pairs(ds, cfg: DedupConfig = None,
         lambda t: t.filter(pc.equal(t["via"], "contain"))
                    .select(["id_a", "id_b"]),
         batch_format="pyarrow", zero_copy_batch=True)
-    if contain.count() == 0:
-        import ray.data
-        return ray.data.from_arrow(pa.table({
-            "id_a": pa.array([], pa.int64()),
-            "id_b": pa.array([], pa.int64()),
-            "via": pa.array([], pa.string()),
-            "score": pa.array([], pa.float64())}))
+    # no contain.count() empty-check: an empty candidate stream flows
+    # through the attach exchange and verifier as empty tables — the
+    # driver count barrier was a pure serial-term cost (r2 verdict #7)
 
     # texts as the attach payload, keyed like the dedup pairs (d-prefixed)
     def text_payload(batch: pa.Table) -> pa.Table:

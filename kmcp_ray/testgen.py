@@ -230,13 +230,14 @@ def make_pairs_corpus(n: int = 2000, seed: int = 42, dup_frac: float = 0.30,
 
     # ---- materialize ----
     ids = [f"img{i:08d}" for i in range(len(rows))]
-    bts, phashes, fmts, ws, hs, caps = [], [], [], [], [], []
+    bts, decoded, fmts, ws, hs, caps = [], [], [], [], [], []
     for r in rows:
         data = imagecodec.encode(r["pixels"], r["fmt"])
         bts.append(data)
-        phashes.append(imagecodec.phash64(imagecodec.decode(data)))
+        decoded.append(imagecodec.decode(data))
         fmts.append(r["fmt"]); ws.append(r["w"]); hs.append(r["h"])
         caps.append(r["caption"])
+    phashes = imagecodec.phash64_batch(decoded)
     table = pa.table({
         "image_id": pa.array(ids, pa.string()),
         "bytes": pa.array(bts, pa.binary()),

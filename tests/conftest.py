@@ -13,7 +13,10 @@ def ray_session():
     ctx = ray.data.DataContext.get_current()
     ctx.enable_progress_bars = False
     from kmcp_ray.perf import tune_data_context
-    tune_data_context()    # tests run the hash-shuffle strategy the
-    #                        bench/driver use, so fallout shows here
+    tune_data_context()    # resolves $KMCP_SHUFFLE, default "sort" —
+    # the suite-wide default stays sort (global hash slows small
+    # groupbys >10x); the hash-only paths (perf.py hash branch, the
+    # edges_stage re-root) get dedicated coverage in
+    # tests/test_pipeline.py::test_hash_shuffle_strategy
     yield
     ray.shutdown()

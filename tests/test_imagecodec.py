@@ -72,3 +72,28 @@ def test_image_features_stage(ray_session):
         va, vb = emb[a], emb[b]
         cos = va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb) + 1e-12)
         assert cos > 0.98, (a, b, cos)
+
+
+def test_phash64_batch_equals_scalar_loop():
+    """The stacked-DCT batch phash must reproduce the original
+    per-bit shift-or definition exactly (r2 verdict #5)."""
+    rng = np.random.default_rng(11)
+    imgs = [rng.integers(0, 256, (32, 32, 3)).astype(np.uint8)
+            for _ in range(7)]
+    imgs.append(rng.integers(0, 256, (48, 48, 3)).astype(np.uint8))
+
+    def reference(pixels):
+        gray = pixels.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+        g = imagecodec._resize32(gray)
+        coeffs = imagecodec._DCT32 @ g @ imagecodec._DCT32.T
+        block = coeffs[:8, :8].flatten()[1:]
+        med = np.median(block)
+        h = 0
+        for bit in (block > med):
+            h = (h << 1) | int(bit)
+        return h
+
+    got = imagecodec.phash64_batch(imgs)
+    want = np.array([reference(p) for p in imgs], dtype=np.int64)
+    assert np.array_equal(got, want)
+    assert imagecodec.phash64(imgs[0]) == int(want[0])

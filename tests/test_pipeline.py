@@ -253,3 +253,53 @@ def test_checkpoint_signature_table_keeps_vsk(ray_session, tmp_path):
     res = dedup_pipeline(ray.data.from_arrow(table), CFG,
                          workdir=str(tmp_path / "wd"))
     assert "vsk" in res.signatures.schema().names
+
+
+def test_hash_shuffle_strategy(ray_session):
+    """Dedicated coverage for the hash-shuffle arm (ADVICE r2 #1):
+    dedup_pipeline under HASH_SHUFFLE must equal the sort-strategy
+    result, and edges_stage must RESTORE the caller's strategy after
+    re-rooting (ADVICE r2 #2)."""
+    import ray.data
+    from ray.data.context import ShuffleStrategy
+    from kmcp_ray.perf import tune_data_context
+
+    table, _, _ = testgen.make_pairs_corpus(n=200, seed=5, cfg=CFG)
+    base = dedup_pipeline(ray.data.from_arrow(table), CFG) \
+        .assignments.to_pandas().sort_values("image_id") \
+        .reset_index(drop=True)
+    ctx = ray.data.DataContext.get_current()
+    prev = ctx.shuffle_strategy
+    try:
+        tune_data_context("hash")
+        assert ctx.shuffle_strategy == ShuffleStrategy.HASH_SHUFFLE
+        got = dedup_pipeline(ray.data.from_arrow(table), CFG) \
+            .assignments.to_pandas().sort_values("image_id") \
+            .reset_index(drop=True)
+        # edges_stage flipped to sort for the re-root, then restored
+        assert ctx.shuffle_strategy == ShuffleStrategy.HASH_SHUFFLE
+    finally:
+        ctx.shuffle_strategy = prev
+    import pandas as pd
+    pd.testing.assert_frame_equal(got, base)
+
+
+def test_checkpoint_schema_marker_refusal(ray_session, tmp_path):
+    """Resuming a workdir written under an older signature-table schema
+    must be refused with a clear message (ADVICE r2 #3), and a workdir
+    missing the marker entirely (pre-versioning) is refused too."""
+    import ray.data
+    table, _, _ = testgen.make_pairs_corpus(n=60, seed=3, cfg=CFG)
+    wd = str(tmp_path / "wd")
+    dedup_pipeline(ray.data.from_arrow(table), CFG, workdir=wd)
+    # same config + same schema resumes fine
+    dedup_pipeline(ray.data.from_arrow(table), CFG, workdir=wd)
+    # stale / missing schema marker -> refused
+    sp = os.path.join(wd, "schema.txt")
+    with open(sp, "w") as f:
+        f.write("image_id,old_col")
+    with pytest.raises(ValueError, match="schema"):
+        dedup_pipeline(ray.data.from_arrow(table), CFG, workdir=wd)
+    os.remove(sp)
+    with pytest.raises(ValueError, match="schema"):
+        dedup_pipeline(ray.data.from_arrow(table), CFG, workdir=wd)

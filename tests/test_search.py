@@ -218,3 +218,25 @@ def test_search_indexed_equals_shuffle_search(ray_session):
     assert len(a) == len(b) > 10
     import pandas as pd
     pd.testing.assert_frame_equal(a[sorted(a.columns)], b[sorted(b.columns)])
+
+
+def test_search_indexed_size_gate_falls_back(ray_session):
+    """A reference side above ``max_index_rows`` must take the shuffle
+    search() arm — identical output either path (r2 verdict #4)."""
+    import ray.data
+    refs = _mk(REF_TEXTS)
+    queries = _mk([" ".join(REF_TEXTS[0].split()[3:15]),
+                   " ".join(REF_TEXTS[1].split()[:10])], start=300)
+    kw = dict(min_qcov=0.3, min_shared=1, max_fpr=1.0)
+    direct = search.search_indexed(
+        ray.data.from_arrow(queries), ray.data.from_arrow(refs), CFG,
+        concurrency=2, **kw).to_pandas()
+    gated = search.search_indexed(
+        ray.data.from_arrow(queries), ray.data.from_arrow(refs), CFG,
+        concurrency=2, max_index_rows=1, **kw).to_pandas()
+    key = ["query", "target"]
+    d = direct.sort_values(key).reset_index(drop=True)
+    g = gated.sort_values(key).reset_index(drop=True)
+    import pandas as pd
+    pd.testing.assert_frame_equal(d, g[d.columns], check_dtype=False)
+    assert len(d) >= 2
