@@ -7,8 +7,11 @@ here (nor in kmcp_ray) calls ``ray.init``/``ray.shutdown``.
   image+caption corpus seeded from /root/testdata/sf0.001 documents.
 - ``queries()`` — one callable per implemented operator (SURVEY.md §2);
   each takes ``sf_dir`` and returns a Dataset / DataFrame / Table.
-- ``oracle_sql()`` — DuckDB-equivalent SQL for the SQL-expressible
-  subset; LSH/SimHash/fingerprint/clustering ops are rows-only checked.
+- ``oracle_sql()`` — DuckDB-equivalent SQL per entry, including the
+  dedup-family cluster closures (recursive CTE), the SimHash/winnowing
+  md5-variant mirrors and the lgamma binomial-tail FPR gate; only
+  genuinely non-SQL ops (LSH-cosine recall path, EM iterations, image
+  decode) stay rows+pytest-checked.
 
 Column-name + float-parity rules: aggregates are integer units
 (floor(x*100)) and every computed column is aliased identically in the
@@ -87,10 +90,24 @@ def entry() -> Any:
 # ---------------------------------------------------------------- queries
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    import dataclasses
+
     from kmcp_ray import ann, docs_dedup, relops, textops
     from kmcp_ray.config import DedupConfig
 
     cfg = DedupConfig(num_partitions=16)
+    # Exhaustive/exact configuration for the SQL-oracled dedup entries:
+    # bucket_scale=1 + min_containment_shingles=1 make the containment
+    # generator emit EVERY shingle as a bucket key (candidate recall 1
+    # for any pair sharing >=1 shingle — kmcp's exact k-mer containment
+    # mode), verify_k -> inf verifies on full distinct shingle sets, and
+    # the skew caps are lifted so no deterministic truncation diverges
+    # from the closed-form SQL predicate.  Production-scale runs keep
+    # the default sampled config; this one IS the driver-verifiable
+    # exact mode (same code path, different knobs).
+    ex_cfg = dataclasses.replace(
+        cfg, bucket_scale=1, verify_k=1 << 30, min_containment_shingles=1,
+        max_shingle_df=1 << 30, max_bucket=1 << 30)
 
     def q_exact_dedup(sf):
         return docs_dedup.exact_dedup(_docs(sf), num_partitions=16)
@@ -148,18 +165,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = _read(sf, "embeddings", columns=["vec_id", "embedding"])
         return ann.cosine_pairs(ds, 0.4).select_columns(["id_a", "id_b"])
 
-    # ---- non-SQL-expressible (rows-only check) ----
     def q_minhash_dedup(sf):
-        return docs_dedup.minhash_dedup(_docs(sf), cfg)
+        """Full MinHash-LSH + containment dedup pipeline in exact mode
+        (ex_cfg): verified edges == the closed-form jacc/containment
+        predicate, so cluster assignments equal the SQL transitive
+        closure exactly."""
+        return docs_dedup.minhash_dedup(_docs(sf), ex_cfg)
 
     def q_simhash_dedup(sf):
-        return docs_dedup.simhash_dedup(_docs(sf), cfg)
+        """SimHash-64 + Hamming-chunk banding over an md5-derived
+        shingle simhash (SQL-computable token/shingle hash; the
+        production SipHash default is pytest-covered): pigeonhole-exact
+        candidates + in-bucket Hamming verify ⇒ clusters equal the SQL
+        hamming<=radius closure."""
+        return docs_dedup.simhash_dedup(_docs(sf), ex_cfg,
+                                        token_hash="md5")
 
     def q_ngram_pairs(sf):
-        return docs_dedup.ngram_jaccard_pairs(_docs(sf), cfg)
+        import pyarrow as pa
+        out = docs_dedup.ngram_jaccard_pairs(_docs(sf), ex_cfg)
+
+        def intscore(t: pa.Table) -> pa.Table:
+            s = t.column("score").to_numpy(zero_copy_only=False)
+            return pa.table({
+                "id_a": t.column("id_a"), "id_b": t.column("id_b"),
+                "via": t.column("via"),
+                "score_u": pa.array(np.floor(1e6 * s).astype(np.int64),
+                                    pa.int64())})
+        return out.map_batches(intscore, batch_format="pyarrow",
+                               zero_copy_batch=True)
 
     def q_fingerprint(sf):
-        return textops.doc_fingerprint(_docs(sf))
+        """Winnowing fingerprints over the md5 shingle-hash variant
+        (SQL window-min mirror); summary columns are order-free ints."""
+        return textops.doc_fingerprint(_docs(sf), token_hash="md5")
 
     def q_lang_id(sf):
         return textops.lang_id(_docs(sf), concurrency=2)
@@ -173,7 +212,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return ann.lsh_cosine_pairs(ds, 0.35, cfg)
 
     def q_search_docs(sf):
-        """kmcp search analogue: first 20 docs as queries vs all docs."""
+        """kmcp search analogue with the FPR significance gate ON
+        (max_fpr=0.01 default — the binomial tail is mirrored in SQL via
+        lgamma): first 100 docs as queries vs all docs."""
         import pyarrow.compute as pc
         from kmcp_ray import search as search_mod
         docs = _docs(sf)
@@ -183,19 +224,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = search_mod.search(
             queries_ds, docs, cfg, query_id="doc_id", query_text="text",
             ref_id="doc_id", ref_text="text", min_qcov=0.3, min_shared=2)
-        import pyarrow as pa
-
-        def drop_self(t: pa.Table) -> pa.Table:
-            return t.filter(pc.invert(pc.equal(t["query"], t["target"])))
-        return out.map_batches(drop_self, batch_format="pyarrow")
+        return _finalize_matches(out, drop_self=True)
 
     def q_search_merge(sf):
-        """shard-merge invariant surface: two ref shards, merged."""
+        """shard-merge invariant surface: two ref shards, merged, then
+        the post-merge per-query hits rewrite (kmcp merge.go:210-224);
+        integer-ized scores + hits, self-matches dropped AFTER the hits
+        count (hits counts all matched targets incl. self, as kmcp's
+        does)."""
+        import pyarrow as pa
         import pyarrow.compute as pc
         from kmcp_ray import search as search_mod
         docs = _docs(sf)
         queries_ds = docs.map_batches(
-            lambda t: t.filter(pc.less(t["doc_id"], 10)),
+            lambda t: t.filter(pc.less(t["doc_id"], 30)),
             batch_format="pyarrow", zero_copy_batch=True)
         half_a = docs.map_batches(
             lambda t: t.filter(pc.equal(pc.bit_wise_and(t["doc_id"], 1), 0)),
@@ -203,14 +245,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
         half_b = docs.map_batches(
             lambda t: t.filter(pc.equal(pc.bit_wise_and(t["doc_id"], 1), 1)),
             batch_format="pyarrow", zero_copy_batch=True)
-        ra = search_mod.search(queries_ds, half_a, cfg, min_qcov=0.3,
-                               min_shared=2)
-        rb = search_mod.search(queries_ds, half_b, cfg, min_qcov=0.3,
-                               min_shared=2)
-        # post-merge per-query hits rewrite (kmcp merge.go:210-224)
-        return search_mod.add_hits(
+        ra = search_mod.search(queries_ds, half_a, cfg, min_qcov=0.05,
+                               min_shared=1, max_fpr=0.05)
+        rb = search_mod.search(queries_ds, half_b, cfg, min_qcov=0.05,
+                               min_shared=1, max_fpr=0.05)
+        merged = search_mod.add_hits(
             search_mod.merge_search_results([ra, rb]),
             num_partitions=cfg.num_partitions)
+
+        def finalize(t: pa.Table) -> pa.Table:
+            q = t.column("query").to_numpy(zero_copy_only=False)
+            tg = t.column("target").to_numpy(zero_copy_only=False)
+            keep = q != tg
+            c = t.column("m_shared").to_numpy(zero_copy_only=False)[keep]
+            kq = t.column("q_kept").to_numpy(zero_copy_only=False)[keep]
+            kt = t.column("t_kept").to_numpy(zero_copy_only=False)[keep]
+            hits = t.column("hits").to_numpy(zero_copy_only=False)[keep]
+            return pa.table({
+                "query": pa.array(q[keep], pa.string()),
+                "target": pa.array(tg[keep], pa.string()),
+                "m_shared": pa.array(c.astype(np.int64), pa.int64()),
+                "q_kept": pa.array(kq.astype(np.int64), pa.int64()),
+                "t_kept": pa.array(kt.astype(np.int64), pa.int64()),
+                "qcov_u": pa.array(np.floor(1000000.0 * c / kq)
+                                   .astype(np.int64), pa.int64()),
+                "hits": pa.array(hits.astype(np.int64), pa.int64())})
+        return merged.map_batches(finalize, batch_format="pyarrow",
+                                  zero_copy_batch=True) \
+            .sort(["query", "target"])
 
     def q_search_intersect(sf):
         """multi-DB intersection (J2): targets must appear in BOTH
@@ -262,7 +324,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 "text": pa.array(list(txt) + new_txt, pa.string())})
         docs = _read(sf, "documents", columns=["doc_id", "text"]) \
             .map_batches(plant, batch_format="pyarrow", zero_copy_batch=True)
-        return substr.substr_containment_pairs(docs, cfg)
+        out = substr.substr_containment_pairs(docs, ex_cfg)
+        return out.select_columns(["id_a", "id_b", "via"]) \
+            .sort(["id_a", "id_b"])
 
     def q_cluster_profile(sf):
         import pyarrow.parquet as pq
@@ -558,7 +622,7 @@ def oracle_sql() -> dict[str, str]:
                        r.id AS target, r.did AS tdid,
                        count(*) AS m_shared
                 FROM d q JOIN d r USING (s)
-                WHERE ({QF}) AND ({RF}) AND q.did <> r.did
+                WHERE ({QF}) AND ({RF}) AND ({SELF})
                 GROUP BY 1, 2, 3, 4
             ), scored AS (
                 SELECT query, target, m_shared,
@@ -577,10 +641,77 @@ def oracle_sql() -> dict[str, str]:
             )
     """
 
-    def containment(qf, rf, gates, tail):
+    def containment(qf, rf, gates, tail, self_cond="q.did <> r.did"):
         return (shingle_cte
                 .replace("{QF}", qf).replace("{RF}", rf)
+                .replace("{SELF}", self_cond)
                 .replace("{GATES}", gates) + tail)
+
+    # binomial-tail significance gate (kmcp query-fpr, M16) in SQL:
+    # P(X >= m), X ~ Binom(q_kept, p), p = min(0.999, t_kept / 2^20) —
+    # the lgamma mirror of relops.binom_sf's log-factorial sum
+    fpr_expr = (
+        "least(1.0, list_sum(list_transform("
+        "generate_series(m_shared, cq.n), j -> "
+        "exp(lgamma(cq.n + 1) - lgamma(j + 1) - lgamma(cq.n - j + 1)"
+        " + j * ln(least(0.999, cr.n / 1048576.0))"
+        " + (cq.n - j) * ln(1.0 - least(0.999, cr.n / 1048576.0))))))")
+
+    # shared pair-predicate CTE chain for the dedup-family oracles:
+    # exact distinct 3-shingle sets over {SRC}(did, text) → pairwise
+    # shared counts → the engine's exact-mode verification predicate
+    # (jacc >= 0.7 OR containment >= 0.9 — ex_cfg in queries())
+    pair_cte = """
+            t AS (
+                SELECT did,
+                       regexp_extract_all(lower(coalesce(text, '')),
+                                          '[a-z0-9]+') AS tk
+                FROM {SRC}
+            ), sh AS (
+                SELECT did, unnest(
+                    CASE WHEN len(tk) >= 3 THEN list_transform(
+                              generate_series(1, len(tk) - 2),
+                              i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+                         WHEN len(tk) > 0 THEN [array_to_string(tk, ' ')]
+                         ELSE [] END) AS s
+                FROM t
+            ), d AS (
+                SELECT DISTINCT did, s FROM sh
+            ), cnt AS (
+                SELECT did, count(*) AS n FROM d GROUP BY did
+            ), shared AS (
+                SELECT a.did AS ia, b.did AS ib, count(*) AS c
+                FROM d a JOIN d b USING (s)
+                WHERE a.did < b.did GROUP BY 1, 2
+            ), scoredp AS (
+                SELECT ia, ib, c, ca.n AS na, cb.n AS nb,
+                       1.0 * c / (ca.n + cb.n - c) AS jacc,
+                       1.0 * c / least(ca.n, cb.n) AS ctn
+                FROM shared
+                JOIN cnt ca ON ca.did = ia
+                JOIN cnt cb ON cb.did = ib
+            )
+    """
+
+    # transitive closure → canonical min-id cluster per node (the CC +
+    # emission stages); expects CTEs edges(ia, ib) and nodes(did)
+    closure_tail = """
+            , sym AS (
+                SELECT ia AS x, ib AS y FROM edges
+                UNION SELECT ib, ia FROM edges
+            ), reach(a, b) AS (
+                SELECT did, did FROM nodes
+                UNION
+                SELECT reach.a, sym.y FROM reach JOIN sym ON sym.x = reach.b
+            )
+            SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
+    """
+
+    # UBIGINT → the int64 bit-view numpy emits (two's complement)
+    def i64(expr):
+        return (f"CAST(CASE WHEN {expr} >= 9223372036854775808::UBIGINT "
+                f"THEN {expr}::HUGEINT - 18446744073709551616::HUGEINT "
+                f"ELSE {expr}::HUGEINT END AS BIGINT)")
 
     return {
         "exact_dedup_docs": """
@@ -788,6 +919,164 @@ def oracle_sql() -> dict[str, str]:
             "q.did < 100", "TRUE",
             "m_shared >= 1 AND 1.0 * m_shared / cq.n >= 0.01",
             "SELECT * FROM scored ORDER BY query, target"),
+        "search_docs": containment(
+            "q.did < 100", "TRUE",
+            "m_shared >= 2 AND 1.0 * m_shared / cq.n >= 0.3 AND "
+            + fpr_expr + " <= 0.01",
+            "SELECT * FROM scored ORDER BY query, target"),
+        "search_merge_docs": containment(
+            # two disjoint ref shards (doc_id parity) re-merged == one
+            # search over the union; hits counted BEFORE dropping self
+            # (the kmcp post-merge hits rewrite semantics)
+            "q.did < 30", "TRUE",
+            "m_shared >= 1 AND 1.0 * m_shared / cq.n >= 0.05 AND "
+            + fpr_expr + " <= 0.05",
+            """
+            SELECT query, target, m_shared, q_kept, t_kept, qcov_u, hits
+            FROM (SELECT query, target, m_shared, q_kept, t_kept, qcov_u,
+                         count(*) OVER (PARTITION BY query) AS hits
+                  FROM scored)
+            WHERE query <> target
+            ORDER BY query, target""",
+            self_cond="TRUE"),
+        "minhash_dedup_docs": """
+            WITH RECURSIVE """ + pair_cte.replace(
+                "{SRC}", "(SELECT doc_id AS did, text FROM documents)") + """
+            , verified AS (
+                SELECT ia, ib FROM scoredp
+                WHERE jacc >= 0.7 OR ctn >= 0.9
+            ), exact_e AS (
+                SELECT a.doc_id AS ia, b.doc_id AS ib
+                FROM documents a JOIN documents b
+                  ON coalesce(a.text, '') = coalesce(b.text, '')
+                 AND a.doc_id < b.doc_id
+            ), edges AS (
+                SELECT ia, ib FROM verified
+                UNION SELECT ia, ib FROM exact_e
+            ), nodes AS (SELECT doc_id AS did FROM documents)
+        """ + closure_tail,
+        "ngram_jaccard_pairs": """
+            WITH """ + pair_cte.replace(
+                "{SRC}", "(SELECT doc_id AS did, text FROM documents)") + """
+            SELECT ia AS id_a, ib AS id_b,
+                   CASE WHEN jacc >= 0.7 THEN 'minhash'
+                        ELSE 'contain' END AS via,
+                   CAST(floor(1000000.0 * CASE WHEN jacc >= 0.7 THEN jacc
+                                               ELSE ctn END) AS BIGINT)
+                       AS score_u
+            FROM scoredp
+            WHERE jacc >= 0.7 OR ctn >= 0.9
+            ORDER BY id_a, id_b
+        """,
+        "substr_containment": """
+            WITH base AS (
+                SELECT doc_id, coalesce(text, '') AS text FROM documents
+            ), planted AS (
+                SELECT doc_id + 1000000 AS doc_id,
+                       array_to_string(list_slice(
+                           regexp_extract_all(text, '\\S+'), 5,
+                           4 + greatest(16,
+                               len(regexp_extract_all(text, '\\S+')) // 2)),
+                           ' ') AS text
+                FROM base
+                WHERE doc_id % 40 = 0
+                  AND len(regexp_extract_all(text, '\\S+')) >= 24
+            ), alldocs AS (
+                SELECT doc_id AS did, text FROM base
+                UNION ALL SELECT doc_id, text FROM planted
+            ), """ + pair_cte.replace("{SRC}", "alldocs") + """
+            , tok AS (
+                SELECT did, array_to_string(tk, ' ') AS tj, len(tk) AS nt
+                FROM t
+            )
+            SELECT ia AS id_a, ib AS id_b,
+                   CASE WHEN contains(
+                            ' ' || (CASE WHEN a.nt <= b.nt
+                                         THEN b.tj ELSE a.tj END) || ' ',
+                            ' ' || (CASE WHEN a.nt <= b.nt
+                                         THEN a.tj ELSE b.tj END) || ' ')
+                        THEN 'substr' ELSE 'contain' END AS via
+            FROM scoredp
+            JOIN tok a ON a.did = ia
+            JOIN tok b ON b.did = ib
+            WHERE NOT (jacc >= 0.7) AND ctn >= 0.9
+            ORDER BY id_a, id_b
+        """,
+        "simhash_dedup_docs": """
+            WITH RECURSIVE t AS (
+                SELECT doc_id AS did,
+                       regexp_extract_all(lower(coalesce(text, '')),
+                                          '[a-z0-9]+') AS tk
+                FROM documents
+            ), sh AS (
+                SELECT did, unnest(
+                    CASE WHEN len(tk) >= 3 THEN list_transform(
+                              generate_series(1, len(tk) - 2),
+                              i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+                         WHEN len(tk) > 0 THEN [array_to_string(tk, ' ')]
+                         ELSE [] END) AS s
+                FROM t
+            ), d AS (
+                SELECT DISTINCT did, s FROM sh
+            ), h AS (
+                SELECT did, ('0x' || substr(md5(s), 1, 16))::UBIGINT AS u
+                FROM d
+            ), bits AS (
+                SELECT did, j,
+                       sum(CASE WHEN (u >> j) & 1 = 1 THEN 1 ELSE -1 END)
+                           AS vote
+                FROM h, (SELECT unnest(generate_series(0, 63)) AS j)
+                GROUP BY did, j
+            ), sim0 AS (
+                SELECT did,
+                       CAST(sum(CASE WHEN vote > 0
+                                THEN (1::UBIGINT << j)::HUGEINT
+                                ELSE 0::HUGEINT END) AS UBIGINT) AS sh64
+                FROM bits GROUP BY did
+            ), sim AS (
+                SELECT doc_id AS did,
+                       coalesce(s.sh64, 0::UBIGINT) AS sh64
+                FROM documents LEFT JOIN sim0 s ON s.did = doc_id
+            ), edges AS (
+                SELECT a.did AS ia, b.did AS ib
+                FROM sim a JOIN sim b ON a.did < b.did
+                WHERE bit_count(xor(a.sh64, b.sh64)) <= 7
+            ), nodes AS (SELECT doc_id AS did FROM documents)
+        """ + closure_tail,
+        "doc_fingerprint": """
+            WITH t AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(coalesce(text, '')),
+                                          '[a-z0-9]+') AS tk
+                FROM documents
+            ), seq AS (
+                SELECT doc_id, i.i AS pos,
+                       ('0x' || substr(md5(tk[i.i] || ' ' || tk[i.i+1]
+                            || ' ' || tk[i.i+2]), 1, 16))::UBIGINT AS h
+                FROM t, unnest(generate_series(1, len(tk) - 2)) AS i(i)
+                WHERE len(tk) >= 3
+            ), wm AS (
+                SELECT doc_id, pos,
+                       min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                    ROWS BETWEEN CURRENT ROW
+                                             AND 3 FOLLOWING) AS mn,
+                       count(*) OVER (PARTITION BY doc_id) AS n_seq
+                FROM seq
+            ), fps AS (
+                SELECT DISTINCT doc_id, mn AS fp FROM wm
+                WHERE (n_seq <= 4 AND pos = 1)
+                   OR (n_seq > 4 AND pos <= n_seq - 3)
+            ), agg AS (
+                SELECT doc_id, count(*) AS n_fp, min(fp) AS mn,
+                       bit_xor(fp) AS fx
+                FROM fps GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(a.n_fp, 0) AS BIGINT) AS n_fp,
+                   coalesce(""" + i64("a.mn") + """, 0) AS min_fp,
+                   coalesce(""" + i64("a.fx") + """, 0) AS fp_xor
+            FROM documents d LEFT JOIN agg a USING (doc_id)
+        """,
         "search_indexed_docs": containment(
             "q.did < 100", "TRUE",
             "m_shared >= 2 AND 1.0 * m_shared / cq.n >= 0.3",

@@ -95,12 +95,14 @@ def minhash_dedup(ds, cfg: DedupConfig = None, id_col="doc_id", text_col="text")
 # ------------------------------------------------------------ simhash dedup
 
 def simhash_dedup(ds, cfg: DedupConfig = None, id_col="doc_id", text_col="text",
-                  k: int = 3):
+                  k: int = 3, token_hash: str = "sip"):
     """(id, cluster_id): SimHash-64 + Hamming-chunk banding.
 
     Text SimHash distances for near-dups are larger than image pHash
     ones (a 1-word edit flips ~3 shingles → ~6 bits), so this op runs at
-    8 chunks / radius 7 — still pigeonhole-exact."""
+    8 chunks / radius 7 — still pigeonhole-exact.  ``token_hash="md5"``
+    switches the shingle hash to the SQL-mirrorable md5 variant (driver
+    oracle); the banding/verify/CC machinery is identical."""
     import dataclasses
     cfg = dataclasses.replace(cfg or DedupConfig(),
                               phash_chunks=8, hamming_radius=7)
@@ -108,7 +110,8 @@ def simhash_dedup(ds, cfg: DedupConfig = None, id_col="doc_id", text_col="text",
     def prep(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
         sid = np.array([_ID_FMT.format(int(i)) for i in ids], dtype=object)
-        sh = textops.simhash_batch(batch.column(text_col), k)
+        sh = textops.simhash_batch(batch.column(text_col), k,
+                                   token_hash=token_hash)
         return pa.table({"image_id": pa.array(sid, pa.string()),
                          "caption": batch.column(text_col),
                          "phash": pa.array(sh, pa.int64())})

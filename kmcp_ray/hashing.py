@@ -109,6 +109,27 @@ def popcount64(x: np.ndarray) -> np.ndarray:
         return (x * h01) >> U64(56)
 
 
+def md5_lower64(strings) -> np.ndarray:
+    """uint64 hash of each string: the FIRST 8 bytes of its md5 digest,
+    big-endian — bit-identical to DuckDB's
+    ``('0x' || substr(md5(s), 1, 16))::UBIGINT``.
+
+    This is the SQL-mirrorable hash variant used ONLY by the
+    driver-oracled query entries (simhash/fingerprint); the production
+    default stays the vectorized SipHash path.  Hashing runs once per
+    DISTINCT string (md5 is a Python-loop hash — fine at oracle scale,
+    wrong for the 10^12-row hot path)."""
+    import hashlib
+    arr = np.asarray(strings, dtype=object)
+    if len(arr) == 0:
+        return np.empty(0, dtype=np.uint64)
+    uniq, inv = np.unique(arr, return_inverse=True)
+    hv = np.fromiter(
+        (int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "big")
+         for s in uniq), dtype=np.uint64, count=len(uniq))
+    return hv[inv]
+
+
 def hash_strings(strings) -> np.ndarray:
     """uint64 content hash of whole strings (exact-dup keys).
 

@@ -227,12 +227,51 @@ def concat_sketch(ds, *, id_col: str, parts_col: str, k: int,
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
+# ---------------------------------------------- shingle strings (SQL face)
+
+def shingle_strings(texts, k: int, include_short: bool = True):
+    """Per-row k-gram shingle STRINGS in positional order — the exact
+    string form the DuckDB oracles build with
+    ``list_transform(generate_series(...), i -> tk[i] || ' ' || ...)``:
+    tokens are ``[a-z0-9]+`` runs of the lower-cased text, a shingle is
+    k consecutive tokens joined by single spaces; rows with 1..k-1
+    tokens yield ONE all-token shingle when ``include_short``.
+
+    Returns (flat object array of shingles, row_ids int64, n_rows)."""
+    flat, rows, n = text.tokenize(texts)
+    m = len(flat)
+    out_vals, out_rows = [], []
+    if m >= k:
+        nw = m - k + 1
+        sh = flat[:nw].astype(object)
+        for j in range(1, k):
+            sh = sh + " "
+            sh = sh + flat[j:j + nw]
+        valid = rows[:nw] == rows[k - 1:]
+        out_vals.append(sh[valid])
+        out_rows.append(rows[:nw][valid])
+    if include_short:
+        n_tokens = np.bincount(rows, minlength=n).astype(np.int64) \
+            if m else np.zeros(n, np.int64)
+        short = np.nonzero((n_tokens > 0) & (n_tokens < k))[0]
+        if len(short):
+            # rows is nondecreasing (tokenize preserves row order)
+            starts = np.searchsorted(rows, short, side="left")
+            ends = np.searchsorted(rows, short, side="right")
+            joined = np.array([" ".join(flat[s:e])
+                               for s, e in zip(starts, ends)], dtype=object)
+            out_vals.append(joined)
+            out_rows.append(short.astype(np.int64))
+    if not out_vals:
+        return np.empty(0, object), np.empty(0, np.int64), n
+    return (np.concatenate(out_vals), np.concatenate(out_rows), n)
+
+
 # ------------------------------------------------------------------ simhash
 
-def simhash_batch(texts, k: int) -> np.ndarray:
-    """64-bit SimHash over word-k-shingle hashes (unweighted bit vote)."""
-    ss = text.shingle_sets(texts, k, int(hashing.MAX_U64))
-    h, off = ss["hashes"], ss["offsets"]
+def _simhash_vote(h: np.ndarray, off: np.ndarray) -> np.ndarray:
+    """(per-row concatenated distinct shingle hashes, offsets) →
+    int64 simhash per row (unweighted bit-majority vote)."""
     n = len(off) - 1
     out = np.zeros(n, dtype=np.uint64)
     if len(h) == 0:
@@ -251,9 +290,34 @@ def simhash_batch(texts, k: int) -> np.ndarray:
     return out.view(np.int64)
 
 
-def doc_simhash(ds, id_col="doc_id", text_col="text", k: int = 3):
+def simhash_batch(texts, k: int, token_hash: str = "sip") -> np.ndarray:
+    """64-bit SimHash over word-k-shingle hashes (unweighted bit vote).
+
+    ``token_hash``: "sip" (default, vectorized SipHash+fold — the
+    production hot path) or "md5" (md5 of the shingle STRING, the
+    SQL-mirrorable oracle variant — see hashing.md5_lower64)."""
+    if token_hash == "md5":
+        vals, rows, n = shingle_strings(texts, k, include_short=True)
+        h = hashing.md5_lower64(vals)
+        if len(h):
+            order = np.lexsort((h, rows))
+            h, rows = h[order], rows[order]
+            first = np.ones(len(h), dtype=bool)
+            first[1:] = (rows[1:] != rows[:-1]) | (h[1:] != h[:-1])
+            h, rows = h[first], rows[first]
+        counts = np.bincount(rows, minlength=n).astype(np.int64) \
+            if len(rows) else np.zeros(n, np.int64)
+        off = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(counts, out=off[1:])
+        return _simhash_vote(h, off)
+    ss = text.shingle_sets(texts, k, int(hashing.MAX_U64))
+    return _simhash_vote(ss["hashes"], ss["offsets"])
+
+
+def doc_simhash(ds, id_col="doc_id", text_col="text", k: int = 3,
+                token_hash: str = "sip"):
     def fn(batch: pa.Table) -> pa.Table:
-        sh = simhash_batch(batch.column(text_col), k)
+        sh = simhash_batch(batch.column(text_col), k, token_hash=token_hash)
         return pa.table({id_col: batch.column(id_col),
                          "simhash": pa.array(sh, pa.int64())})
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
@@ -261,16 +325,25 @@ def doc_simhash(ds, id_col="doc_id", text_col="text", k: int = 3):
 
 # ------------------------------------------------- winnowing fingerprints
 
-def winnow_batch(texts, k: int, w: int):
+def winnow_batch(texts, k: int, w: int, token_hash: str = "sip"):
     """Winnowing (Schleimer et al. 2003): per row, the set of per-window
     minima over the sequence of shingle hashes (window size w).
+
+    ``token_hash``: "sip" hashes each k-token window via the fold chain
+    (production); "md5" hashes the shingle STRING (the SQL-mirrorable
+    oracle variant).  Rows with fewer than k tokens yield no
+    fingerprints in either variant.
 
     Returns (fp_values, fp_offsets) — sorted unique fingerprints per row.
     """
     from kmcp_ray.text import tokenize, _window_hashes
-    flat_tokens, row_ids, n = tokenize(texts)
-    th = hashing.hash_tokens(flat_tokens)
-    wh, wrow = _window_hashes(th, row_ids, k)
+    if token_hash == "md5":
+        wvals, wrow, n = shingle_strings(texts, k, include_short=False)
+        wh = hashing.md5_lower64(wvals)
+    else:
+        flat_tokens, row_ids, n = tokenize(texts)
+        th = hashing.hash_tokens(flat_tokens)
+        wh, wrow = _window_hashes(th, row_ids, k)
     fp_vals, fp_offsets = [], np.zeros(n + 1, dtype=np.int64)
     # per-row loop over the (short) shingle sequence — winnowing is
     # order-dependent so it cannot reuse the global-sort trick
@@ -295,20 +368,25 @@ def winnow_batch(texts, k: int, w: int):
     return vals, fp_offsets
 
 
-def doc_fingerprint(ds, id_col="doc_id", text_col="text", k: int = 3, w: int = 4):
-    """(id, n_fp, min_fp, fp_fold): winnowing fingerprint summary —
-    deterministic ints; full fingerprint sets stay distributed."""
+def doc_fingerprint(ds, id_col="doc_id", text_col="text", k: int = 3,
+                    w: int = 4, token_hash: str = "sip"):
+    """(id, n_fp, min_fp, fp_xor): winnowing fingerprint summary —
+    deterministic, order-free ints (xor of the distinct fingerprints —
+    SQL-aggregable, unlike the order-sensitive fold it replaces); full
+    fingerprint sets stay distributed."""
     def fn(batch: pa.Table) -> pa.Table:
-        vals, off = winnow_batch(batch.column(text_col), k, w)
+        vals, off = winnow_batch(batch.column(text_col), k, w,
+                                 token_hash=token_hash)
         n = batch.num_rows
         n_fp = (off[1:] - off[:-1]).astype(np.int64)
         min_fp = np.zeros(n, dtype=np.uint64)
+        fp_xor = np.zeros(n, dtype=np.uint64)
         nonempty = n_fp > 0
-        min_fp[nonempty] = np.minimum.reduceat(vals, off[:-1][nonempty])
-        from kmcp_ray.sketch import sketch_fold
-        folds = sketch_fold(vals, off)
+        if nonempty.any():
+            min_fp[nonempty] = np.minimum.reduceat(vals, off[:-1][nonempty])
+            fp_xor[nonempty] = np.bitwise_xor.reduceat(vals, off[:-1][nonempty])
         return pa.table({id_col: batch.column(id_col),
                          "n_fp": pa.array(n_fp, pa.int64()),
                          "min_fp": pa.array(min_fp.view(np.int64), pa.int64()),
-                         "fp_fold": pa.array(folds.view(np.int64), pa.int64())})
+                         "fp_xor": pa.array(fp_xor.view(np.int64), pa.int64())})
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
