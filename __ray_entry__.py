@@ -328,18 +328,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return out.select_columns(["id_a", "id_b", "via"]) \
             .sort(["id_a", "id_b"])
 
-    def q_cluster_profile(sf):
+    def _sorted_texts(sf):
         import pyarrow.parquet as pq
+        t = pq.read_table(f"{sf}/documents.parquet",
+                          columns=["doc_id", "text"])
+        order = np.argsort(t.column("doc_id").to_numpy(), kind="stable")
+        return t.column("text").to_numpy(zero_copy_only=False)[order]
+
+    def q_cluster_profile(sf):
+        """Per-cluster profile over the arithmetic-planted corpus:
+        sizes + per-discovery-path edge counts are fully determined by
+        the SQL-reconstructable captions + the planted id pattern
+        (scores stay engine-only — they depend on perturbed pixels)."""
         import ray.data
         from kmcp_ray import testgen
         from kmcp_ray.pipeline import dedup_pipeline
         from kmcp_ray.profile import cluster_profile
-        texts = pq.read_table(f"{sf}/documents.parquet",
-                              columns=["text"]).column("text").to_pylist()
-        table, _p, _n = testgen.make_pairs_corpus(n=600, seed=42, cfg=cfg,
-                                                  captions=texts)
-        res = dedup_pipeline(ray.data.from_arrow(table), cfg)
-        return cluster_profile(res.assignments, res.edges, res.cluster_map)
+        table, _p = testgen.make_arith_corpus(600, _sorted_texts(sf),
+                                              cfg=ex_cfg)
+        res = dedup_pipeline(ray.data.from_arrow(table), ex_cfg)
+        prof = cluster_profile(res.assignments, res.edges, res.cluster_map)
+        return prof.select_columns(
+            ["cluster_id", "size", "n_edges", "n_exact", "n_minhash",
+             "n_contain", "n_phash"]).sort("cluster_id")
 
     def q_decode_verify(sf):
         """actor-pool multimodal decode + integrity stage on the
@@ -417,17 +428,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def q_longdoc_overlap(sf):
         """chunk slider + containment search: partial-overlap pairs
-        whole-document sketches cannot see (kmcp M5/M6 analogue)."""
+        whole-document sketches cannot see (kmcp M5/M6 analogue).
+
+        Long docs are built arithmetically from the documents table
+        (doc g = tokens of docs 5g..5g+4; odd g additionally embeds a
+        contiguous quarter-offset slice of doc g-1's tokens at its
+        midpoint) so the SQL oracle reconstructs the corpus, the chunk
+        geometry AND the gated chunk search."""
+        import re
         import pyarrow as pa
         import ray.data
-        from kmcp_ray import testgen
         from kmcp_ray.chunks import longdoc_overlap_pairs
-        tbl, _planted = testgen.make_longdoc_corpus(n=60, seed=19)
+        texts = _sorted_texts(sf)[:200]
+        toks = [re.findall(r"[a-z0-9]+", (t or "").lower()) for t in texts]
+        G = len(toks) // 5
+        base = [sum(toks[5 * g:5 * g + 5], []) for g in range(G)]
+        docs = []
+        for g in range(G):
+            tk = base[g]
+            if g % 2 == 1:
+                prev = base[g - 1]
+                q1 = len(prev) // 4
+                sl = max(40, len(prev) // 3)
+                mid = len(tk) // 2
+                tk = tk[:mid] + prev[q1:q1 + sl] + tk[mid:]
+            docs.append(" ".join(tk))
         sds = ray.data.from_arrow(pa.table({
-            "doc_id": pa.compute.cast(tbl["doc_id"], pa.string()),
-            "text": tbl["text"]}))
+            "doc_id": pa.array([str(g) for g in range(G)], pa.string()),
+            "text": pa.array(docs, pa.string())}))
         return longdoc_overlap_pairs(sds, cfg, chunk_tokens=64,
-                                     min_qcov=0.8, min_shared=4)
+                                     min_qcov=0.8, min_shared=4) \
+            .sort(["id_a", "id_b"])
 
     def q_profile_em(sf):
         """kmcp profile funnel (stages 1-4 + EM abundance) on the
@@ -485,15 +516,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return bucket_stats(sig, cfg, enable=("minhash", "contain", "exact"))
 
     def q_pairs_pipeline(sf):
-        import pyarrow.parquet as pq
+        """Full image+caption dedup pipeline (all four generators) on
+        the arithmetic-planted corpus: text edges are SQL-computable
+        from the reconstructed captions, planted exact/phash edges are
+        id arithmetic ⇒ cluster assignments equal the SQL closure."""
         import ray.data
         from kmcp_ray import testgen
         from kmcp_ray.pipeline import dedup_pipeline
-        texts = pq.read_table(f"{sf}/documents.parquet",
-                              columns=["text"]).column("text").to_pylist()
-        table, _p, _n = testgen.make_pairs_corpus(n=600, seed=42, cfg=cfg,
-                                                  captions=texts)
-        return dedup_pipeline(ray.data.from_arrow(table), cfg).assignments
+        table, _p = testgen.make_arith_corpus(600, _sorted_texts(sf),
+                                              cfg=ex_cfg)
+        return dedup_pipeline(ray.data.from_arrow(table), ex_cfg) \
+            .assignments.sort("image_id")
 
     def q_substr_exact(sf):
         """Exact needle containment: 80-char prefixes of docs 0..199 as
@@ -705,6 +738,48 @@ def oracle_sql() -> dict[str, str]:
                 SELECT reach.a, sym.y FROM reach JOIN sym ON sym.x = reach.b
             )
             SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
+    """
+
+    # caption reconstruction for the arithmetic-planted corpus
+    # (testgen.make_arith_corpus): row i's caption is a pure function of
+    # the documents table + id arithmetic — partners (i%4==1) derive
+    # from the base caption at i-1 by category (i//4)%4
+    _arith_caps = """
+            texts AS (
+                SELECT row_number() OVER (ORDER BY doc_id) - 1 AS rn,
+                       array_to_string(regexp_extract_all(
+                           lower(coalesce(text, '')), '[a-z0-9]+'), ' ')
+                           AS cap
+                FROM documents
+            ), rows_ AS (
+                SELECT unnest(generate_series(0, 599)) AS i
+            ), caps0 AS (
+                SELECT i, t.cap
+                FROM rows_ JOIN texts t
+                  ON t.rn = i % (SELECT count(*) FROM texts)
+                WHERE i % 4 <> 1
+            ), caps1 AS (
+                SELECT i,
+                       CASE (i // 4) % 4
+                         WHEN 0 THEN cap
+                         WHEN 1 THEN CASE WHEN len(tk) >= 2
+                             THEN array_to_string(
+                                      list_slice(tk, 1, len(tk) - 1), ' ')
+                                  || ' qdup' || i
+                             ELSE cap END
+                         WHEN 2 THEN CASE WHEN len(tk) >= 1
+                             THEN array_to_string(list_slice(tk, 1,
+                                      greatest(1, len(tk) // 2)), ' ')
+                             ELSE cap END
+                         ELSE 'ph zz ' || i END AS cap
+                FROM (SELECT r.i, b.cap,
+                             regexp_extract_all(b.cap, '[a-z0-9]+') AS tk
+                      FROM rows_ r JOIN caps0 b ON b.i = r.i - 1
+                      WHERE r.i % 4 = 1)
+            ), allcaps AS (
+                SELECT i AS did, cap AS text FROM caps0
+                UNION ALL SELECT i, cap FROM caps1
+            )
     """
 
     # UBIGINT → the int64 bit-view numpy emits (two's complement)
@@ -1152,5 +1227,171 @@ def oracle_sql() -> dict[str, str]:
             WHERE 1000000.0 * n_shared / (ca.n + cb.n - n_shared)
                   >= 650000.0
             ORDER BY id_a, id_b
+        """,
+        "pairs_dedup_pipeline": """
+            WITH RECURSIVE """ + _arith_caps + ", " + pair_cte.replace(
+            "{SRC}", "allcaps") + """
+            , verified AS (
+                SELECT ia, ib FROM scoredp WHERE jacc >= 0.7 OR ctn >= 0.9
+            ), planted_e AS (
+                SELECT i - 1 AS ia, i AS ib FROM rows_
+                WHERE i % 4 = 1
+                  AND ((i // 4) % 4 = 0 OR (i // 4) % 4 = 3)
+            ), edges AS (
+                SELECT ia, ib FROM verified
+                UNION SELECT ia, ib FROM planted_e
+            ), sym AS (
+                SELECT ia AS x, ib AS y FROM edges
+                UNION SELECT ib, ia FROM edges
+            ), reach(a, b) AS (
+                SELECT i, i FROM rows_
+                UNION
+                SELECT reach.a, sym.y FROM reach JOIN sym ON sym.x = reach.b
+            )
+            SELECT printf('img%08d', a) AS image_id,
+                   printf('img%08d', min(b)) AS cluster_id
+            FROM reach GROUP BY a ORDER BY image_id
+        """,
+        "cluster_profile": """
+            WITH RECURSIVE """ + _arith_caps + ", " + pair_cte.replace(
+            "{SRC}", "allcaps") + """
+            , via_pairs AS (
+                SELECT ia, ib,
+                       CASE WHEN jacc >= 0.7 THEN 'minhash'
+                            ELSE 'contain' END AS via
+                FROM scoredp WHERE jacc >= 0.7 OR ctn >= 0.9
+            ), edges_via AS (
+                -- engine edge-row multiplicity: every verified sk pair
+                -- is one row; planted exact pairs ALSO yield an exact
+                -- star row and (identical pixels) a Hamming-0 phash
+                -- row; planted phash pairs yield one phash row
+                SELECT ia, ib, via FROM via_pairs
+                UNION ALL SELECT i - 1, i, 'exact' FROM rows_
+                    WHERE i % 4 = 1 AND (i // 4) % 4 = 0
+                UNION ALL SELECT i - 1, i, 'phash' FROM rows_
+                    WHERE i % 4 = 1 AND (i // 4) % 4 = 0
+                UNION ALL SELECT i - 1, i, 'phash' FROM rows_
+                    WHERE i % 4 = 1 AND (i // 4) % 4 = 3
+            ), edges AS (SELECT DISTINCT ia, ib FROM edges_via
+            ), sym AS (
+                SELECT ia AS x, ib AS y FROM edges
+                UNION SELECT ib, ia FROM edges
+            ), reach(a, b) AS (
+                SELECT i, i FROM rows_
+                UNION
+                SELECT reach.a, sym.y FROM reach JOIN sym ON sym.x = reach.b
+            ), assign AS (
+                SELECT a AS did, min(b) AS cl FROM reach GROUP BY a
+            ), vc AS (
+                SELECT a1.cl,
+                       count(*) AS n_edges,
+                       sum(CASE WHEN via = 'exact' THEN 1 ELSE 0 END)
+                           AS n_exact,
+                       sum(CASE WHEN via = 'minhash' THEN 1 ELSE 0 END)
+                           AS n_minhash,
+                       sum(CASE WHEN via = 'contain' THEN 1 ELSE 0 END)
+                           AS n_contain,
+                       sum(CASE WHEN via = 'phash' THEN 1 ELSE 0 END)
+                           AS n_phash
+                FROM edges_via e JOIN assign a1 ON a1.did = e.ia
+                GROUP BY a1.cl
+            )
+            SELECT printf('img%08d', s.cl) AS cluster_id,
+                   s.size,
+                   CAST(coalesce(vc.n_edges, 0) AS BIGINT) AS n_edges,
+                   CAST(coalesce(vc.n_exact, 0) AS BIGINT) AS n_exact,
+                   CAST(coalesce(vc.n_minhash, 0) AS BIGINT) AS n_minhash,
+                   CAST(coalesce(vc.n_contain, 0) AS BIGINT) AS n_contain,
+                   CAST(coalesce(vc.n_phash, 0) AS BIGINT) AS n_phash
+            FROM (SELECT cl, count(*) AS size FROM assign GROUP BY cl) s
+            LEFT JOIN vc ON vc.cl = s.cl
+            ORDER BY cluster_id
+        """,
+        "longdoc_overlap": """
+            WITH t0 AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(coalesce(text, '')),
+                                          '[a-z0-9]+') AS tk
+                FROM documents WHERE doc_id < 200
+            ), ranked AS (
+                SELECT row_number() OVER (ORDER BY doc_id) - 1 AS rn, tk
+                FROM t0
+            ), grp AS (
+                SELECT rn // 5 AS g, flatten(list(tk ORDER BY rn)) AS tk
+                FROM ranked GROUP BY rn // 5 HAVING count(*) = 5
+            ), longdocs AS (
+                SELECT CAST(e.g AS VARCHAR) AS gid,
+                       CASE WHEN e.g % 2 = 1 THEN
+                           list_concat(list_concat(
+                               list_slice(e.tk, 1, len(e.tk) // 2),
+                               list_slice(p.tk, len(p.tk) // 4 + 1,
+                                          len(p.tk) // 4
+                                          + greatest(40, len(p.tk) // 3))),
+                               list_slice(e.tk, len(e.tk) // 2 + 1,
+                                          len(e.tk)))
+                       ELSE e.tk END AS tk
+                FROM grp e LEFT JOIN grp p ON p.g = e.g - 1
+            ), geom AS (
+                SELECT gid, tk, len(tk) AS T FROM longdocs
+            ), refc AS (
+                SELECT gid, c AS ci,
+                       list_slice(tk, c * 32 + 1,
+                                  least(c * 32 + 64, T)) AS ctk
+                FROM geom, unnest(generate_series(0,
+                    greatest(1, CAST(ceil(greatest(T - 32, 1) / 32.0)
+                                     AS BIGINT)) - 1)) AS u(c)
+            ), qc AS (
+                SELECT gid, c AS ci,
+                       list_slice(tk, c * 16 + 1,
+                                  least(c * 16 + 32, T)) AS ctk
+                FROM geom, unnest(generate_series(0,
+                    greatest(1, CAST(ceil(greatest(T - 16, 1) / 16.0)
+                                     AS BIGINT)) - 1)) AS u(c)
+            ), qsh AS (
+                SELECT gid, ci, unnest(
+                    CASE WHEN len(ctk) >= 3 THEN list_transform(
+                              generate_series(1, len(ctk) - 2),
+                              i -> ctk[i] || ' ' || ctk[i+1] || ' '
+                                   || ctk[i+2])
+                         WHEN len(ctk) > 0 THEN [array_to_string(ctk, ' ')]
+                         ELSE [] END) AS s
+                FROM qc
+            ), rsh AS (
+                SELECT gid, ci, unnest(
+                    CASE WHEN len(ctk) >= 3 THEN list_transform(
+                              generate_series(1, len(ctk) - 2),
+                              i -> ctk[i] || ' ' || ctk[i+1] || ' '
+                                   || ctk[i+2])
+                         WHEN len(ctk) > 0 THEN [array_to_string(ctk, ' ')]
+                         ELSE [] END) AS s
+                FROM refc
+            ), qd AS (SELECT DISTINCT gid, ci, s FROM qsh
+            ), rd AS (SELECT DISTINCT gid, ci, s FROM rsh
+            ), qcnt AS (SELECT gid, ci, count(*) AS n FROM qd GROUP BY 1, 2
+            ), rcnt AS (SELECT gid, ci, count(*) AS n FROM rd GROUP BY 1, 2
+            ), sharedm AS (
+                SELECT q.gid AS qg, q.ci AS qi, r.gid AS rg, r.ci AS ri,
+                       count(*) AS c
+                FROM qd q JOIN rd r USING (s)
+                GROUP BY 1, 2, 3, 4
+            ), gated AS (
+                SELECT qg, rg FROM sharedm
+                JOIN qcnt ON qcnt.gid = qg AND qcnt.ci = qi
+                JOIN rcnt ON rcnt.gid = rg AND rcnt.ci = ri
+                WHERE c >= 4 AND 1.0 * c / qcnt.n >= 0.8
+                  AND least(1.0, list_sum(list_transform(
+                        generate_series(c, qcnt.n), j ->
+                        exp(lgamma(qcnt.n + 1) - lgamma(j + 1)
+                            - lgamma(qcnt.n - j + 1)
+                            + j * ln(least(0.999, rcnt.n / 1048576.0))
+                            + (qcnt.n - j)
+                              * ln(1.0 - least(0.999,
+                                               rcnt.n / 1048576.0))))))
+                      <= 0.01
+            )
+            SELECT least(qg, rg) AS id_a, greatest(qg, rg) AS id_b,
+                   count(*) AS chunk_hits
+            FROM gated WHERE qg <> rg
+            GROUP BY 1, 2 ORDER BY id_a, id_b
         """,
     }

@@ -245,33 +245,44 @@ def make_bucket_verifier(cfg: DedupConfig):
             keep = ra2 != rb2
             ra2, rb2, ccls = ra2[keep], rb2[keep], ccls[keep]
             ci, cj = ci[keep], cj[keep]
-            # np.unique keeps the FIRST occurrence: order flagged-both
-            # instances first so cross-bucket dedup inside this partition
-            # never discards a designated-bucket instance in favor of a
-            # non-designated one (the emit gates below depend on it)
-            starboth = star[ci] & star[cj]
-            if not starboth.all():
-                ordp = np.argsort(~starboth, kind="stable")
+            # np.unique keeps the FIRST occurrence: order DESIGNATED
+            # instances first so cross-bucket dedup inside this
+            # partition never discards a designated-bucket instance in
+            # favor of a non-designated one (the emit gates below depend
+            # on it).  Designation: flagged-both (sk ident pairs, star
+            # edges) or, for phash pairs, sitting in the first agreeing
+            # chunk's bucket.
+            pref = star[ci] & star[cj]
+            ph_all = ccls == 0
+            if ph_all.any():
+                d0 = imagecodec.phash_first_agree_key(
+                    ident[ci[ph_all]], ident[cj[ph_all]], cfg.phash_chunks)
+                pref = pref.copy()
+                pref[ph_all] = keys[ci[ph_all]] == d0
+            if not pref.all():
+                ordp = np.argsort(~pref, kind="stable")
                 ra2, rb2, ccls = ra2[ordp], rb2[ordp], ccls[ordp]
                 ci, cj = ci[ordp], cj[ordp]
+                pref = pref[ordp]
             key = (ccls.astype(np.uint64) * n_ids
                    + ra2.astype(np.uint64)) * n_ids + rb2.astype(np.uint64)
             _, ix = np.unique(key, return_index=True)
             ra2, rb2, ccls = ra2[ix], rb2[ix], ccls[ix]
             ci, cj = ci[ix], cj[ix]
+            pref = pref[ix]
 
-            # identical-content pairs (Hamming 0 / equal sketch fold)
-            # co-occur in EVERY band/chunk bucket — emit them only where
-            # both entries are flagged (the designated bucket, see
-            # bands.STAR_FLAG), like the star edges above; non-identical
-            # verdicts keep per-bucket emission (cand is deduplicated
-            # downstream; low-Hamming pairs collide in few chunks)
+            # every phash pair collides in one bucket per AGREEING chunk
+            # (Hamming 0 pairs in all of them) — emit each verified pair
+            # only in its DESIGNATED bucket, the first agreeing chunk's,
+            # recomputed locally from the two full phashes riding as
+            # idents: kills the cross-partition duplicate edge rows the
+            # per-bucket emission produced (r3; generalizes the r2
+            # STAR_FLAG rule, which this subsumes for Hamming 0)
             ph_mask = ccls == 0
             if ph_mask.any():
                 ii, jj = ci[ph_mask], cj[ph_mask]
                 ham = np.asarray(imagecodec.hamming64(ident[ii], ident[jj]))
-                ok = (ham <= cfg.hamming_radius) & \
-                    ((ham != 0) | (star[ii] & star[jj]))
+                ok = (ham <= cfg.hamming_radius) & pref[ph_mask]
                 out_tables.append(pa.table({
                     "id_a": pa.array(uids[ra2[ph_mask][ok]], pa.string()),
                     "id_b": pa.array(uids[rb2[ph_mask][ok]], pa.string()),

@@ -150,6 +150,22 @@ def phash_chunk_keys(phash: np.ndarray, chunks: int) -> np.ndarray:
     return out
 
 
+def phash_first_agree_key(a: np.ndarray, b: np.ndarray,
+                          chunks: int) -> np.ndarray:
+    """For phash pairs (a, b) with Hamming <= chunks-1: the bucket key
+    of the FIRST chunk where the two phashes agree — the pair's
+    designated emission bucket (splitmix64 is a bijection, so chunk
+    keys are equal iff the chunk slices are equal).  Pigeonhole
+    guarantees at least one agreeing chunk for every pair inside the
+    radius; pairs agreeing nowhere return chunk 0's key of ``a`` (they
+    are outside the radius and dropped by the caller's gate anyway)."""
+    ka = phash_chunk_keys(np.asarray(a), chunks)
+    kb = phash_chunk_keys(np.asarray(b), chunks)
+    agree = ka == kb
+    first = agree.argmax(axis=1)
+    return ka[np.arange(len(ka)), first]
+
+
 class DecodeStage:
     """Actor-pool image decode/verify stage — the multimodal plumbing
     (schema, actor signature, batch sizing) is real; only the codec

@@ -252,6 +252,79 @@ def make_pairs_corpus(n: int = 2000, seed: int = 42, dup_frac: float = 0.30,
     return table, planted_ids, negative_ids
 
 
+def make_arith_corpus(n: int, captions, cfg: DedupConfig = DedupConfig()):
+    """Deterministic ARITHMETIC-planted image+caption corpus — the
+    SQL-oracle-verifiable face of the full image+caption pipeline.
+
+    Planted structure is pure id arithmetic (no RNG in the pattern):
+    row i with ``i % 4 == 1`` is a planted partner of row i-1, category
+    cycling by ``(i // 4) % 4``:
+
+      0 exact    identical caption AND identical pixels
+      1 minhash  partner caption with the last token replaced
+      2 contain  first half of the partner's tokens
+      3 phash    unrelated caption; pixels perturbed to
+                 Hamming <= cfg.hamming_radius (deterministic search
+                 with exact-copy fallback, so the edge ALWAYS exists)
+
+    Captions are token-normalized (``[a-z0-9]+`` of the lower-cased
+    source text joined by single spaces), so a DuckDB oracle can
+    reconstruct every caption — and therefore every text edge — from
+    the documents table; the only non-SQL edges are the planted
+    arithmetic ones (exact / phash), which the oracle enumerates by id
+    pattern.  Base image pixels are seeded per row (unrelated rows land
+    at Hamming ≈ 32, see _base_pixels), so no accidental phash edges.
+
+    Returns ``(table, planted)`` with the make_pairs_corpus id scheme.
+    """
+    import re
+    base_tok = [re.findall(r"[a-z0-9]+", (t or "").lower())
+                for t in captions]
+    caps: list = [None] * n
+    pixels: list = [None] * n
+    planted = []
+    cats = ["exact", "minhash", "contain", "phash"]
+    for i in range(n):
+        rng = np.random.default_rng(1_000_003 * i + 17)
+        if i % 4 != 1:
+            caps[i] = " ".join(base_tok[i % len(base_tok)])
+            pixels[i] = _base_pixels(rng)
+            continue
+        cat = cats[(i // 4) % 4]
+        p = caps[i - 1].split()
+        if cat == "exact":
+            caps[i] = caps[i - 1]
+            pixels[i] = pixels[i - 1]
+        elif cat == "minhash":
+            caps[i] = " ".join(p[:-1] + [f"qdup{i}"]) if len(p) >= 2 \
+                else caps[i - 1]
+            pixels[i] = _base_pixels(rng)
+        elif cat == "contain":
+            caps[i] = " ".join(p[:max(1, len(p) // 2)]) if p \
+                else caps[i - 1]
+            pixels[i] = _base_pixels(rng)
+        else:  # phash
+            caps[i] = f"ph zz {i}"
+            px, _d = _perturb_to_hamming(pixels[i - 1], rng, 1,
+                                         cfg.hamming_radius, "png")
+            pixels[i] = px if px is not None else pixels[i - 1].copy()
+        planted.append((i - 1, i, cat))
+
+    ids = [f"img{i:08d}" for i in range(n)]
+    bts = [imagecodec.encode(px, "png") for px in pixels]
+    phashes = imagecodec.phash64_batch([imagecodec.decode(b) for b in bts])
+    table = pa.table({
+        "image_id": pa.array(ids, pa.string()),
+        "bytes": pa.array(bts, pa.binary()),
+        "w": pa.array([p.shape[1] for p in pixels], pa.int32()),
+        "h": pa.array([p.shape[0] for p in pixels], pa.int32()),
+        "fmt": pa.array(["png"] * n, pa.string()),
+        "caption": pa.array(caps, pa.string()),
+        "phash": pa.array(phashes, pa.int64()),
+    })
+    return table, [(ids[a], ids[b], c) for a, b, c in planted]
+
+
 # --------------------------------------------------------- parallel builder
 
 def make_corpus_parquet(out_dir: str, n: int, seed: int = 42,
