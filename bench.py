@@ -72,7 +72,8 @@ def run_bench() -> dict:
     warm = ray.data.read_parquet(
         paths, columns=["image_id", "bytes", "caption", "phash"])
     dedup_pipeline(warm, cfg).assignments.count()
-    out_dir = f"/tmp/kmcp_bench_out_{NCPU}"
+    out_dir = "/tmp/kmcp_bench_out_%d%s" % (
+        NCPU, os.environ.get("GRAFT_BENCH_TAG", ""))
     import shutil
     shutil.rmtree(out_dir, ignore_errors=True)
 

@@ -64,6 +64,8 @@ def main(argv=None):
     s.add_argument("--text-col", default="text")
     s.add_argument("--min-qcov", type=float, default=0.5)
     s.add_argument("--top-n-scores", type=int, default=0)
+    s.add_argument("--tsv", default=None, help="also write the kmcp "
+                   "15-column TSV (+ trailer stats) to this path")
 
     m = sub.add_parser("merge", help="merge per-shard search results "
                        "(kmcp merge; --mode intersect = multi-DB keep-if-"
@@ -147,7 +149,13 @@ def main(argv=None):
             ref_id=args.id_col, ref_text=args.text_col,
             min_qcov=args.min_qcov, top_n_scores=args.top_n_scores)
         out.write_parquet(args.output)
-        print(json.dumps({"matches": ray.data.read_parquet(args.output).count()}))
+        stats = {"matches": ray.data.read_parquet(args.output).count()}
+        if args.tsv:
+            total = ray.data.read_parquet(args.queries).count()
+            stats["tsv"] = search_mod.to_kmcp_tsv(
+                ray.data.read_parquet(args.output), args.tsv,
+                DedupConfig(), total)
+        print(json.dumps(stats))
     elif args.cmd == "profile":
         from kmcp_ray.profile import abundance
         assignments = ray.data.read_parquet(args.assignments)

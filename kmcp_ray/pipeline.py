@@ -386,11 +386,14 @@ def dedup_pipeline(ds, cfg: DedupConfig = DedupConfig(), *,
         if workdir:
             sig_ds = _checkpoint(sig_ds, workdir, "01_signatures")
         else:
-            # consumed twice (edge generation + id emission): pin the
-            # (payload-free, much-smaller-than-input) signature table in
-            # the object store instead of recomputing the sketch stage
-            sig_ds = sig_ds.materialize()
-
+            # in-memory runs STREAM the signature table straight into
+            # the band stage (read→sketch→band fuse into one operator):
+            # ids for emission come from a column-pruned re-read of the
+            # raw input and vsk from the lazy provider below, so nothing
+            # consumes sig twice — dropping the r2 materialize barrier
+            # removes ~1.4 GB of object-store traffic at 3.2M rows
+            # (every plasma byte costs ~8 ms/MB of machine-serialized
+            # first-touch faults on this host; see BASELINE.md)
             def vsk_provider(need):
                 fn = sketch_mod.make_vsk_fn(
                     cfg, id_col=id_col, text_col=text_col,
@@ -426,7 +429,11 @@ def dedup_pipeline(ds, cfg: DedupConfig = DedupConfig(), *,
     # metric that actually bounds driver memory.  Small forests finish
     # union-find on the driver + broadcast the map; large ones run
     # distributed label propagation + a partitioned join.
-    ids_ds = sig_ds.select_columns([id_col])
+    # emission ids: a column-pruned re-read of the INPUT (only the id
+    # column leaves storage), not a second pass over sig_ds — keeping
+    # sig_ds single-consumer is what lets it stream (see stage 1)
+    ids_ds = ds.select_columns([id_col]) if not workdir \
+        else sig_ds.select_columns([id_col])
     forest = edges_ds.select_columns(["id_a", "id_b"]) \
         .map_batches(cc_mod.spanning_forest_batch, batch_format="pyarrow",
                      batch_size=1 << 20).materialize()

@@ -34,16 +34,18 @@ from kmcp_ray.text import shingle_sets
 _QKEY_SALT = np.uint64(0x8EBC6AF09C88C6E3)
 
 MATCH_COLUMNS = ["query", "q_kept", "target", "t_kept", "m_shared",
-                 "qcov", "tcov", "jacc", "fpr"]
+                 "qcov", "tcov", "jacc", "fpr", "q_ntok", "t_ntok"]
 
 
 def _bucket_rows(ds, cfg: DedupConfig, id_col, text_col, role: int,
                  scale: int):
-    """id/text rows → (part, key, role, rid, kept) bucket rows.
+    """id/text rows → (part, key, role, rid, kept, ntok) bucket rows.
 
-    The per-row kept-shingle count rides WITH each bucket row (8 bytes),
-    so downstream scoring needs no broadcast of per-row count tables —
-    at 10^9+ rows a driver-collected count map would be tens of GB."""
+    The per-row kept-shingle count and token count ride WITH each bucket
+    row (16 bytes), so downstream scoring needs no broadcast of per-row
+    count tables — at 10^9+ rows a driver-collected count map would be
+    tens of GB.  ``ntok`` feeds the kmcp 15-column TSV's qLen/tLen
+    (reference: kmcp/cmd/search.go:84-104)."""
     max_hash = hashing.MAX_U64 // np.uint64(scale)
 
     def expand(batch: pa.Table) -> pa.Table:
@@ -63,6 +65,8 @@ def _bucket_rows(ds, cfg: DedupConfig, id_col, text_col, role: int,
             "role": pa.array(np.full(len(rows), role, dtype=np.int8), pa.int8()),
             "rid": pa.array(ids[rows].astype(object), pa.string()),
             "kept": pa.array(lens[rows].astype(np.int64), pa.int64()),
+            "ntok": pa.array(ss["n_tokens"][rows].astype(np.int64),
+                             pa.int64()),
         })
 
     return ds.map_batches(expand, batch_format="pyarrow", zero_copy_batch=True)
@@ -84,14 +88,12 @@ def _pairs_per_partition(group: pa.Table, max_df: int) -> pa.Table:
     roles = group.column("role").to_numpy(zero_copy_only=False)
     rids = group.column("rid").to_numpy(zero_copy_only=False)
     kept = group.column("kept").to_numpy(zero_copy_only=False).astype(np.int64)
+    ntok = group.column("ntok").to_numpy(zero_copy_only=False).astype(np.int64)
     order = np.lexsort((roles, keys))
     keys_s, roles_s = keys[order], roles[order]
     m = len(keys_s)
     if m == 0:
-        return pa.table({"query": pa.array([], pa.string()),
-                         "target": pa.array([], pa.string()),
-                         "q_kept": pa.array([], pa.int64()),
-                         "t_kept": pa.array([], pa.int64())})
+        return _empty_pairs()
     seg_first = np.concatenate(([True], keys_s[1:] != keys_s[:-1]))
     seg_id = np.cumsum(seg_first) - 1
     nseg = int(seg_id[-1]) + 1
@@ -138,15 +140,23 @@ def _pairs_per_partition(group: pa.Table, max_df: int) -> pa.Table:
             "shingle df cap: %d bucket rows truncated (max_df=%d)",
             dropped, max_df)
     if not out_q:
-        return pa.table({"query": pa.array([], pa.string()),
-                         "target": pa.array([], pa.string()),
-                         "q_kept": pa.array([], pa.int64()),
-                         "t_kept": pa.array([], pa.int64())})
+        return _empty_pairs()
     oq, ot = np.concatenate(out_q), np.concatenate(out_t)
     return pa.table({"query": pa.array(rids[oq], pa.string()),
                      "target": pa.array(rids[ot], pa.string()),
                      "q_kept": pa.array(kept[oq], pa.int64()),
-                     "t_kept": pa.array(kept[ot], pa.int64())})
+                     "t_kept": pa.array(kept[ot], pa.int64()),
+                     "q_ntok": pa.array(ntok[oq], pa.int64()),
+                     "t_ntok": pa.array(ntok[ot], pa.int64())})
+
+
+def _empty_pairs() -> pa.Table:
+    return pa.table({"query": pa.array([], pa.string()),
+                     "target": pa.array([], pa.string()),
+                     "q_kept": pa.array([], pa.int64()),
+                     "t_kept": pa.array([], pa.int64()),
+                     "q_ntok": pa.array([], pa.int64()),
+                     "t_ntok": pa.array([], pa.int64())})
 
 
 def search(query_ds, ref_ds, cfg: DedupConfig = DedupConfig(), *,
@@ -176,7 +186,8 @@ def search(query_ds, ref_ds, cfg: DedupConfig = DedupConfig(), *,
     # count exchange (constant within a (query, target) group)
     shared = count_pairs(pairs, cfg.num_partitions, "query", "target",
                          count_name="m_shared",
-                         carry_int_cols=("q_kept", "t_kept"))
+                         carry_int_cols=("q_kept", "t_kept",
+                                         "q_ntok", "t_ntok"))
 
     def score(batch: pa.Table) -> pa.Table:
         q = batch.column("query").to_numpy(zero_copy_only=False)
@@ -184,13 +195,17 @@ def search(query_ds, ref_ds, cfg: DedupConfig = DedupConfig(), *,
         c = batch.column("m_shared").to_numpy(zero_copy_only=False).astype(np.int64)
         kq = batch.column("q_kept").to_numpy(zero_copy_only=False).astype(np.int64)
         kt = batch.column("t_kept").to_numpy(zero_copy_only=False).astype(np.int64)
+        qn = batch.column("q_ntok").to_numpy(zero_copy_only=False).astype(np.int64)
+        tn = batch.column("t_ntok").to_numpy(zero_copy_only=False).astype(np.int64)
         ok = (kq > 0) & (kt > 0) & (c >= min_shared)
         q, t, c, kq, kt = q[ok], t[ok], c[ok], kq[ok], kt[ok]
+        qn, tn = qn[ok], tn[ok]
         qcov = c / np.maximum(kq, 1)
         tcov = c / np.maximum(kt, 1)
         jacc = c / np.maximum(kq + kt - c, 1)
         keep = qcov >= min_qcov
         q, t, c, kq, kt = q[keep], t[keep], c[keep], kq[keep], kt[keep]
+        qn, tn = qn[keep], tn[keep]
         qcov, tcov, jacc = qcov[keep], tcov[keep], jacc[keep]
         # chance-collision significance gate (kmcp query-fpr, M16):
         # p = prob a random kept shingle of the query also hits the target
@@ -207,6 +222,8 @@ def search(query_ds, ref_ds, cfg: DedupConfig = DedupConfig(), *,
             "tcov": pa.array(tcov[keep2], pa.float64()),
             "jacc": pa.array(jacc[keep2], pa.float64()),
             "fpr": pa.array(fpr[keep2], pa.float64()),
+            "q_ntok": pa.array(qn[keep2], pa.int64()),
+            "t_ntok": pa.array(tn[keep2], pa.int64()),
         })
 
     matches = shared.map_batches(score, batch_format="pyarrow",
@@ -240,16 +257,29 @@ _MATCH_EX_SCHEMA = [("query", pa.string()), ("q_kept", pa.int64()),
                     ("target", pa.string()), ("t_kept", pa.int64()),
                     ("m_shared", pa.int64()), ("qcov", pa.float64()),
                     ("tcov", pa.float64()), ("jacc", pa.float64()),
-                    ("fpr", pa.float64())]
+                    ("fpr", pa.float64()), ("q_ntok", pa.int64()),
+                    ("t_ntok", pa.int64())]
 
 
 def _match_exchange(ds_list, P):
     from kmcp_ray.exchange import Exchange, hash_part_fn
     ex = Exchange(_MATCH_EX_SCHEMA, P)
     pack = ex.make_pack_fn(hash_part_fn("query", P=P))
+
+    def pack_compat(batch: pa.Table) -> pa.Table:
+        # legacy 9-column match tables (results written before the TSV
+        # ntok columns existed) still merge/intersect: fill ntok with 0
+        for name in ("q_ntok", "t_ntok"):
+            if name not in batch.column_names:
+                batch = batch.append_column(
+                    name, pa.array(np.zeros(batch.num_rows, np.int64),
+                                   pa.int64()))
+        return pack(batch)
+
     packed = None
     for ds in ds_list:
-        p = ds.map_batches(pack, batch_format="pyarrow", zero_copy_batch=True)
+        p = ds.map_batches(pack_compat, batch_format="pyarrow",
+                           zero_copy_batch=True)
         packed = p if packed is None else packed.union(p)
     return ex, packed
 
@@ -317,10 +347,11 @@ def build_ref_index(ref_ds, cfg: DedupConfig, *, ref_id="doc_id",
     1238-1280 / search.go:66-83): sorted shingle-hash postings with
     int32 target ids, plus per-target kept counts and names.
 
-    Returns numpy arrays (keys_sorted, tgt_of_posting, names, kept) —
-    near-zero-copy through ``ray.put``.
+    Returns numpy arrays (keys_sorted, tgt_of_posting, names, kept,
+    ntok) — near-zero-copy through ``ray.put``.
     """
     keys_parts, tgt_parts, name_parts, kept_parts = [], [], [], []
+    ntok_parts = []
     max_hash = hashing.MAX_U64 // np.uint64(scale)
     base = 0
     for b in ref_ds.iter_batches(batch_format="pyarrow"):
@@ -336,15 +367,17 @@ def build_ref_index(ref_ds, cfg: DedupConfig, *, ref_id="doc_id",
                          .astype(np.int32))
         name_parts.append(ids)
         kept_parts.append(lens.astype(np.int64))
+        ntok_parts.append(ss["n_tokens"].astype(np.int64))
         base += n
     if not keys_parts:
         return (np.empty(0, np.uint64), np.empty(0, np.int32),
-                np.empty(0, object), np.empty(0, np.int64))
+                np.empty(0, object), np.empty(0, np.int64),
+                np.empty(0, np.int64))
     keys = np.concatenate(keys_parts)
     tgt = np.concatenate(tgt_parts)
     order = np.argsort(keys, kind="stable")
     return (keys[order], tgt[order], np.concatenate(name_parts),
-            np.concatenate(kept_parts))
+            np.concatenate(kept_parts), np.concatenate(ntok_parts))
 
 
 class IndexedSearcher:
@@ -357,7 +390,8 @@ class IndexedSearcher:
     def __init__(self, index_ref, cfg: DedupConfig, min_qcov, min_shared,
                  max_fpr, scale, query_id, query_text):
         import ray as _ray
-        self.keys, self.tgt, self.names, self.kept = _ray.get(index_ref)
+        (self.keys, self.tgt, self.names, self.kept,
+         self.ref_ntok) = _ray.get(index_ref)
         self.cfg = cfg
         self.min_qcov, self.min_shared = min_qcov, min_shared
         self.max_fpr, self.scale = max_fpr, scale
@@ -374,6 +408,7 @@ class IndexedSearcher:
             qids = qids.astype(str).astype(object)
         nq = len(off) - 1
         kq_all = (off[1:] - off[:-1]).astype(np.int64)
+        qn_all = ss["n_tokens"].astype(np.int64)
         lo = np.searchsorted(self.keys, h, side="left")
         hi = np.searchsorted(self.keys, h, side="right")
         lens = hi - lo
@@ -413,6 +448,8 @@ class IndexedSearcher:
             "tcov": pa.array(tcov[keep2], pa.float64()),
             "jacc": pa.array(jacc[keep2], pa.float64()),
             "fpr": pa.array(fpr[keep2], pa.float64()),
+            "q_ntok": pa.array(qn_all[qrow[keep2]], pa.int64()),
+            "t_ntok": pa.array(self.ref_ntok[tcol[keep2]], pa.int64()),
         })
 
 
@@ -484,3 +521,61 @@ def merge_search_results(result_dses, top_n_scores: int = 0):
     if top_n_scores > 0:
         merged = top_scores_per_query(merged, top_n_scores)
     return merged
+
+
+def to_kmcp_tsv(matches, path: str, cfg: DedupConfig, total_queries: int,
+                num_partitions: int = 64) -> dict:
+    """Write matches as the reference's 15-column TSV + trailer stats
+    (kmcp/cmd/search.go:84-104 column layout, 1023-1025 trailer lines;
+    semantics re-derived for token documents):
+
+      query qLen qKmers FPR hits target chunkIdx chunks tLen kSize
+      mKmers qCov tCov jacc queryIdx
+
+    qLen/tLen are token counts (the sequence-length analogue), qKmers =
+    kept shingles, chunkIdx/chunks decode "id#c/n" chunk identities
+    (plain ids → 0/1), queryIdx is the dense rank of the query id (a
+    content-derived stand-in for kmcp's input-order index — this engine
+    has no ordering contract).  A CLI convenience: the result is
+    collected to the driver for one flat file, exactly like kmcp's
+    single-writer TSV; Parquet stays the scale path.
+    """
+    hits_ds = add_hits(matches, num_partitions=num_partitions)
+    df = hits_ds.to_pandas()
+    q = df["query"].astype(str)
+    t = df["target"].astype(str)
+    tdoc = t.str.replace(r"#.*$", "", regex=True)
+    has_chunk = t.str.contains("#")
+    chunk_idx = np.where(has_chunk,
+                         t.str.replace(r"^.*#|/.*$", "", regex=True)
+                          .replace("", "0"), "0").astype(np.int64)
+    n_chunks = np.where(has_chunk,
+                        t.str.replace(r"^.*/", "", regex=True)
+                         .replace("", "1"), "1").astype(np.int64)
+    order = {v: i for i, v in enumerate(sorted(set(q)))}
+    out = df.assign(
+        qLen=df["q_ntok"], qKmers=df["q_kept"], FPR=df["fpr"],
+        target_doc=tdoc, chunkIdx=chunk_idx, chunks=n_chunks,
+        tLen=df["t_ntok"], kSize=cfg.shingle_k, mKmers=df["m_shared"],
+        qCov=df["qcov"], tCov=df["tcov"],
+        queryIdx=q.map(order).astype(np.int64))
+    cols = ["query", "qLen", "qKmers", "FPR", "hits", "target_doc",
+            "chunkIdx", "chunks", "tLen", "kSize", "mKmers", "qCov",
+            "tCov", "jacc", "queryIdx"]
+    out = out.sort_values(["queryIdx", "target_doc", "chunkIdx"])
+    matched = out["query"].nunique()
+    with open(path, "w") as f:
+        f.write("\t".join(["query", "qLen", "qKmers", "FPR", "hits",
+                            "target", "chunkIdx", "chunks", "tLen",
+                            "kSize", "mKmers", "qCov", "tCov", "jacc",
+                            "queryIdx"]) + "\n")
+        for row in out[cols].itertuples(index=False):
+            f.write("\t".join(
+                f"{v:.4f}" if isinstance(v, float) else str(v)
+                for v in row) + "\n")
+        f.write(f"# input queries: {total_queries}\n")
+        f.write(f"# matched queries: {matched}\n")
+        pct = 100.0 * matched / max(total_queries, 1)
+        f.write(f"# matched percentage: {pct:.4f}%\n")
+    return {"rows": len(out), "matched": int(matched),
+            "total": int(total_queries)}

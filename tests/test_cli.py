@@ -81,3 +81,48 @@ def test_cli_merge_regions(ray_session, tmp_path, capsys):
     lines = [ln.split("\t") for ln in open(bed).read().splitlines()]
     assert lines[0][:3] == ["c1", "0", "20"]
     assert lines[1][:3] == ["c2", "100", "110"]
+
+
+def test_search_tsv_golden(ray_session, tmp_path):
+    """15-column kmcp TSV layout + trailer stats lines (S7 parity,
+    reference kmcp/cmd/search.go:84-104, 1023-1025)."""
+    import ray.data
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from kmcp_ray import search as search_mod
+    from kmcp_ray.config import DedupConfig
+
+    refs = pa.table({
+        "doc_id": pa.array(["r0", "r1"], pa.string()),
+        "text": pa.array([
+            "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+            "one two three four five six seven eight nine ten"],
+            pa.string())})
+    queries = pa.table({
+        "doc_id": pa.array(["q0", "q1"], pa.string()),
+        "text": pa.array([
+            "alpha beta gamma delta epsilon zeta eta theta",
+            "nothing matches here at all whatsoever"], pa.string())})
+    out = search_mod.search(ray.data.from_arrow(queries),
+                            ray.data.from_arrow(refs), DedupConfig(),
+                            min_qcov=0.5, min_shared=1, max_fpr=1.0)
+    path = str(tmp_path / "out.tsv")
+    stats = search_mod.to_kmcp_tsv(out, path, DedupConfig(),
+                                   total_queries=2)
+    lines = open(path).read().splitlines()
+    header = lines[0].split("\t")
+    assert header == ["query", "qLen", "qKmers", "FPR", "hits", "target",
+                      "chunkIdx", "chunks", "tLen", "kSize", "mKmers",
+                      "qCov", "tCov", "jacc", "queryIdx"]
+    data = [ln for ln in lines[1:] if not ln.startswith("#")]
+    trailer = [ln for ln in lines if ln.startswith("#")]
+    assert len(data) == stats["rows"] == 1
+    row = dict(zip(header, data[0].split("\t")))
+    assert row["query"] == "q0" and row["target"] == "r0"
+    assert row["qLen"] == "8" and row["tLen"] == "10"
+    assert row["qKmers"] == "6" and row["mKmers"] == "6"
+    assert row["qCov"] == "1.0000" and row["kSize"] == "3"
+    assert row["chunkIdx"] == "0" and row["chunks"] == "1"
+    assert trailer == ["# input queries: 2",
+                      "# matched queries: 1",
+                      "# matched percentage: 50.0000%"]

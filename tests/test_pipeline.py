@@ -303,3 +303,56 @@ def test_checkpoint_schema_marker_refusal(ray_session, tmp_path):
     os.remove(sp)
     with pytest.raises(ValueError, match="schema"):
         dedup_pipeline(ray.data.from_arrow(table), CFG, workdir=wd)
+
+
+def test_distributed_cc_giant_component_scale(ray_session):
+    """r2 verdict #10: force the labels_via_exchange arm (distributed
+    CC + join emission) on an edge volume ~10x the other CC tests with
+    one giant component plus many small ones, and assert exact equality
+    with the driver union-find arm."""
+    import time
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from kmcp_ray import cc
+    from kmcp_ray.pipeline import assign_stage, assign_via_join
+
+    rng = np.random.default_rng(23)
+    n = 40_000
+    ids = np.array([f"n{i:07d}" for i in range(n)], dtype=object)
+    # giant component: a long chain over a random permutation of the
+    # first half (worst case for label propagation depth), plus random
+    # extra edges; second half pairs up into 2-cliques
+    perm = rng.permutation(n // 2)
+    chain_a = ids[perm[:-1]]
+    chain_b = ids[perm[1:]]
+    extra = rng.integers(0, n // 2, size=n // 4)
+    extra2 = rng.integers(0, n // 2, size=n // 4)
+    pair_a = ids[np.arange(n // 2, n - 1, 2)]
+    pair_b = ids[np.arange(n // 2 + 1, n, 2)]
+    edges = pa.table({
+        "id_a": pa.array(np.concatenate([chain_a, ids[extra], pair_a]),
+                         pa.string()),
+        "id_b": pa.array(np.concatenate([chain_b, ids[extra2], pair_b]),
+                         pa.string())})
+    edges_ds = ray.data.from_arrow(edges)
+    ids_ds = ray.data.from_arrow(pa.table({"image_id":
+                                           pa.array(ids, pa.string())}))
+
+    t0 = time.time()
+    labels = cc.labels_via_exchange(edges_ds, P=16)
+    got = assign_via_join(ids_ds, labels, CFG).to_pandas() \
+        .sort_values("image_id").reset_index(drop=True)
+    t_dist = time.time() - t0
+
+    cluster_map = cc.connected_components_arrays(edges_ds, reduce_rounds=1)
+    want = assign_stage(ids_ds, cluster_map).to_pandas() \
+        .sort_values("image_id").reset_index(drop=True)
+
+    import pandas as pd
+    pd.testing.assert_frame_equal(got, want)
+    # the giant component must have collapsed to ONE label
+    giant = want[want.image_id.isin(ids[:n // 2])]
+    assert giant.cluster_id.nunique() == 1
+    print(f"distributed CC wall: {t_dist:.1f}s over "
+          f"{edges.num_rows} edges")
