@@ -1255,11 +1255,30 @@ def oracle_sql() -> dict[str, str]:
         "cluster_profile": """
             WITH RECURSIVE """ + _arith_caps + ", " + pair_cte.replace(
             "{SRC}", "allcaps") + """
-            , via_pairs AS (
+            , iden AS (
+                -- identical shingle SETS == identical sketch folds:
+                -- the engine links such classes with k-1 star rows from
+                -- the class-min id (designated-bucket stars, buckets.py
+                -- r3), not all C(k,2) pairs
+                SELECT ia, ib FROM scoredp WHERE c = na AND c = nb
+            ), cls AS (
+                SELECT t.did,
+                       least(t.did, coalesce(min(nb.o), t.did)) AS rep
+                FROM t LEFT JOIN (SELECT ia AS did, ib AS o FROM iden
+                                  UNION ALL SELECT ib, ia FROM iden) nb
+                  ON nb.did = t.did
+                WHERE len(t.tk) > 0
+                GROUP BY t.did
+            ), via_pairs AS (
+                SELECT rep AS ia, did AS ib, 'minhash' AS via
+                FROM cls WHERE rep < did
+                UNION ALL
                 SELECT ia, ib,
                        CASE WHEN jacc >= 0.7 THEN 'minhash'
                             ELSE 'contain' END AS via
-                FROM scoredp WHERE jacc >= 0.7 OR ctn >= 0.9
+                FROM scoredp
+                WHERE NOT (c = na AND c = nb)
+                  AND (jacc >= 0.7 OR ctn >= 0.9)
             ), edges_via AS (
                 -- engine edge-row multiplicity: every verified sk pair
                 -- is one row; planted exact pairs ALSO yield an exact

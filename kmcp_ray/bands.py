@@ -20,6 +20,22 @@ downstream ``groupby("part")`` then sorts thousands of fat rows, not
 millions of 40-byte ones; payload bytes are identical.  This is the
 map-side-combine shape from the Ray Data guide, and the analogue of
 kmcp packing 8-file batches into block columns (kmcp/cmd/index.go:1066+).
+
+**Identity compression (r3)**: the ``image_id`` string rides ONLY each
+row's DESIGNATED entries — its first MinHash band (or first containment
+key when MinHash is off), its pHash chunk 0, and its exact entry; all
+other entries ship just ``(key u64, kind i8, ident u64)`` ≈ 17 B.
+``ident`` is the row's content-equivalence-class key for the entry's
+kind (whole-sketch fold for minhash/contain, the 64-bit pHash for
+phash): rows with equal ident are duplicates by construction, share
+their entire band-key vector, and therefore all meet in the SAME
+designated bucket — which is where the verifier emits their star edges,
+their (ident → id) membership rows, and nothing else id-bearing.
+Everything downstream of the wide exchange works on u64 equivalence
+classes and re-attaches strings from the (tiny) membership table.  This
+roughly halves the one wide shuffle's bytes — the reference's analogue
+is kmcp indexing k-mers against compact integer reference indices, not
+names (kmcp/cmd/index.go:213+, semantics re-derived).
 """
 
 from __future__ import annotations
@@ -27,7 +43,6 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from kmcp_ray import imagecodec
 from kmcp_ray.arrowutil import column, list_to_numpy
 from kmcp_ray.config import DedupConfig
 
@@ -36,17 +51,11 @@ KIND_CONTAIN = 1
 KIND_PHASH = 2
 KIND_EXACT = 3
 
-#: high bit of the packed ``kind`` byte: this entry is its row's
-#: DESIGNATED star-emission site.  Identical sketches share their whole
-#: band-key vector (and identical phashes share all chunk keys), so
-#: linking identical-content members to a representative only needs to
-#: happen in ONE deterministic bucket — the row's first band / chunk 0 —
-#: instead of once per band (16x/8x duplicate star edges measured at
-#: 3.2M rows: 6.3M minhash + 1.5M phash stars before, ~0.6M after).
-#: Costs zero extra shuffle bytes; the verifier masks the bit off.
-STAR_FLAG = np.int8(8)
-
 _CONTAIN_SALT = np.uint64(0x9FB21C651E98DF25)
+
+#: packed band-row columns: the id-free entry stream + the designated
+#: (id-carrying) entry stream, offsets aligned on the same ``part`` rows
+PACKED_COLS = ("key", "kind", "ident", "dkey", "dkind", "dident", "did")
 
 
 def _segment_gather(starts: np.ndarray, lengths: np.ndarray) -> np.ndarray:
@@ -71,7 +80,7 @@ def make_band_fn(cfg: DedupConfig, enable=("minhash", "contain", "phash", "exact
         phash = batch.column("phash").to_numpy(zero_copy_only=False).astype(np.int64)
         exact_key = batch.column("exact_key").to_numpy(zero_copy_only=False).astype(np.uint64)
 
-        row_parts, key_parts, kind_parts, star_parts = [], [], [], []
+        row_parts, key_parts, kind_parts, desig_parts = [], [], [], []
 
         # band + containment bucket keys are FINALIZED by the sketch
         # stage (sketch.py): this stage only fans them out into packed
@@ -82,9 +91,9 @@ def make_band_fn(cfg: DedupConfig, enable=("minhash", "contain", "phash", "exact
             row_parts.append(np.repeat(np.arange(n), bk_off[1:] - bk_off[:-1]))
             key_parts.append(bk_vals)
             kind_parts.append(np.full(len(bk_vals), KIND_MINHASH, dtype=np.int8))
-            st = np.zeros(len(bk_vals), dtype=np.int8)
-            st[bk_off[:-1][bk_off[1:] > bk_off[:-1]]] = 1   # first band/row
-            star_parts.append(st)
+            st = np.zeros(len(bk_vals), dtype=bool)
+            st[bk_off[:-1][bk_off[1:] > bk_off[:-1]]] = True   # first band/row
+            desig_parts.append(st)
 
         if "contain" in enabled:
             ck_vals, ck_off = list_to_numpy(column(batch, "ckeys"),
@@ -92,69 +101,79 @@ def make_band_fn(cfg: DedupConfig, enable=("minhash", "contain", "phash", "exact
             row_parts.append(np.repeat(np.arange(n), ck_off[1:] - ck_off[:-1]))
             key_parts.append(ck_vals)
             kind_parts.append(np.full(len(ck_vals), KIND_CONTAIN, dtype=np.int8))
-            st = np.zeros(len(ck_vals), dtype=np.int8)
+            st = np.zeros(len(ck_vals), dtype=bool)
             if "minhash" not in enabled:
                 # fallback designated site: identical sketches share the
                 # whole (sorted) ckey list, so "first ckey" is the same
                 # bucket for every member of an identical group
-                st[ck_off[:-1][ck_off[1:] > ck_off[:-1]]] = 1
-            star_parts.append(st)
+                st[ck_off[:-1][ck_off[1:] > ck_off[:-1]]] = True
+            desig_parts.append(st)
 
         if "phash" in enabled:
+            from kmcp_ray import imagecodec
             pk = imagecodec.phash_chunk_keys(phash, cfg.phash_chunks)
             row_parts.append(np.repeat(np.arange(n), cfg.phash_chunks))
             key_parts.append(pk.reshape(-1))
             kind_parts.append(np.full(n * cfg.phash_chunks, KIND_PHASH, dtype=np.int8))
-            st = np.zeros(n * cfg.phash_chunks, dtype=np.int8)
-            st[::cfg.phash_chunks] = 1                       # chunk 0/row
-            star_parts.append(st)
+            st = np.zeros(n * cfg.phash_chunks, dtype=bool)
+            st[::cfg.phash_chunks] = True                       # chunk 0/row
+            desig_parts.append(st)
 
         if "exact" in enabled:
             row_parts.append(np.arange(n))
             key_parts.append(exact_key)
             kind_parts.append(np.full(n, KIND_EXACT, dtype=np.int8))
-            star_parts.append(np.ones(n, dtype=np.int8))     # 1 entry/row
+            desig_parts.append(np.ones(n, dtype=bool))          # 1 entry/row
 
         rows = np.concatenate(row_parts) if row_parts else np.empty(0, np.int64)
         keys = np.concatenate(key_parts) if key_parts else np.empty(0, np.uint64)
         kinds = np.concatenate(kind_parts) if kind_parts else np.empty(0, np.int8)
-        stars = np.concatenate(star_parts) if star_parts else np.empty(0, np.int8)
+        desig = np.concatenate(desig_parts) if desig_parts else np.empty(0, bool)
         part = (keys % np.uint64(cfg.num_partitions)).astype(np.int64)
 
         # per-entry identity payload — ONE u64, selected by kind: the
         # phash travels only with phash-band entries (Hamming verify +
-        # salted-bucket ident) and the sketch fold only with
-        # minhash/contain entries; exact entries verify by key alone.
-        # Shipping both (16 B) per entry doubled the shuffle payload for
-        # no reader.
+        # equivalence-class key) and the sketch fold with everything
+        # else; exact entries group by key alone but their fold ident
+        # keeps the unified (seg, ident) star grouping exact (equal
+        # exact_key ⇒ equal caption ⇒ equal fold).
         ident = np.where(kinds == KIND_PHASH,
                          phash.view(np.uint64)[rows], sk_fold[rows])
-        kinds = kinds | (stars * STAR_FLAG)   # flag rides the kind byte
 
-        # ---- pack: one output row per partition present in this batch ----
+        # ---- pack: one output row per partition present in this batch,
+        # with the id-free and the designated entry streams as separate,
+        # part-aligned list columns -------------------------------------
         order = np.argsort(part, kind="stable")
-        rows, keys, kinds, part = rows[order], keys[order], kinds[order], part[order]
-        ident = ident[order]
-        m = len(rows)
-        bound = np.nonzero(np.concatenate(([True], part[1:] != part[:-1])))[0] \
+        part_s = part[order]
+        m = len(part_s)
+        bound = np.nonzero(np.concatenate(([True], part_s[1:] != part_s[:-1])))[0] \
             if m else np.empty(0, np.int64)
-        bound_end = np.concatenate((bound[1:], [m])) if m else bound
-        pack_part = part[bound] if m else np.empty(0, np.int64)
+        uparts = part_s[bound] if m else np.empty(0, np.int64)
+
+        desig_s = desig[order]
+        o1 = order[~desig_s]              # id-free entries, part-ascending
+        o2 = order[desig_s]               # designated entries
+        p1, p2 = part[o1], part[o2]
+        # ascending starts per present part; zero-length where absent
+        off1 = np.append(np.searchsorted(p1, uparts), len(p1)).astype(np.int32)
+        off2 = np.append(np.searchsorted(p2, uparts), len(p2)).astype(np.int32)
 
         ids_np = ids.to_numpy(zero_copy_only=False)
 
-        def pack_list(values: np.ndarray, arrow_type) -> pa.ListArray:
+        def pack_list(offsets, values: np.ndarray, arrow_type) -> pa.ListArray:
             return pa.ListArray.from_arrays(
-                pa.array(np.concatenate((bound, [m])), type=pa.int32()),
+                pa.array(offsets, type=pa.int32()),
                 pa.array(values, type=arrow_type))
 
-        out = pa.table({
-            "part": pa.array(pack_part, pa.int64()),
-            "key": pack_list(keys, pa.uint64()),
-            "kind": pack_list(kinds, pa.int8()),
-            "image_id": pack_list(ids_np[rows], pa.string()),
-            "ident": pack_list(ident, pa.uint64()),
+        return pa.table({
+            "part": pa.array(uparts, pa.int64()),
+            "key": pack_list(off1, keys[o1], pa.uint64()),
+            "kind": pack_list(off1, kinds[o1], pa.int8()),
+            "ident": pack_list(off1, ident[o1], pa.uint64()),
+            "dkey": pack_list(off2, keys[o2], pa.uint64()),
+            "dkind": pack_list(off2, kinds[o2], pa.int8()),
+            "dident": pack_list(off2, ident[o2], pa.uint64()),
+            "did": pack_list(off2, ids_np[rows[o2]], pa.string()),
         })
-        return out
 
     return band_batch

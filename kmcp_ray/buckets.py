@@ -1,5 +1,5 @@
-"""Per-partition bucket processing: packed band rows → edges and
-candidate pairs.
+"""Per-partition bucket processing: packed band rows → edges,
+membership rows and candidate class pairs.
 
 The whole LSH shuffle is ONE ``groupby("part")`` with this module's
 verifier applied per partition (vectorized inside), instead of a
@@ -7,27 +7,33 @@ groupby over millions of tiny band keys — the same reason kmcp scores a
 query against a whole index block in one bit-matrix pass instead of
 probing chunks one by one (reference: kmcp/cmd/util-db-search.go:6613+).
 
-Within a partition, rows are sorted by (kind, key); every equal-key
-segment is a bucket:
+Within a partition, entries (both streams, see bands.py) are sorted by
+(kind, key, ident); every equal-(kind, key) segment is a bucket.
+Everything pair-shaped happens at the **ident equivalence-class**
+level — the ``image_id`` string exists only on designated entries:
 
-- ``exact`` buckets emit star edges to the minimum id (no verification —
-  key == content hash of caption+bytes).
-- ``phash`` buckets verify Hamming(phash) ≤ radius in place (the phash
-  travels with the band row) → via "phash".
-- ``minhash`` / ``contain`` buckets emit **candidate pairs**
-  (via "cand"); their sketches do NOT travel through the band shuffle —
-  candidates are globally deduplicated and verified against the
-  signature table in a separate hash join (pipeline.edges_stage), the
-  way kmcp routes queries to the index that holds the sketches instead
-  of shipping sketches with every query.
+- designated entries emit, per (bucket, ident) group: star edges from
+  the minimum id to every other member (via exact/minhash/phash,
+  score 1.0) and one ``member_sk`` / ``member_ph`` row per entry — the
+  (ident → id) membership table downstream expansion joins against.
+- ``phash`` buckets verify Hamming(ident_a, ident_b) ≤ radius in place
+  between DISTINCT pHash classes and emit ``phashc`` class pairs, only
+  in the pair's first agreeing chunk's bucket (globally unique without
+  a dedup pass).
+- ``minhash`` / ``contain`` buckets emit ``cand`` class pairs between
+  distinct sketch folds; sketches do NOT travel through the band
+  shuffle — class pairs are globally deduplicated, expanded to member
+  pairs, and verified against re-derived sketches (pipeline.edges_stage),
+  the way kmcp routes queries to the index that holds the sketches
+  instead of shipping sketches with every query.
 
 Skew (the kmcp block-size-threshold analogue, index.go:213-259):
 - containment buckets larger than ``max_shingle_df`` are dominated by a
-  high-document-frequency shingle with no dedup signal → identical-
-  sketch star edges only;
-- any bucket larger than ``max_bucket`` collapses to one representative
-  per identical content (star edges) and at most max_bucket
-  representatives pair up; overflow is counted and logged.
+  high-document-frequency shingle with no dedup signal → no pairs (the
+  identical-sketch linkage lives on the designated-bucket stars);
+- any bucket larger than ``max_bucket`` pairs at most ``max_bucket``
+  ident classes (ident-ascending — the deterministic truncation
+  contract); overflow is counted and logged.
 """
 
 from __future__ import annotations
@@ -50,6 +56,11 @@ EDGE_SCHEMA = pa.schema([
     ("score", pa.float64()),
 ])
 
+#: verifier output: final star edges ride (id_a, id_b); class-level rows
+#: (cand / phashc) and membership rows (member_sk / member_ph) ride the
+#: u64 ident columns with null ids — pipeline.edges_stage splits on via
+RAW_COLS = ("id_a", "id_b", "via", "score", "ident_a", "ident_b")
+
 _VIA_OF_KIND = {KIND_MINHASH: "minhash", KIND_CONTAIN: "contain",
                 KIND_PHASH: "phash", KIND_EXACT: "exact"}
 
@@ -59,6 +70,33 @@ def empty_edges() -> pa.Table:
                      "id_b": pa.array([], pa.string()),
                      "via": pa.array([], pa.string()),
                      "score": pa.array([], pa.float64())})
+
+
+def _empty_raw() -> pa.Table:
+    return pa.table({"id_a": pa.array([], pa.string()),
+                     "id_b": pa.array([], pa.string()),
+                     "via": pa.array([], pa.string()),
+                     "score": pa.array([], pa.float64()),
+                     "ident_a": pa.array([], pa.uint64()),
+                     "ident_b": pa.array([], pa.uint64())})
+
+
+def _raw_table(id_a, id_b, via, score, ident_a, ident_b) -> pa.Table:
+    """Assemble one verifier sub-table; id/ident columns accept None for
+    all-null."""
+    n = len(via)
+    return pa.table({
+        "id_a": pa.array(id_a, pa.string()) if id_a is not None
+        else pa.nulls(n, pa.string()),
+        "id_b": pa.array(id_b, pa.string()) if id_b is not None
+        else pa.nulls(n, pa.string()),
+        "via": pa.array(via, pa.string()),
+        "score": pa.array(score, pa.float64()),
+        "ident_a": pa.array(ident_a, pa.uint64()) if ident_a is not None
+        else pa.array(np.zeros(n, np.uint64), pa.uint64()),
+        "ident_b": pa.array(ident_b, pa.uint64()) if ident_b is not None
+        else pa.array(np.zeros(n, np.uint64), pa.uint64()),
+    })
 
 
 def _pairs_within_segments(starts: np.ndarray, ends: np.ndarray):
@@ -85,54 +123,50 @@ def _pairs_within_segments(starts: np.ndarray, ends: np.ndarray):
     return first, second
 
 
-def _stars_by_group(pos_sorted: np.ndarray, *group_keys):
-    """Rows sorted so equal group-key runs are contiguous and id-ascending
-    within runs → (root_pos, member_pos) star edges, vectorized.  Multiple
-    key arrays are compared jointly (no combined-hash collisions)."""
-    if len(pos_sorted) == 0:
-        return pos_sorted, pos_sorted
-    change = np.zeros(len(pos_sorted), dtype=bool)
-    change[0] = True
-    for gk in group_keys:
-        change[1:] |= gk[1:] != gk[:-1]
-    grp = np.cumsum(change) - 1
-    roots = pos_sorted[change]
-    members = ~change
-    return roots[grp[members]], pos_sorted[members]
-
-
 def make_bucket_verifier(cfg: DedupConfig):
     """Factory for the per-partition bucket processor — fully vectorized
-    (no per-edge Python); emits deduplicated star edges, in-place phash
-    verdicts and sk candidate pairs."""
+    (no per-edge Python): emits star edges + membership rows from the
+    designated entry stream and deduplicated ident-class pairs (verified
+    in place for pHash, ``cand`` for sketches) from both streams."""
 
     def verify_partition(batch: pa.Table) -> pa.Table:
         from kmcp_ray.arrowutil import column, list_to_numpy
 
-        kinds, _ = list_to_numpy(column(batch, "kind"), dtype=np.int8)
-        # high bit = designated star-emission site (bands.STAR_FLAG):
-        # identical-content star edges are emitted only where the member
-        # entry is flagged, so each (root, member) link exists once
-        # globally instead of once per band/chunk
-        star = kinds >= 8
-        kinds = (kinds & 7).astype(np.int8)
-        m = len(kinds)
-        if m < 2:
-            return empty_edges()
-        keys, _ = list_to_numpy(column(batch, "key"), dtype=np.uint64)
-        ids = column(batch, "image_id").flatten().to_numpy(zero_copy_only=False)
-        # one u64 identity per entry: sketch fold for minhash/contain
-        # entries, raw phash bits for phash entries (see bands.band_batch)
-        ident, _ = list_to_numpy(column(batch, "ident"), dtype=np.uint64)
+        k1, _ = list_to_numpy(column(batch, "kind"), dtype=np.int8)
+        keys1, _ = list_to_numpy(column(batch, "key"), dtype=np.uint64)
+        idn1, _ = list_to_numpy(column(batch, "ident"), dtype=np.uint64)
+        k2, _ = list_to_numpy(column(batch, "dkind"), dtype=np.int8)
+        keys2, _ = list_to_numpy(column(batch, "dkey"), dtype=np.uint64)
+        idn2, _ = list_to_numpy(column(batch, "dident"), dtype=np.uint64)
+        ids2 = column(batch, "did").flatten().to_numpy(zero_copy_only=False)
+        n1, n2 = len(k1), len(k2)
+        m = n1 + n2
+        if m == 0:
+            return _empty_raw()
 
-        # rank ids once so all later sorts are integer sorts; rank order
-        # == lexicographic id order, so rank compares replace string
-        # compares everywhere below
-        uids, id_rank = np.unique(ids, return_inverse=True)
-        n_ids = np.uint64(max(1, len(uids)))
+        out_tables = []
 
-        order = np.lexsort((id_rank, keys, kinds))
-        k_s, key_s = kinds[order], keys[order]
+        # ---- membership rows: (ident → id), one per designated sk/ph
+        # entry — the table downstream class→member expansion joins
+        # against.  Emitted unconditionally (a singleton class's ident
+        # can still appear in pairs formed in OTHER buckets). ---------
+        is_sk2 = (k2 == KIND_MINHASH) | (k2 == KIND_CONTAIN)
+        is_ph2 = k2 == KIND_PHASH
+        for mask, via in ((is_sk2, "member_sk"), (is_ph2, "member_ph")):
+            if mask.any():
+                nm = int(mask.sum())
+                out_tables.append(_raw_table(
+                    ids2[mask], None,
+                    np.full(nm, via, dtype=object),
+                    np.zeros(nm), idn2[mask], None))
+
+        # unified entry view: id-free stream first, designated second
+        kinds = np.concatenate((k1, k2))
+        keys = np.concatenate((keys1, keys2))
+        ident = np.concatenate((idn1, idn2))
+
+        order = np.lexsort((ident, keys, kinds))
+        k_s, key_s, idn_s = kinds[order], keys[order], ident[order]
         seg_first = np.concatenate(([True],
                                     (k_s[1:] != k_s[:-1]) | (key_s[1:] != key_s[:-1])))
         seg_id = np.cumsum(seg_first) - 1
@@ -140,55 +174,68 @@ def make_bucket_verifier(cfg: DedupConfig):
         seg_end = np.concatenate((seg_start[1:], [m]))
         seg_size = seg_end - seg_start
         seg_kind = k_s[seg_start]
+        seg_of = np.empty(m, dtype=np.int64)
+        seg_of[order] = seg_id
 
-        star_roots, star_members, star_via = [], [], []   # arrays of positions
+        # ---- stars: designated entries grouped by (bucket, ident) —
+        # every member of an ident class designates the same bucket
+        # (identical content ⇒ identical first band / chunk-0 / exact
+        # key), so the whole class meets exactly here and nowhere else.
+        # Root = lexicographic min id.  Exact buckets degenerate to
+        # per-segment stars (equal exact_key ⇒ equal fold). ------------
+        if n2:
+            uids2, rank2 = np.unique(ids2, return_inverse=True)
+            seg2 = seg_of[n1:]
+            ordg = np.lexsort((rank2, idn2, seg2))
+            g_seg, g_idn, g_rank = seg2[ordg], idn2[ordg], rank2[ordg]
+            g_first = np.concatenate(([True], (g_seg[1:] != g_seg[:-1])
+                                      | (g_idn[1:] != g_idn[:-1])))
+            grp = np.cumsum(g_first) - 1
+            roots_per_grp = g_rank[g_first]
+            members = ~g_first
+            if members.any():
+                r_rank = roots_per_grp[grp[members]]
+                m_rank = g_rank[members]
+                via_k = k2[ordg][members]
+                via = np.where(via_k == KIND_EXACT, "exact",
+                               np.where(via_k == KIND_PHASH, "phash",
+                                        "minhash")).astype(object)
+                out_tables.append(_raw_table(
+                    uids2[r_rank], uids2[m_rank], via,
+                    np.ones(len(m_rank)), None, None))
+
+        # ---- class pairs: one representative entry per (bucket, ident)
+        # (entries are ident-sorted within segments, so reps are the
+        # first-of-ident positions) --------------------------------------
+        rep_first = seg_first | np.concatenate(([True],
+                                                idn_s[1:] != idn_s[:-1]))
         pair_i, pair_j, pair_cls = [], [], []
         dropped = 0
 
-        def seg_rows_mask(sel):
-            """row mask (in sorted space) for selected segments."""
-            return np.repeat(sel, seg_size)
+        pairable = (seg_kind != KIND_EXACT) & \
+            ~((seg_kind == KIND_CONTAIN) & (seg_size > cfg.max_shingle_df))
 
-        # ---- exact buckets: star to min id --------------------------------
-        sel = (seg_kind == KIND_EXACT) & (seg_size >= 2)
+        # normal buckets: all rep pairs (sizes gate on RAW entry counts —
+        # the skew caps act on observed bucket load, not class counts)
+        sel = pairable & (seg_size >= 2) & (seg_size <= cfg.max_bucket)
         if sel.any():
-            rows_mask = seg_rows_mask(sel)
-            pos = np.arange(m)[rows_mask]
-            r, mem = _stars_by_group(order[pos], seg_id[pos])
-            star_roots.append(r); star_members.append(mem)
-            star_via.append(np.full(len(mem), 0, dtype=np.int8))
+            rep_pos = np.nonzero(rep_first & np.repeat(sel, seg_size))[0]
+            rep_seg = seg_id[rep_pos]
+            rfirst = np.concatenate(([True], rep_seg[1:] != rep_seg[:-1]))
+            rstart = np.nonzero(rfirst)[0]
+            rend = np.concatenate((rstart[1:], [len(rep_pos)]))
+            f, s2 = _pairs_within_segments(rstart, rend)
+            pi, pj = rep_pos[f], rep_pos[s2]
+            cls = np.where(k_s[pi] == KIND_PHASH, 0, 1).astype(np.int8)
+            pair_i.append(pi); pair_j.append(pj)
+            pair_cls.append(cls)
 
-        # ---- high-df containment buckets: identical-sketch stars only -----
-        sel = (seg_kind == KIND_CONTAIN) & (seg_size > cfg.max_shingle_df)
-        if sel.any():
-            rows_mask = seg_rows_mask(sel)
-            pos = np.nonzero(rows_mask)[0]
-            rows = order[pos]
-            sub = np.lexsort((id_rank[rows], ident[rows], seg_id[pos]))
-            r, mem = _stars_by_group(rows[sub], seg_id[pos][sub],
-                                     ident[rows][sub])
-            smask = star[mem]
-            r, mem = r[smask], mem[smask]
-            star_roots.append(r); star_members.append(mem)
-            star_via.append(np.full(len(mem), 1, dtype=np.int8))
-
-        # ---- oversized buckets (salted): ident stars + capped rep pairs ---
-        sel_over = (seg_size > cfg.max_bucket) &             ~((seg_kind == KIND_CONTAIN) & (seg_size > cfg.max_shingle_df)) &             (seg_kind != KIND_EXACT)
-        for sidx in np.nonzero(sel_over)[0]:        # rare — python loop fine
+        # oversized buckets: at most max_bucket ident classes pair up,
+        # ident-ascending (deterministic truncation; rare — loop fine)
+        sel_over = pairable & (seg_size > cfg.max_bucket)
+        for sidx in np.nonzero(sel_over)[0]:
             s, e = seg_start[sidx], seg_end[sidx]
-            rows = order[s:e]                        # id-ascending
-            kind = seg_kind[sidx]
-            idn = ident[rows]
-            sub = np.argsort(idn, kind="stable")
-            r, mem = _stars_by_group(rows[sub], idn[sub])
-            smask = star[mem]
-            r, mem = r[smask], mem[smask]
-            star_roots.append(r); star_members.append(mem)
-            star_via.append(np.full(
-                len(mem), 2 if kind == KIND_PHASH else 1, dtype=np.int8))
-            first = np.concatenate(([True], idn[sub][1:] != idn[sub][:-1]))
-            reps = rows[sub][first]
-            reps = reps[np.argsort(id_rank[reps], kind="stable")]
+            reps = np.nonzero(rep_first[s:e])[0] + s   # ident-ascending
             if len(reps) > cfg.max_bucket:
                 dropped += len(reps) - cfg.max_bucket
                 reps = reps[:cfg.max_bucket]
@@ -196,116 +243,56 @@ def make_bucket_verifier(cfg: DedupConfig):
                 ii, jj = np.triu_indices(len(reps), k=1)
                 pair_i.append(reps[ii]); pair_j.append(reps[jj])
                 pair_cls.append(np.full(
-                    len(ii), 0 if kind == KIND_PHASH else 1, dtype=np.int8))
-
-        # ---- normal buckets: all pairs ------------------------------------
-        sel = (seg_size >= 2) & (seg_size <= cfg.max_bucket) & \
-            (seg_kind != KIND_EXACT) & \
-            ~((seg_kind == KIND_CONTAIN) & (seg_size > cfg.max_shingle_df))
-        if sel.any():
-            f, s2 = _pairs_within_segments(seg_start[sel], seg_end[sel])
-            rows_f, rows_s = order[f], order[s2]
-            cls = np.where(k_s[f] == KIND_PHASH, 0, 1).astype(np.int8)
-            pair_i.append(rows_f); pair_j.append(rows_s)
-            pair_cls.append(cls)
+                    len(ii), 0 if seg_kind[sidx] == KIND_PHASH else 1,
+                    dtype=np.int8))
 
         if dropped:
-            logger.warning("bucket cap overflow: %d representatives dropped "
-                           "in partition (max_bucket=%d)", dropped, cfg.max_bucket)
-
-        # ---- assemble + dedup (integer ranks — no pandas object-dtype
-        # hashtables: on this host the per-group allocation volume of
-        # object-array factorize/drop_duplicates dominated wall time
-        # through machine-serialized first-touch page faults) ----------
-        VIA_NAMES = np.array(["exact", "minhash", "phash", "cand"],
-                             dtype=object)
-        out_tables = []
-        if star_roots:
-            r = np.concatenate(star_roots)
-            mem = np.concatenate(star_members)
-            viac = np.concatenate(star_via)
-            ra, rb = id_rank[r], id_rank[mem]
-            key = (viac.astype(np.uint64) * n_ids
-                   + ra.astype(np.uint64)) * n_ids + rb.astype(np.uint64)
-            _, ix = np.unique(key, return_index=True)
-            out_tables.append(pa.table({
-                "id_a": pa.array(uids[ra[ix]], pa.string()),
-                "id_b": pa.array(uids[rb[ix]], pa.string()),
-                "via": pa.array(VIA_NAMES[viac[ix]], pa.string()),
-                "score": pa.array(np.ones(len(ix)), pa.float64())}))
+            logger.warning("bucket cap overflow: %d ident classes dropped "
+                           "in partition (max_bucket=%d)", dropped,
+                           cfg.max_bucket)
 
         if pair_i:
-            ci = np.concatenate(pair_i)
-            cj = np.concatenate(pair_j)
+            pi = np.concatenate(pair_i)
+            pj = np.concatenate(pair_j)
             ccls = np.concatenate(pair_cls)        # int8: 0=ph, 1=sk
-            ra, rb = id_rank[ci], id_rank[cj]
-            swap = ra > rb
-            ra2 = np.where(swap, rb, ra)
-            rb2 = np.where(swap, ra, rb)
-            keep = ra2 != rb2
-            ra2, rb2, ccls = ra2[keep], rb2[keep], ccls[keep]
-            ci, cj = ci[keep], cj[keep]
-            # np.unique keeps the FIRST occurrence: order DESIGNATED
-            # instances first so cross-bucket dedup inside this
-            # partition never discards a designated-bucket instance in
-            # favor of a non-designated one (the emit gates below depend
-            # on it).  Designation: flagged-both (sk ident pairs, star
-            # edges) or, for phash pairs, sitting in the first agreeing
-            # chunk's bucket.
-            pref = star[ci] & star[cj]
-            ph_all = ccls == 0
-            if ph_all.any():
-                d0 = imagecodec.phash_first_agree_key(
-                    ident[ci[ph_all]], ident[cj[ph_all]], cfg.phash_chunks)
-                pref = pref.copy()
-                pref[ph_all] = keys[ci[ph_all]] == d0
-            if not pref.all():
-                ordp = np.argsort(~pref, kind="stable")
-                ra2, rb2, ccls = ra2[ordp], rb2[ordp], ccls[ordp]
-                ci, cj = ci[ordp], cj[ordp]
-                pref = pref[ordp]
-            key = (ccls.astype(np.uint64) * n_ids
-                   + ra2.astype(np.uint64)) * n_ids + rb2.astype(np.uint64)
-            _, ix = np.unique(key, return_index=True)
-            ra2, rb2, ccls = ra2[ix], rb2[ix], ccls[ix]
-            ci, cj = ci[ix], cj[ix]
-            pref = pref[ix]
+            ia, ib = idn_s[pi], idn_s[pj]
+            swap = ia > ib
+            ia2 = np.where(swap, ib, ia)
+            ib2 = np.where(swap, ia, ib)
 
-            # every phash pair collides in one bucket per AGREEING chunk
-            # (Hamming 0 pairs in all of them) — emit each verified pair
-            # only in its DESIGNATED bucket, the first agreeing chunk's,
-            # recomputed locally from the two full phashes riding as
-            # idents: kills the cross-partition duplicate edge rows the
-            # per-bucket emission produced (r3; generalizes the r2
-            # STAR_FLAG rule, which this subsumes for Hamming 0)
+            # pHash class pairs: Hamming-verify in place; emit ONLY in
+            # the pair's first agreeing chunk's bucket — one bucket
+            # globally (the chunk key fixes the partition), so no dedup
+            # pass is needed anywhere downstream
             ph_mask = ccls == 0
             if ph_mask.any():
-                ii, jj = ci[ph_mask], cj[ph_mask]
-                ham = np.asarray(imagecodec.hamming64(ident[ii], ident[jj]))
-                ok = (ham <= cfg.hamming_radius) & pref[ph_mask]
-                out_tables.append(pa.table({
-                    "id_a": pa.array(uids[ra2[ph_mask][ok]], pa.string()),
-                    "id_b": pa.array(uids[rb2[ph_mask][ok]], pa.string()),
-                    "via": pa.array(np.full(int(ok.sum()), "phash",
-                                            dtype=object), pa.string()),
-                    "score": pa.array(1.0 - ham[ok] / 64.0, pa.float64())}))
+                pa_i, pb_i = ia2[ph_mask], ib2[ph_mask]
+                ham = np.asarray(imagecodec.hamming64(pa_i, pb_i))
+                d0 = imagecodec.phash_first_agree_key(
+                    pa_i, pb_i, cfg.phash_chunks)
+                ok = (ham <= cfg.hamming_radius) & (key_s[pi[ph_mask]] == d0)
+                if ok.any():
+                    nph = int(ok.sum())
+                    out_tables.append(_raw_table(
+                        None, None, np.full(nph, "phashc", dtype=object),
+                        1.0 - ham[ok] / 64.0, pa_i[ok], pb_i[ok]))
 
+            # sketch class pairs: dedup within the partition (the same
+            # class pair recurs across shared bands), verified later
             sk_mask = ccls == 1
             if sk_mask.any():
-                ii, jj = ci[sk_mask], cj[sk_mask]
-                same = ident[ii] == ident[jj]
-                emit = ~same | (star[ii] & star[jj])
-                ii, jj, same = ii[emit], jj[emit], same[emit]
-                via_c = np.where(same, np.int8(1), np.int8(3))
-                out_tables.append(pa.table({
-                    "id_a": pa.array(uids[ra2[sk_mask][emit]], pa.string()),
-                    "id_b": pa.array(uids[rb2[sk_mask][emit]], pa.string()),
-                    "via": pa.array(VIA_NAMES[via_c], pa.string()),
-                    "score": pa.array(same.astype(np.float64),
-                                      pa.float64())}))
+                sa, sb = ia2[sk_mask], ib2[sk_mask]
+                osk = np.lexsort((sb, sa))
+                sa, sb = sa[osk], sb[osk]
+                first = np.concatenate(([True], (sa[1:] != sa[:-1])
+                                        | (sb[1:] != sb[:-1])))
+                sa, sb = sa[first], sb[first]
+                out_tables.append(_raw_table(
+                    None, None, np.full(len(sa), "cand", dtype=object),
+                    np.zeros(len(sa)), sa, sb))
 
         if not out_tables:
-            return empty_edges()
+            return _empty_raw()
         return pa.concat_tables(out_tables)
 
     return verify_partition
@@ -406,10 +393,11 @@ def attach_sketches(pairs_ds, sig_small_ds, cfg: DedupConfig):
     (id_a, id_b, vsk_a, vsk_b) via two packed union+groupby exchanges.
 
     A hand-rolled partitioned hash join on the packed-exchange
-    primitive: ``Dataset.join`` in this Ray release mis-handles empty
-    partitions, and its aggregator actors deadlock when partitions
-    exceed cluster CPUs — the packed groupby path is always safe and an
-    order of magnitude cheaper per row.
+    primitive: ``Dataset.join`` in the pinned Ray release (2.49.2,
+    re-confirmed broken 2026-08-18; re-test on upgrade) mis-handles
+    empty partitions, and its aggregator actors deadlock when
+    partitions exceed cluster CPUs — the packed groupby path is always
+    safe and an order of magnitude cheaper per row.
     """
     from kmcp_ray.exchange import Exchange, hash_part_fn
 

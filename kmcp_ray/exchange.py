@@ -88,8 +88,24 @@ def hash_part_fn(*cols, P: int, salt: int = 0):
     return part_of
 
 
+def u64_part_fn(*cols, P: int):
+    """Partition assignment from the mixed hash of u64/int64 columns."""
+    from kmcp_ray import hashing
+
+    def part_of(batch: pa.Table) -> np.ndarray:
+        h = None
+        for c in cols:
+            v = batch.column(c).to_numpy(zero_copy_only=False)
+            v = v.view(np.uint64) if v.dtype != np.uint64 else v
+            hc = hashing.splitmix64(v)
+            h = hc if h is None else hashing.splitmix64(h + hc * np.uint64(3))
+        return (h % np.uint64(P)).astype(np.int64)
+
+    return part_of
+
+
 def dedup_pairs(pairs_ds, P: int, typ=pa.string()):
-    """Globally deduplicate (id_a, id_b) pairs (string or int64 ids)
+    """Globally deduplicate (id_a, id_b) pairs (string or u64/int64 ids)
     via one packed exchange + per-partition drop_duplicates."""
     import pandas as pd
 
@@ -97,15 +113,7 @@ def dedup_pairs(pairs_ds, P: int, typ=pa.string()):
     if typ == pa.string():
         part_fn = hash_part_fn("id_a", "id_b", P=P)
     else:
-        from kmcp_ray import hashing
-
-        def part_fn(batch: pa.Table) -> np.ndarray:
-            a = batch.column("id_a").to_numpy(zero_copy_only=False) \
-                .astype(np.int64).view(np.uint64)
-            b = batch.column("id_b").to_numpy(zero_copy_only=False) \
-                .astype(np.int64).view(np.uint64)
-            h = hashing.splitmix64(hashing.splitmix64(a) + b * np.uint64(3))
-            return (h % np.uint64(P)).astype(np.int64)
+        part_fn = u64_part_fn("id_a", "id_b", P=P)
     packed = pairs_ds.map_batches(ex.make_pack_fn(part_fn),
                                   batch_format="pyarrow",
                                   zero_copy_batch=True)
@@ -197,6 +205,148 @@ def join_lookup(probe_ds, key_col: str, kv_ds, kv_key: str, kv_val: str,
         out = out.map_batches(lambda t: t.drop_columns(["_c"]),
                               batch_format="pyarrow", zero_copy_batch=True)
     return out
+
+
+def expand_ident_pairs(pairs_ds, members_ds, P: int, *,
+                       with_score: bool = False, via_value: str = None):
+    """Ident-class pairs → member-level id pairs (full cross product).
+
+    ``pairs_ds``: (ident_a u64, ident_b u64[, score f64]) — distinct
+    class pairs.  ``members_ds``: (ident u64, id str) — the class
+    membership table (see buckets.verify_partition's ``member_*`` rows;
+    pre-filter it to the idents that actually occur in ``pairs_ds`` when
+    that set is small).  Two packed u64-keyed exchanges; each step
+    gathers every member of the keyed side per pair (one-to-many,
+    vectorized searchsorted + segment gather).  Output pairs are
+    canonicalized to ``id_a < id_b``; ``via_value``/``score`` columns
+    are attached when requested.
+
+    This is the class→member expansion that makes the ident-compressed
+    band shuffle (bands.py r3) invisible downstream: verified class
+    pairs come out as exactly the member pairs the id-level pipeline
+    used to emit (members of a class share their whole key vector, so
+    every member pair did co-occur in the same buckets).
+    """
+    from kmcp_ray.bands import _segment_gather
+
+    def step(rows_ds, key_col, carry_str: bool, carry_score: bool):
+        """Join ``members_ds`` on ``rows_ds[key_col]``: one output row
+        per (probe row, member of key's class)."""
+        schema = [("rt", pa.int8()), ("k", pa.uint64()),
+                  ("ob", pa.uint64()), ("sc", pa.float64()),
+                  ("cid", pa.string()), ("mid", pa.string())]
+        ex = Exchange(schema, P)
+        pack = ex.make_pack_fn(u64_part_fn("k", P=P))
+
+        def tag_members(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            return pa.table({
+                "rt": pa.array(np.zeros(n, np.int8), pa.int8()),
+                "k": batch.column("ident").cast(pa.uint64()),
+                "ob": pa.array(np.zeros(n, np.uint64), pa.uint64()),
+                "sc": pa.array(np.zeros(n), pa.float64()),
+                "cid": pa.nulls(n, pa.string()),
+                "mid": batch.column("id"),
+            })
+
+        def tag_probe(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            return pa.table({
+                "rt": pa.array(np.ones(n, np.int8), pa.int8()),
+                "k": batch.column(key_col).cast(pa.uint64()),
+                "ob": batch.column("ob").cast(pa.uint64())
+                if "ob" in batch.column_names
+                else pa.array(np.zeros(n, np.uint64), pa.uint64()),
+                "sc": batch.column("sc") if carry_score
+                else pa.array(np.zeros(n), pa.float64()),
+                "cid": batch.column("cid") if carry_str
+                else pa.nulls(n, pa.string()),
+                "mid": pa.nulls(n, pa.string()),
+            })
+
+        def join_group(group: pa.Table) -> pa.Table:
+            u = ex.unpack(group)
+            rt = u["rt"].to_numpy(zero_copy_only=False)
+            k = u["k"].to_numpy(zero_copy_only=False)
+            is_mem = rt == 0
+            probe = np.nonzero(~is_mem)[0]
+            empty = {"k": pa.array([], pa.uint64()),
+                     "ob": pa.array([], pa.uint64()),
+                     "sc": pa.array([], pa.float64()),
+                     "cid": pa.array([], pa.string()),
+                     "mid": pa.array([], pa.string())}
+            if len(probe) == 0:
+                return pa.table(empty)
+            mk = k[is_mem]
+            mids = u["mid"].to_numpy(zero_copy_only=False)[is_mem]
+            osort = np.argsort(mk, kind="stable")
+            mk, mids = mk[osort], mids[osort]
+            pk = k[probe]
+            lo = np.searchsorted(mk, pk, side="left")
+            hi = np.searchsorted(mk, pk, side="right")
+            counts = hi - lo
+            gather = _segment_gather(lo, counts)     # member positions
+            rep = np.repeat(probe, counts)           # probe row per output
+            return pa.table({
+                "k": pa.array(k[rep], pa.uint64()),
+                "ob": pa.array(u["ob"].to_numpy(zero_copy_only=False)[rep],
+                               pa.uint64()),
+                "sc": pa.array(u["sc"].to_numpy(zero_copy_only=False)[rep],
+                               pa.float64()),
+                "cid": pa.array(u["cid"].to_numpy(zero_copy_only=False)[rep],
+                                pa.string()),
+                "mid": pa.array(mids[gather], pa.string()),
+            })
+
+        mem_packed = members_ds.map_batches(
+            tag_members, batch_format="pyarrow", zero_copy_batch=True) \
+            .map_batches(pack, batch_format="pyarrow", zero_copy_batch=True)
+        probe_packed = rows_ds.map_batches(
+            tag_probe, batch_format="pyarrow", zero_copy_batch=True) \
+            .map_batches(pack, batch_format="pyarrow", zero_copy_batch=True)
+        return probe_packed.union(mem_packed).groupby("part").map_groups(
+            join_group, batch_format="pyarrow")
+
+    # step 1: expand side a — probes keyed by ident_a carrying ident_b
+    def prep1(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({
+            "k": batch.column("ident_a").cast(pa.uint64()),
+            "ob": batch.column("ident_b").cast(pa.uint64()),
+            "sc": batch.column("score") if with_score
+            else pa.array(np.zeros(n), pa.float64()),
+            "cid": pa.nulls(n, pa.string()),
+        })
+
+    s1 = step(pairs_ds.map_batches(prep1, batch_format="pyarrow",
+                                   zero_copy_batch=True),
+              "k", carry_str=False, carry_score=True)
+    # step 1 output rows: (k=ident_a, ob=ident_b, sc, mid=id_a) —
+    # re-key on ident_b, carry id_a in cid
+    s1 = s1.map_batches(
+        lambda t: pa.table({"k": t["ob"], "ob": t["k"], "sc": t["sc"],
+                            "cid": t["mid"]}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    s2 = step(s1, "k", carry_str=True, carry_score=True)
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        a = batch.column("cid").to_numpy(zero_copy_only=False)
+        b = batch.column("mid").to_numpy(zero_copy_only=False)
+        aS = np.asarray(a, dtype="S")
+        bS = np.asarray(b, dtype="S")
+        w = max(aS.dtype.itemsize, bS.dtype.itemsize, 1)
+        swap = aS.astype(f"S{w}") > bS.astype(f"S{w}")
+        out = {"id_a": pa.array(np.where(swap, b, a), pa.string()),
+               "id_b": pa.array(np.where(swap, a, b), pa.string())}
+        if via_value is not None:
+            out["via"] = pa.array(
+                np.full(len(a), via_value, dtype=object), pa.string())
+        if with_score:
+            out["score"] = batch.column("sc")
+        return pa.table(out)
+
+    return s2.map_batches(finalize, batch_format="pyarrow",
+                          zero_copy_batch=True)
 
 
 def count_pairs(pairs_ds, P: int, col_a: str, col_b: str,

@@ -169,12 +169,17 @@ def edges_stage(sig_ds, cfg: DedupConfig, enable=ALL_GENERATORS,
                 vsk_provider=None):
     """Signatures → verified candidate-pair edges.
 
-    Three shuffles, all over small rows:
+    Shuffles, all over small rows — and the one WIDE exchange carries
+    u64 ident-class entries, not id strings (bands.py r3):
       1. packed band rows → ``groupby(part)`` → bucket processing
-         (exact/phash verified in place; sk pairs emitted as candidates)
-      2. global candidate dedup: ``groupby(id_a, id_b).count`` — a pair
-         colliding in many bands/partitions is verified exactly once
-      3. two hash joins attach the bottom-k sketches from the signature
+         (stars + membership emitted at designated buckets; phash class
+         pairs verified in place; sk class pairs emitted as ``cand``)
+      2. global class-pair dedup over u64 idents — a pair colliding in
+         many bands/partitions is verified exactly once
+      3. class→member expansion joins against the membership rows
+         (pair-volume-bounded: membership is semi-filtered to the
+         idents that occur in pairs)
+      4. two hash joins attach the bottom-k sketches from the signature
          table (kmcp: queries routed to the index that holds sketches)
 
     ``vsk_provider(need_ids | None) -> Dataset[(image_id, vsk)]``: when
@@ -190,10 +195,11 @@ def edges_stage(sig_ds, cfg: DedupConfig, enable=ALL_GENERATORS,
                                  batch_size=4096, zero_copy_batch=True)
     verifier = buckets_mod.make_bucket_verifier(cfg)
     raw = band_ds.groupby("part").map_groups(verifier, batch_format="pyarrow")
-    raw = raw.materialize()          # small: pairs + star edges only
+    raw = raw.materialize()          # small: pairs, stars + membership rows
 
     # hash shuffle (when the caller enabled it, see perf.py) is proven
-    # for the one wide exchange above — but this Ray release's
+    # for the one wide exchange above — but the pinned Ray release's
+    # (2.49.2, re-confirmed broken 2026-08-18; re-test on upgrade)
     # aggregator crashes on the schema-less empty bundles that
     # union-fed exchanges downstream can produce (ArrowInvalid: no
     # FieldRef 'part' in empty schema).  Datasets capture the shuffle
@@ -215,25 +221,89 @@ def edges_stage(sig_ds, cfg: DedupConfig, enable=ALL_GENERATORS,
         finally:
             _ctx.shuffle_strategy = _SS.HASH_SHUFFLE
 
+    FINAL_COLS = ["id_a", "id_b", "via", "score"]
+    _STAR_VIAS = pa.array(["exact", "minhash", "phash"])
     verified = raw.map_batches(
-        lambda t: t.filter(pc.not_equal(t["via"], "cand")),
+        lambda t: t.filter(pc.is_in(t["via"], value_set=_STAR_VIAS))
+                   .select(FINAL_COLS),
         batch_format="pyarrow", zero_copy_batch=True)
+
+    def _members(via_name):
+        def fn(t: pa.Table) -> pa.Table:
+            tt = t.filter(pc.equal(t["via"], via_name))
+            return pa.table({"ident": tt["ident_a"], "id": tt["id_a"]})
+        return raw.map_batches(fn, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+    def _filter_members(members_ds, pairs_mat):
+        """Semi-filter the (ident, id) membership to idents that occur
+        in the materialized class-pair table — keeps the expansion
+        exchange pair-volume-bounded.  Falls back to the unfiltered
+        table (still Θ(rows), 17 B each — a legal streaming exchange)
+        when the ident set would not fit on the driver."""
+        n_cls = pairs_mat.count()            # materialized: metadata only
+        if 2 * n_cls > cfg.broadcast_verify_rows:
+            return members_ds
+        chunks = [np.empty(0, np.uint64)]
+        for b in pairs_mat.iter_batches(batch_size=1 << 18,
+                                        batch_format="pyarrow"):
+            chunks.append(b.column("ident_a").to_numpy(zero_copy_only=False))
+            chunks.append(b.column("ident_b").to_numpy(zero_copy_only=False))
+        need = np.unique(np.concatenate(chunks))
+        need_ref = ray.put(need)
+
+        def filt(t: pa.Table) -> pa.Table:
+            keys = ray.get(need_ref)
+            v = t.column("ident").to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(keys, v)
+            pos_c = np.minimum(pos, max(len(keys) - 1, 0))
+            hit = (pos < len(keys)) & (keys[pos_c] == v) \
+                if len(keys) else np.zeros(len(v), bool)
+            return t.filter(pa.array(hit))
+
+        return members_ds.map_batches(filt, batch_format="pyarrow",
+                                      zero_copy_batch=True)
 
     cand = raw.map_batches(
         lambda t: t.filter(pc.equal(t["via"], "cand"))
-                   .select(["id_a", "id_b"]),
+                   .select(["ident_a", "ident_b"]),
         batch_format="pyarrow", zero_copy_batch=True)
     # no cand.count() empty-check: an empty candidate stream flows
-    # through dedup/attach/verify as empty tables — skipping the
+    # through dedup/expand/attach/verify as empty tables — skipping the
     # serial count barrier (scaling-efficiency lever, r1 verdict)
 
-    from kmcp_ray.exchange import dedup_pairs
-    # materialize: pairs are tiny (candidate pairs only), and fusing
-    # this groupby's Sort into the downstream union DAG makes this Ray
-    # release's streaming executor schedule the whole edge stage ~6x
-    # slower (measured 102 s vs 16 s at 800k rows) — the barrier is
-    # cheaper than the fused plan
-    pairs = dedup_pairs(cand, cfg.num_partitions).materialize()
+    from kmcp_ray.exchange import dedup_pairs, expand_ident_pairs
+    # materialize: class pairs are tiny, and fusing this groupby's Sort
+    # into the downstream union DAG makes this Ray release's streaming
+    # executor schedule the whole edge stage ~6x slower (measured 102 s
+    # vs 16 s at 800k rows) — the barrier is cheaper than the fused plan
+    pairs_cls = dedup_pairs(
+        cand.map_batches(lambda t: pa.table({"id_a": t["ident_a"],
+                                             "id_b": t["ident_b"]}),
+                         batch_format="pyarrow", zero_copy_batch=True),
+        cfg.num_partitions, typ=pa.uint64()) \
+        .map_batches(lambda t: pa.table({"ident_a": t["id_a"],
+                                         "ident_b": t["id_b"]}),
+                     batch_format="pyarrow", zero_copy_batch=True) \
+        .materialize()
+
+    # class pairs → member-level id pairs (exactly the pairs the
+    # id-level shuffle used to emit: class members share their whole
+    # key vector, so every member pair did co-occur in the buckets)
+    pairs = expand_ident_pairs(
+        pairs_cls, _filter_members(_members("member_sk"), pairs_cls),
+        cfg.num_partitions).materialize()
+
+    # verified-in-bucket pHash class pairs → member-level phash edges
+    phc = raw.map_batches(
+        lambda t: t.filter(pc.equal(t["via"], "phashc"))
+                   .select(["ident_a", "ident_b", "score"]),
+        batch_format="pyarrow", zero_copy_batch=True).materialize()
+    ph_edges = expand_ident_pairs(
+        phc, _filter_members(_members("member_ph"), phc),
+        cfg.num_partitions, with_score=True, via_value="phash") \
+        .map_batches(lambda t: t.select(FINAL_COLS),
+                     batch_format="pyarrow", zero_copy_batch=True)
 
     # Two verification modes, mirroring kmcp's load-whole vs mmap index
     # modes (reference: kmcp/cmd/search.go:66-83).  The switch keys on
@@ -301,7 +371,7 @@ def edges_stage(sig_ds, cfg: DedupConfig, enable=ALL_GENERATORS,
     verified_pairs = attached.map_batches(pair_verifier, batch_format="pyarrow",
                                           batch_size=8192,
                                           zero_copy_batch=True)
-    return verified.union(verified_pairs)
+    return verified.union(verified_pairs).union(ph_edges)
 
 
 def make_assign_fn(table_ref, id_col: str = "image_id"):

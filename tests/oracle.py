@@ -201,7 +201,10 @@ def oracle_cluster(table, cfg: DedupConfig = DedupConfig()):
                 reps.append(root)
                 for r in g[1:]:
                     edges.add((ids[root], ids[r], via))
-            rows = sorted(reps, key=lambda r: ids[r])[:cfg.max_bucket]
+            # ident-ascending truncation — the engine's deterministic
+            # contract (buckets.py oversized path works on u64 ident
+            # classes; id strings are not present in those buckets)
+            rows = sorted(reps, key=lambda r: ident[r])[:cfg.max_bucket]
         for x in range(len(rows)):
             for y in range(x + 1, len(rows)):
                 if kind == KIND_PHASH:
