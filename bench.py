@@ -37,10 +37,16 @@ def run_bench() -> dict:
 
     if not ray.is_initialized():
         # keep the worker pool stable: this VM's first-touch page faults
-        # make fresh worker processes expensive, so never reap idle ones
+        # make fresh worker processes expensive, so never reap idle ones.
+        # GRAFT_OBJ_GB bounds the object store so CONCURRENT bench
+        # processes (the fault-tax attribution experiment) don't overrun
+        # /dev/shm + heap with two default-sized stores.
+        obj_gb = os.environ.get("GRAFT_OBJ_GB")
+        kw = {"object_store_memory": int(float(obj_gb) * (1 << 30))} \
+            if obj_gb else {}
         ray.init(address="local", num_cpus=NCPU, include_dashboard=False,
                  logging_level="ERROR",
-                 _system_config={"kill_idle_workers_interval_ms": 0})
+                 _system_config={"kill_idle_workers_interval_ms": 0}, **kw)
     ctx = ray.data.DataContext.get_current()
     ctx.enable_progress_bars = False
     from kmcp_ray.perf import tune_data_context

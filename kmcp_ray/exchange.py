@@ -207,6 +207,87 @@ def join_lookup(probe_ds, key_col: str, kv_ds, kv_key: str, kv_val: str,
     return out
 
 
+def expand_ident_pairs_broadcast(pairs_ds, members_mat, *,
+                                 with_score: bool = False,
+                                 via_value: str = None):
+    """Broadcast arm of the class→member expansion: the (already
+    ident-filtered, small, materialized) membership table is collected
+    once into sorted numpy arrays and ``ray.put``; the expansion is then
+    ONE zero-shuffle ``map_batches`` over the class pairs — each batch
+    does two searchsorted lookups and a vectorized cross-product gather.
+
+    The exchange arm (``expand_ident_pairs``) is the scale fallback:
+    four union-fed groupby exchanges cost ~40 s of fixed scheduling
+    latency on this Ray release even at 10^5-row volumes (measured at
+    800k corpus rows), so the broadcast arm is the default whenever the
+    filtered membership fits the broadcast gate — the same load-whole
+    vs mmap switch the verify stage already applies
+    (kmcp/cmd/search.go:66-83, semantics re-derived).
+    """
+    import ray
+
+    idn_chunks, id_chunks = [np.empty(0, np.uint64)], [np.empty(0, object)]
+    for b in members_mat.iter_batches(batch_size=1 << 18,
+                                      batch_format="pyarrow"):
+        idn_chunks.append(b.column("ident").to_numpy(zero_copy_only=False)
+                          .astype(np.uint64))
+        id_chunks.append(b.column("id").to_numpy(zero_copy_only=False))
+    idn = np.concatenate(idn_chunks)
+    ids = np.concatenate(id_chunks)
+    o = np.argsort(idn, kind="stable")
+    idn, ids = idn[o], ids[o]
+    first = np.concatenate(([True], idn[1:] != idn[:-1])) \
+        if len(idn) else np.empty(0, bool)
+    uniq = idn[first]
+    starts = np.nonzero(first)[0]
+    counts = np.diff(np.append(starts, len(idn)))
+    table_ref = ray.put((uniq, starts.astype(np.int64),
+                         counts.astype(np.int64), ids))
+
+    def expand(batch: pa.Table) -> pa.Table:
+        uniq_l, starts_l, counts_l, ids_l = ray.get(table_ref)
+        ia = batch.column("ident_a").to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        ib = batch.column("ident_b").to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        n = len(ia)
+
+        def lookup(v):
+            pos = np.searchsorted(uniq_l, v)
+            pos_c = np.minimum(pos, max(len(uniq_l) - 1, 0))
+            found = (pos < len(uniq_l)) & (uniq_l[pos_c] == v) \
+                if len(uniq_l) else np.zeros(len(v), bool)
+            return (np.where(found, starts_l[pos_c], 0),
+                    np.where(found, counts_l[pos_c], 0))
+
+        sa, ca = lookup(ia)
+        sb, cb = lookup(ib)
+        tot = ca * cb
+        T = int(tot.sum())
+        cum = np.concatenate(([0], np.cumsum(tot)))
+        pair_of = np.repeat(np.arange(n), tot)
+        local = np.arange(T) - cum[pair_of]
+        cb_p = cb[pair_of]
+        a_ids = ids_l[sa[pair_of] + local // cb_p]
+        b_ids = ids_l[sb[pair_of] + local % cb_p]
+        aS = np.asarray(a_ids, dtype="S")
+        bS = np.asarray(b_ids, dtype="S")
+        w = max(aS.dtype.itemsize, bS.dtype.itemsize, 1)
+        swap = aS.astype(f"S{w}") > bS.astype(f"S{w}")
+        out = {"id_a": pa.array(np.where(swap, b_ids, a_ids), pa.string()),
+               "id_b": pa.array(np.where(swap, a_ids, b_ids), pa.string())}
+        if via_value is not None:
+            out["via"] = pa.array(np.full(T, via_value, dtype=object),
+                                  pa.string())
+        if with_score:
+            sc = batch.column("score").to_numpy(zero_copy_only=False)
+            out["score"] = pa.array(sc[pair_of], pa.float64())
+        return pa.table(out)
+
+    return pairs_ds.map_batches(expand, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+
 def expand_ident_pairs(pairs_ds, members_ds, P: int, *,
                        with_score: bool = False, via_value: str = None):
     """Ident-class pairs → member-level id pairs (full cross product).

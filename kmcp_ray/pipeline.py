@@ -238,12 +238,7 @@ def edges_stage(sig_ds, cfg: DedupConfig, enable=ALL_GENERATORS,
     def _filter_members(members_ds, pairs_mat):
         """Semi-filter the (ident, id) membership to idents that occur
         in the materialized class-pair table — keeps the expansion
-        exchange pair-volume-bounded.  Falls back to the unfiltered
-        table (still Θ(rows), 17 B each — a legal streaming exchange)
-        when the ident set would not fit on the driver."""
-        n_cls = pairs_mat.count()            # materialized: metadata only
-        if 2 * n_cls > cfg.broadcast_verify_rows:
-            return members_ds
+        pair-volume-bounded."""
         chunks = [np.empty(0, np.uint64)]
         for b in pairs_mat.iter_batches(batch_size=1 << 18,
                                         batch_format="pyarrow"):
@@ -272,7 +267,8 @@ def edges_stage(sig_ds, cfg: DedupConfig, enable=ALL_GENERATORS,
     # through dedup/expand/attach/verify as empty tables — skipping the
     # serial count barrier (scaling-efficiency lever, r1 verdict)
 
-    from kmcp_ray.exchange import dedup_pairs, expand_ident_pairs
+    from kmcp_ray.exchange import (dedup_pairs, expand_ident_pairs,
+                                   expand_ident_pairs_broadcast)
     # materialize: class pairs are tiny, and fusing this groupby's Sort
     # into the downstream union DAG makes this Ray release's streaming
     # executor schedule the whole edge stage ~6x slower (measured 102 s
@@ -287,21 +283,34 @@ def edges_stage(sig_ds, cfg: DedupConfig, enable=ALL_GENERATORS,
                      batch_format="pyarrow", zero_copy_batch=True) \
         .materialize()
 
+    def _expand(pairs_mat, members_via, **kw):
+        """Class pairs → member pairs, broadcast arm when the filtered
+        membership fits the verify gate, exchange arm at scale.  Both
+        arms gate on MEASURED row counts (class-pair count first —
+        cheap metadata — then the filtered membership)."""
+        n_cls = pairs_mat.count()        # materialized: metadata only
+        if 2 * n_cls > cfg.broadcast_verify_rows:
+            return expand_ident_pairs(
+                pairs_mat, _members(members_via), cfg.num_partitions, **kw)
+        fmem = _filter_members(_members(members_via), pairs_mat) \
+            .materialize()               # small by the gate above
+        if fmem.count() > cfg.broadcast_verify_rows:
+            return expand_ident_pairs(pairs_mat, fmem,
+                                      cfg.num_partitions, **kw)
+        return expand_ident_pairs_broadcast(pairs_mat, fmem, **kw)
+
     # class pairs → member-level id pairs (exactly the pairs the
     # id-level shuffle used to emit: class members share their whole
     # key vector, so every member pair did co-occur in the buckets)
-    pairs = expand_ident_pairs(
-        pairs_cls, _filter_members(_members("member_sk"), pairs_cls),
-        cfg.num_partitions).materialize()
+    pairs = _expand(pairs_cls, "member_sk").materialize()
 
     # verified-in-bucket pHash class pairs → member-level phash edges
     phc = raw.map_batches(
         lambda t: t.filter(pc.equal(t["via"], "phashc"))
                    .select(["ident_a", "ident_b", "score"]),
         batch_format="pyarrow", zero_copy_batch=True).materialize()
-    ph_edges = expand_ident_pairs(
-        phc, _filter_members(_members("member_ph"), phc),
-        cfg.num_partitions, with_score=True, via_value="phash") \
+    ph_edges = _expand(phc, "member_ph", with_score=True,
+                       via_value="phash") \
         .map_batches(lambda t: t.select(FINAL_COLS),
                      batch_format="pyarrow", zero_copy_batch=True)
 
