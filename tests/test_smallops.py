@@ -189,3 +189,43 @@ def test_assign_best_target(ray_session):
     got = dict(zip(out["query"], out["target"]))
     assert got == {"q1": "r1", "q2": "r2"}
     assert len(out) == 2                      # exactly one row per query
+
+
+def test_expand_ident_pairs_arms_agree(ray_session):
+    """Broadcast and exchange arms of the class→member expansion emit
+    the SAME member-pair set (the gate in pipeline._expand switches on
+    size only, never semantics)."""
+    import ray.data
+    from kmcp_ray.exchange import (expand_ident_pairs,
+                                   expand_ident_pairs_broadcast)
+
+    rng = np.random.default_rng(7)
+    idents = np.arange(1, 9, dtype=np.uint64)
+    # classes of size 1..4, string ids with mixed lexicographic order
+    mem_rows = [(int(i), f"id{int(i)}_{j:02d}")
+                for i in idents for j in range(int(i) % 4 + 1)]
+    members = ray.data.from_arrow(pa.table({
+        "ident": pa.array([r[0] for r in mem_rows], pa.uint64()),
+        "id": pa.array([r[1] for r in mem_rows], pa.string())}))
+    pair_idx = [(1, 2), (3, 4), (5, 8), (2, 7)]
+    pairs = ray.data.from_arrow(pa.table({
+        "ident_a": pa.array([a for a, _ in pair_idx], pa.uint64()),
+        "ident_b": pa.array([b for _, b in pair_idx], pa.uint64()),
+        "score": pa.array(rng.uniform(size=len(pair_idx)), pa.float64()),
+    })).materialize()
+
+    def norm(ds):
+        df = ds.to_pandas().sort_values(
+            ["id_a", "id_b"]).reset_index(drop=True)
+        return list(map(tuple, df[["id_a", "id_b", "via"]].values)), \
+            np.asarray(df["score"])
+
+    bc_rows, bc_sc = norm(expand_ident_pairs_broadcast(
+        pairs, members.materialize(), with_score=True, via_value="phash"))
+    ex_rows, ex_sc = norm(expand_ident_pairs(
+        pairs, members, 8, with_score=True, via_value="phash"))
+    assert bc_rows == ex_rows and len(bc_rows) > 0
+    np.testing.assert_allclose(bc_sc, ex_sc)
+    # expansion size: sum over pairs of |A| x |B|
+    sizes = {int(i): int(i) % 4 + 1 for i in idents}
+    assert len(bc_rows) == sum(sizes[a] * sizes[b] for a, b in pair_idx)
