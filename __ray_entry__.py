@@ -161,6 +161,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = _read(sf, "embeddings", columns=["vec_id", "embedding"])
         return ann.topk_cosine(ds, (ids[mask], mat[mask]), k=5)
 
+    def q_ann_ivf_topk(sf):
+        """IVF scale path, driven end-to-end at nprobe == nlist where
+        its output is provably exact (every list probed) — the
+        assign/probe/partial-topk plumbing is what the oracle checks;
+        recall at nprobe < nlist is measured in tests/test_ann.py."""
+        import pyarrow.parquet as pq
+        emb = pq.read_table(f"{sf}/embeddings.parquet",
+                            columns=["vec_id", "embedding"])
+        ids = emb.column("vec_id").to_numpy().astype(np.int64)
+        mask = (ids >= 8) & (ids < 16)
+        mat = np.stack([np.asarray(v, dtype=np.float64)
+                        for v in emb.column("embedding").to_pylist()])
+        ds = _read(sf, "embeddings", columns=["vec_id", "embedding"])
+        return ann.ivf_topk(ds, (ids[mask], mat[mask]), k=5,
+                            nlist=16, nprobe=16)
+
     def q_embedding_pairs(sf):
         ds = _read(sf, "embeddings", columns=["vec_id", "embedding"])
         return ann.cosine_pairs(ds, 0.4).select_columns(["id_a", "id_b"])
@@ -595,6 +611,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_docs_by_len": q_top_docs,
         "cov2simi": q_cov2simi,
         "ann_topk": q_ann_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_pairs": q_embedding_pairs,
         "minhash_dedup_docs": q_minhash_dedup,
         "simhash_dedup_docs": q_simhash_dedup,
@@ -881,6 +898,18 @@ def oracle_sql() -> dict[str, str]:
                                     DESC, e.vec_id ASC) AS rank
                 FROM embeddings q, embeddings e
                 WHERE q.vec_id < 8 AND e.vec_id <> q.vec_id
+            ) WHERE rank <= 5
+        """,
+        "ann_ivf_topk": """
+            SELECT query_id, neighbor_id, rank FROM (
+                SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY list_cosine_similarity(q.embedding, e.embedding)
+                                    DESC, e.vec_id ASC) AS rank
+                FROM embeddings q, embeddings e
+                WHERE q.vec_id >= 8 AND q.vec_id < 16
+                  AND e.vec_id <> q.vec_id
             ) WHERE rank <= 5
         """,
         "embedding_pairs": """

@@ -11,6 +11,11 @@
   scale path: sign-sketch → Hamming-chunk buckets → exact verify within
   buckets.  Approximate (recall < 1); measured in tests against the
   exact variant.
+- :func:`ivf_topk` / :func:`train_ivf_centroids` / :func:`assign_lists`
+  — IVF (inverted-file) top-k: spherical k-means on a bounded sample,
+  broadcast centroids, per-batch assign + probe-mask pruning.  Exact at
+  nprobe == nlist (the driver-oracle identity); recall at lower nprobe
+  measured in tests.
 """
 
 from __future__ import annotations
@@ -38,6 +43,25 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / norms
 
 
+def _tie_exact_topk(cand_ids: np.ndarray, sims: np.ndarray, k: int):
+    """Batch-local partial top-k that is safe under the global
+    (-sim, neighbor_id) tie-break: select the k best, widened to ALL
+    candidates tied with the k-th similarity, then apply the
+    deterministic lexsort cut — otherwise an equal-sim neighbor with a
+    smaller id can be dropped batch-locally before the global
+    tie-break runs.  Returns (neighbor_ids, sims), each len <= k."""
+    n = len(cand_ids)
+    if n == 0:
+        return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
+    top = min(k, n)
+    part = np.argpartition(-sims, top - 1)[:top]
+    kth = sims[part].min()
+    tied = np.nonzero(sims >= kth)[0]
+    nb_ids = cand_ids[tied]
+    order = np.lexsort((nb_ids, -sims[tied]))[:top]
+    return nb_ids[order], sims[tied][order]
+
+
 def topk_cosine(ds, queries: "tuple[np.ndarray, np.ndarray]", k: int = 5,
                 id_col: str = "vec_id", emb_col: str = "embedding"):
     """(query_id, neighbor_id, rank) — top-k cosine neighbors of each
@@ -55,25 +79,14 @@ def topk_cosine(ds, queries: "tuple[np.ndarray, np.ndarray]", k: int = 5,
         sims = qm @ m.T                                  # (q, batch)
         out_q, out_n, out_s = [], [], []
         for r in range(len(qi)):
-            s = sims[r]
             mask = ids != qi[r]
             cand_idx = np.nonzero(mask)[0]
-            if len(cand_idx) == 0:
+            nb, sc = _tie_exact_topk(ids[cand_idx], sims[r][cand_idx], k)
+            if len(nb) == 0:
                 continue
-            sc = s[cand_idx]
-            top = min(k, len(cand_idx))
-            # partial selection, widened to ALL candidates tied with the
-            # k-th similarity, then the deterministic (-sim, id) cut —
-            # otherwise an equal-sim neighbor with smaller id can be
-            # dropped batch-locally before the global tie-break runs
-            part = np.argpartition(-sc, top - 1)[:top]
-            kth = sc[part].min()
-            tied = np.nonzero(sc >= kth)[0]
-            nb_ids = ids[cand_idx[tied]]
-            order2 = np.lexsort((nb_ids, -sc[tied]))[:top]
-            out_q.append(np.full(top, qi[r], dtype=np.int64))
-            out_n.append(nb_ids[order2])
-            out_s.append(sc[tied][order2])
+            out_q.append(np.full(len(nb), qi[r], dtype=np.int64))
+            out_n.append(nb)
+            out_s.append(sc)
         if not out_q:
             return pa.table({"query_id": pa.array([], pa.int64()),
                              "neighbor_id": pa.array([], pa.int64()),
@@ -294,3 +307,139 @@ def _chunk_keys(sh: np.ndarray, chunks: int) -> np.ndarray:
         out[:, c] = hashing.splitmix64(((ph >> np.uint64(c * width)) & mask)
                                        + consts[c])
     return out
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) approximate top-k — the scale path for similarity
+# search.  Brute-force topk_cosine scores every row against every query
+# (O(rows x queries) FLOPs); IVF trains nlist spherical-k-means
+# centroids on a bounded sample, assigns each row to its nearest
+# centroid (one small matmul per batch), and scores a row against a
+# query only when the row's list is among the query's nprobe closest
+# centroids.  At nprobe == nlist the result is exactly topk_cosine
+# (every list probed) — that identity is the correctness gate; recall
+# at nprobe < nlist is measured in tests.
+#
+# Scale shape: centroids + probe masks are broadcast once (ray.put,
+# nlist x dim floats); the dataset streams — no shuffle, no
+# materialization.  For a persisted index, write the dataset
+# partitioned by list_id (assign_lists) so a probe reads only
+# nprobe/nlist of the files; the streaming path below prunes FLOPs
+# per batch, which is the same economics without the index build.
+# ---------------------------------------------------------------------------
+
+def train_ivf_centroids(ds, nlist: int = 16, emb_col: str = "embedding",
+                        sample_rows: int = 65536, iters: int = 10,
+                        seed: int = _HYPERPLANE_SEED) -> np.ndarray:
+    """Spherical k-means centroids (nlist, dim) from a bounded,
+    deterministic sample (first ``sample_rows`` rows in dataset order —
+    <= ~32 MB at 64k x 64 float64, never the full corpus).
+
+    Deterministic: seeded init (distinct sample rows), Lloyd iterations
+    with cosine assignment, empty clusters reseeded to the currently
+    worst-served point."""
+    sample = ds.select_columns([emb_col]).limit(sample_rows)
+    tables = [ray.get(r) for r in sample.to_arrow_refs()]
+    full = pa.concat_tables([t for t in tables if t.num_rows] or tables)
+    m = _normalize(_emb_matrix(full, emb_col))
+    n = m.shape[0]
+    if n == 0:
+        raise ValueError("train_ivf_centroids: empty sample")
+    nlist = min(nlist, n)
+    rng = np.random.default_rng(seed)
+    cent = m[rng.choice(n, size=nlist, replace=False)].copy()
+    for _ in range(iters):
+        sims = m @ cent.T                          # (n, nlist)
+        assign = np.argmax(sims, axis=1)
+        best = sims[np.arange(n), assign]
+        for c in range(nlist):
+            members = m[assign == c]
+            if len(members) == 0:
+                # reseed to the point farthest from its centroid
+                worst = int(np.argmin(best))
+                cent[c] = m[worst]
+                best[worst] = 1.0
+                continue
+            v = members.sum(axis=0)
+            norm = np.linalg.norm(v)
+            cent[c] = v / norm if norm > 0 else cent[c]
+    return cent
+
+
+def assign_lists(ds, centroids: np.ndarray, id_col: str = "vec_id",
+                 emb_col: str = "embedding"):
+    """Add the IVF ``list_id`` (int32 nearest-centroid) column — the
+    partition key to write a persisted IVF index under
+    (``write_parquet(partition_cols=["list_id"])``), so a search reads
+    only the probed lists' files."""
+    cent = ray.put(_normalize(np.asarray(centroids, dtype=np.float64)))
+
+    def tag(batch: pa.Table) -> pa.Table:
+        c = ray.get(cent)
+        m = _normalize(_emb_matrix(batch, emb_col))
+        a = np.argmax(m @ c.T, axis=1).astype(np.int32)
+        return batch.append_column("list_id", pa.array(a, pa.int32()))
+
+    return ds.map_batches(tag, batch_format="pyarrow", batch_size=4096,
+                          zero_copy_batch=True)
+
+
+def ivf_topk(ds, queries: "tuple[np.ndarray, np.ndarray]", k: int = 5,
+             nlist: int = 16, nprobe: int = 4, centroids: np.ndarray = None,
+             id_col: str = "vec_id", emb_col: str = "embedding"):
+    """(query_id, neighbor_id, rank) — IVF-pruned cosine top-k.  Same
+    output contract as :func:`topk_cosine` (self-matches excluded,
+    ties broken by neighbor id); exact when nprobe >= nlist."""
+    q_ids, q_mat = queries
+    if centroids is None:
+        centroids = train_ivf_centroids(ds, nlist=nlist, emb_col=emb_col)
+    cent = _normalize(np.asarray(centroids, dtype=np.float64))
+    nlist = cent.shape[0]
+    nprobe = min(nprobe, nlist)
+    qm = _normalize(q_mat.astype(np.float64))
+    # probe mask (q, nlist): True where the list is among the query's
+    # nprobe nearest centroids
+    qc = qm @ cent.T
+    probed = np.argpartition(-qc, nprobe - 1, axis=1)[:, :nprobe]
+    probe_mask = np.zeros((len(q_ids), nlist), dtype=bool)
+    probe_mask[np.arange(len(q_ids))[:, None], probed] = True
+    state = ray.put((q_ids.astype(np.int64), qm, cent, probe_mask))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qi, qmat, c, pmask = ray.get(state)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        m = _normalize(_emb_matrix(batch, emb_col))
+        assign = np.argmax(m @ c.T, axis=1)              # (batch,)
+        out_q, out_n, out_s = [], [], []
+        for r in range(len(qi)):
+            keep = pmask[r][assign] & (ids != qi[r])
+            cand_idx = np.nonzero(keep)[0]
+            if len(cand_idx) == 0:
+                continue
+            sims = qmat[r] @ m[cand_idx].T
+            nb, sc = _tie_exact_topk(ids[cand_idx], sims, k)
+            out_q.append(np.full(len(nb), qi[r], dtype=np.int64))
+            out_n.append(nb)
+            out_s.append(sc)
+        if not out_q:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "neighbor_id": pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
+        return pa.table({"query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                         "neighbor_id": pa.array(np.concatenate(out_n), pa.int64()),
+                         "sim": pa.array(np.concatenate(out_s), pa.float64())})
+
+    def final_topk(group: pa.Table) -> pa.Table:
+        q = group.column("query_id").to_numpy(zero_copy_only=False)
+        nb = group.column("neighbor_id").to_numpy(zero_copy_only=False)
+        s = group.column("sim").to_numpy(zero_copy_only=False)
+        order = np.lexsort((nb, -s))[:k]
+        return pa.table({"query_id": pa.array(q[order], pa.int64()),
+                         "neighbor_id": pa.array(nb[order], pa.int64()),
+                         "rank": pa.array(np.arange(1, len(order) + 1),
+                                          pa.int64())})
+
+    partial_ds = ds.map_batches(partial, batch_format="pyarrow",
+                                batch_size=4096, zero_copy_batch=True)
+    return partial_ds.groupby("query_id").map_groups(final_topk,
+                                                     batch_format="pyarrow")

@@ -102,3 +102,83 @@ def test_lsh_exchange_attach_path_matches_broadcast(ray_session):
     assert got_b[["id_a", "id_b"]].values.tolist() == \
         got_j[["id_a", "id_b"]].values.tolist()
     assert len(got_b) >= 10      # the 10 planted near-dups all found
+
+
+def test_ivf_topk_exact_at_full_probe(ray_session):
+    """nprobe == nlist probes every list, so IVF must equal the exact
+    brute-force top-k row for row (the driver-oracle identity)."""
+    import ray.data
+    tbl, m = _emb_table()
+    q_ids = np.arange(5, dtype=np.int64)
+    q_mat = m[:5]
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    exact = (ann.topk_cosine(ds, (q_ids, q_mat), k=5).to_pandas()
+             .sort_values(["query_id", "rank"]).reset_index(drop=True))
+    ivf = (ann.ivf_topk(ds, (q_ids, q_mat), k=5, nlist=8, nprobe=8)
+           .to_pandas().sort_values(["query_id", "rank"])
+           .reset_index(drop=True))
+    assert exact.equals(ivf)
+
+
+def test_ivf_topk_planted_neighbors_found_at_low_probe(ray_session):
+    """A planted near-identical pair lands in the same k-means list, so
+    even nprobe=1 must return the planted twin as the top neighbor."""
+    import ray.data
+    tbl, m = _emb_table(n=200, planted=8)
+    n = 200
+    q_ids = np.arange(8, dtype=np.int64)
+    q_mat = m[:8]                      # twins live at n-8+i
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    out = ann.ivf_topk(ds, (q_ids, q_mat), k=1, nlist=8, nprobe=1).to_pandas()
+    got = dict(zip(out["query_id"], out["neighbor_id"]))
+    for i in range(8):
+        assert got[i] == n - 8 + i
+
+
+def test_ivf_recall_improves_with_nprobe(ray_session):
+    import ray.data
+    tbl, m = _emb_table()
+    q_ids = np.arange(10, dtype=np.int64)
+    q_mat = m[:10]
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    exact = ann.topk_cosine(ds, (q_ids, q_mat), k=5).to_pandas()
+    eset = set(map(tuple, exact[["query_id", "neighbor_id"]]
+                   .itertuples(index=False)))
+    cent = ann.train_ivf_centroids(ds, nlist=8)
+    recalls = []
+    for nprobe in (1, 4, 8):
+        ivf = ann.ivf_topk(ds, (q_ids, q_mat), k=5, centroids=cent,
+                           nprobe=nprobe).to_pandas()
+        vset = set(map(tuple, ivf[["query_id", "neighbor_id"]]
+                       .itertuples(index=False)))
+        recalls.append(len(eset & vset) / len(eset))
+    assert recalls[-1] == 1.0
+    assert recalls[0] <= recalls[1] <= recalls[2]
+
+
+def test_train_ivf_centroids_deterministic(ray_session):
+    import ray.data
+    tbl, _ = _emb_table()
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    c1 = ann.train_ivf_centroids(ds, nlist=8)
+    c2 = ann.train_ivf_centroids(ds, nlist=8)
+    assert np.array_equal(c1, c2)
+    assert c1.shape == (8, 16)
+    assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
+
+
+def test_assign_lists_partition_pruning(ray_session):
+    """assign_lists tags every row with a valid list id, and the probed
+    subset is a strict subset at nprobe < nlist — the persisted-index
+    read-pruning contract."""
+    import ray.data
+    tbl, m = _emb_table()
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    cent = ann.train_ivf_centroids(ds, nlist=8)
+    tagged = ann.assign_lists(ds, cent).to_pandas()
+    assert len(tagged) == 200
+    assert tagged["list_id"].between(0, 7).all()
+    # every list non-empty on this corpus; one probed list reads a
+    # strict subset of rows
+    sizes = tagged.groupby("list_id").size()
+    assert (sizes > 0).all() and sizes.max() < 200

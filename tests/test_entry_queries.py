@@ -15,7 +15,7 @@ SF = "/root/testdata/sf0.001"
 SQL_CHECKED = ["exact_dedup_docs", "token_count", "doc_stats",
                "lang_source_agg", "events_type_agg", "events_hourly_user",
                "lineitem_pricing", "top_docs_by_len", "cov2simi",
-               "ann_topk", "embedding_pairs"]
+               "ann_topk", "ann_ivf_topk", "embedding_pairs"]
 
 
 @pytest.fixture(scope="module")
