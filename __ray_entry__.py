@@ -181,6 +181,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = _read(sf, "embeddings", columns=["vec_id", "embedding"])
         return ann.cosine_pairs(ds, 0.4).select_columns(["id_a", "id_b"])
 
+    def q_embedding_dedup(sf):
+        """Embedding-cosine near-dup clustering: exact pairs at 0.4 →
+        spanning forest → union-find → min-id cluster labels over every
+        vector; oracle = recursive-CTE transitive closure."""
+        ds = _read(sf, "embeddings", columns=["vec_id", "embedding"])
+        return ann.embedding_dedup(ds, 0.4)
+
     def q_minhash_dedup(sf):
         """Full MinHash-LSH + containment dedup pipeline in exact mode
         (ex_cfg): verified edges == the closed-form jacc/containment
@@ -613,6 +620,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": q_ann_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_pairs": q_embedding_pairs,
+        "embedding_dedup": q_embedding_dedup,
         "minhash_dedup_docs": q_minhash_dedup,
         "simhash_dedup_docs": q_simhash_dedup,
         "ngram_jaccard_pairs": q_ngram_pairs,
@@ -917,6 +925,24 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a, embeddings b
             WHERE a.vec_id < b.vec_id
               AND list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+        """,
+        "embedding_dedup": """
+            WITH RECURSIVE edges AS (
+                SELECT a.vec_id AS u, b.vec_id AS v
+                FROM embeddings a, embeddings b
+                WHERE a.vec_id <> b.vec_id
+                  AND list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+            ), reach(u, v) AS (
+                SELECT u, v FROM edges
+                UNION
+                SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+                WHERE e.v <> r.u
+            )
+            SELECT e.vec_id,
+                   coalesce(least(m.mn, e.vec_id), e.vec_id) AS cluster_id
+            FROM embeddings e
+            LEFT JOIN (SELECT u, min(v) AS mn FROM reach GROUP BY u) m
+              ON m.u = e.vec_id
         """,
         "quality_score": """
             WITH toks AS (

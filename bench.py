@@ -85,7 +85,8 @@ def run_bench() -> dict:
 
     import gc
     reps = []
-    for _rep in range(2):       # min-of-2: damps residual warmup/variance
+    n_reps = int(os.environ.get("GRAFT_BENCH_REPS", "2"))
+    for _rep in range(n_reps):  # min-of-N: damps residual warmup/variance
         shutil.rmtree(out_dir, ignore_errors=True)
         # the pipeline restores "sort" after its wide exchange — re-arm
         # hash for each rep's band stage
@@ -197,8 +198,57 @@ def run_scaling() -> dict:
     }
 
 
+def run_scaling_sweep() -> dict:
+    """Same job at num_cpus in {2, 4, 8, 16, 32} (one hot rep each,
+    full-scale warm-up per process) + a least-squares Amdahl fit
+    T(n) = P/n + S over the sweep.
+
+    Rationale (BASELINE.md): on this single host the n-independent term
+    S is dominated by a machine-global serialized resource (first-touch
+    page faults — proven by the concurrency experiment), which on a
+    real N→4N *node* comparison divides by node count like P does.  The
+    sweep shows the whole curve instead of one ratio: every measured
+    N→4N efficiency plus the fit that separates P from S.
+    """
+    rows = int(os.environ.get("GRAFT_SCALING_ROWS",
+                              str(max(BENCH_ROWS, 3200000))))
+    levels = [2, 4, 8, 16, 32]
+
+    def run(ncpu: int) -> float:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   GRAFT_BENCH_ROWS=str(rows),
+                   GRAFT_SKIP_QUERIES="1", GRAFT_BENCH_REPS="1")
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                             env=env, capture_output=True, text=True,
+                             check=True).stdout
+        return json.loads(out.strip().splitlines()[-1])["value"]
+
+    walls = {n: run(n) for n in levels}
+    # least squares for T = P*(1/n) + S over (1/n, T)
+    import numpy as np
+    x = np.array([1.0 / n for n in levels])
+    y = np.array([walls[n] for n in levels])
+    A = np.stack([x, np.ones_like(x)], axis=1)
+    (P, S), *_ = np.linalg.lstsq(A, y, rcond=None)
+    effs = {f"eff_{n}_to_{4*n}": round((walls[n] / walls[4*n]) / 4.0, 3)
+            for n in levels if 4 * n in walls}
+    return {
+        "metric": "scaling sweep (same job, fresh ray.init per level, "
+                  "one hot rep after full-scale warm-up)",
+        "rows": rows,
+        "walls_sec": {str(n): round(walls[n], 1) for n in levels},
+        "amdahl_fit": {"P_cpu_sec": round(float(P), 1),
+                       "S_sec": round(float(S), 1)},
+        **effs,
+        "unit": "ratio",
+        "value": effs.get("eff_8_to_32"),
+    }
+
+
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if "--scaling-sweep" in sys.argv:
+        print(json.dumps(run_scaling_sweep()))
+    elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     else:
         print(json.dumps(run_bench()))

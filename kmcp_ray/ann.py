@@ -443,3 +443,63 @@ def ivf_topk(ds, queries: "tuple[np.ndarray, np.ndarray]", k: int = 5,
                                 batch_size=4096, zero_copy_batch=True)
     return partial_ds.groupby("query_id").map_groups(final_topk,
                                                      batch_format="pyarrow")
+
+
+def embedding_dedup(ds, threshold: float, cfg: DedupConfig = None,
+                    id_col: str = "vec_id", emb_col: str = "embedding"):
+    """(id, cluster_id) — embedding-cosine near-duplicate CLUSTERING:
+    pairs from :func:`cosine_pairs` (exact broadcast arm below its row
+    gate, LSH arm above it), spanning-forest reduction + union-find,
+    canonical min-id cluster labels broadcast back over the corpus —
+    the same pairs→forest→assign machinery as the caption pipeline
+    (kmcp search→merge→profile funnel analogue), with rows never
+    materialized beyond the pair stream.
+
+    Ids ride as zero-padded strings through the string-keyed CC stage
+    (docs_dedup pattern) and return as int64.
+    """
+    cfg = cfg or DedupConfig()
+    from kmcp_ray import cc as cc_mod
+    from kmcp_ray.pipeline import assign_stage
+
+    fmt = "v{:012d}"
+    pairs = cosine_pairs(ds, threshold, id_col=id_col, emb_col=emb_col)
+
+    def to_str_pairs(batch: pa.Table) -> pa.Table:
+        a = batch.column("id_a").to_numpy(zero_copy_only=False)
+        b = batch.column("id_b").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "id_a": pa.array([fmt.format(int(x)) for x in a], pa.string()),
+            "id_b": pa.array([fmt.format(int(x)) for x in b], pa.string())})
+
+    forest = pairs.map_batches(to_str_pairs, batch_format="pyarrow",
+                               zero_copy_batch=True) \
+        .map_batches(cc_mod.spanning_forest_batch, batch_format="pyarrow",
+                     batch_size=1 << 20).materialize()
+    n_forest = forest.count()                # materialized: metadata only
+
+    def ids_str(batch: pa.Table) -> pa.Table:
+        v = batch.column(id_col).to_numpy(zero_copy_only=False)
+        return pa.table({"image_id": pa.array(
+            [fmt.format(int(x)) for x in v], pa.string())})
+
+    ids_ds = ds.select_columns([id_col]).map_batches(
+        ids_str, batch_format="pyarrow", zero_copy_batch=True)
+    if n_forest <= cfg.broadcast_assign_edges:
+        cluster_map = cc_mod.connected_components_arrays(forest,
+                                                         reduce_rounds=0)
+        assignments = assign_stage(ids_ds, cluster_map, id_col="image_id")
+    else:                                    # dup-heavy: distributed CC
+        from kmcp_ray.pipeline import assign_via_join
+        labels = cc_mod.labels_via_exchange(forest, cfg.num_partitions)
+        assignments = assign_via_join(ids_ds, labels, cfg,
+                                      id_col="image_id")
+
+    def to_int(batch: pa.Table) -> pa.Table:
+        ids = batch.column("image_id").to_numpy(zero_copy_only=False)
+        cl = batch.column("cluster_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            id_col: pa.array([int(s[1:]) for s in ids], pa.int64()),
+            "cluster_id": pa.array([int(s[1:]) for s in cl], pa.int64())})
+
+    return assignments.map_batches(to_int, batch_format="pyarrow")

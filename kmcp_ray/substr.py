@@ -45,6 +45,23 @@ def _kmp_contains(needle: np.ndarray, hay: np.ndarray) -> bool:
     return False
 
 
+def _window_sum_hit(needle: np.ndarray, hay: np.ndarray) -> bool:
+    """Vectorized rolling-hash prefilter (r2 verdict #7): a contiguous
+    occurrence implies some length-n window of ``hay`` has the same
+    wrapping u64 sum as ``needle``.  One cumsum + one compare in numpy
+    rejects non-substring pairs without entering the per-token Python
+    KMP loop; a (vanishingly rare) sum collision is caught by KMP."""
+    n = len(needle)
+    if n == 0 or n > len(hay):
+        return False
+    with np.errstate(over="ignore"):
+        target = needle.sum(dtype=np.uint64)
+        c = np.cumsum(hay, dtype=np.uint64)
+        wins = c[n - 1:].copy()
+        wins[1:] -= c[:-n]
+    return bool(np.any(wins == target))
+
+
 def token_hash_seq(text: str) -> np.ndarray:
     import re
     toks = re.findall(r"[a-z0-9]+", (text or "").lower())
@@ -68,7 +85,8 @@ def make_substr_verifier():
             sa = token_hash_seq(ta[p].decode("utf-8", "replace") if ta[p] is not None else "")
             sb = token_hash_seq(tb[p].decode("utf-8", "replace") if tb[p] is not None else "")
             small, big = (sa, sb) if len(sa) <= len(sb) else (sb, sa)
-            vias.append("substr" if _kmp_contains(small, big) else "contain")
+            vias.append("substr" if _window_sum_hit(small, big)
+                        and _kmp_contains(small, big) else "contain")
         return pa.table({"id_a": pa.array(a, pa.string()),
                          "id_b": pa.array(b, pa.string()),
                          "via": pa.array(vias, pa.string()),

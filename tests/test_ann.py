@@ -182,3 +182,30 @@ def test_assign_lists_partition_pruning(ray_session):
     # strict subset of rows
     sizes = tagged.groupby("list_id").size()
     assert (sizes > 0).all() and sizes.max() < 200
+
+
+def test_embedding_dedup_matches_bruteforce_closure(ray_session):
+    """Cluster labels equal the transitive closure of the exact cosine
+    pair graph with min-id canonical labels."""
+    import ray.data
+    tbl, m = _emb_table(n=150, planted=10)
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    got = ann.embedding_dedup(ds, 0.8).to_pandas()
+    assert len(got) == 150
+    # brute-force closure
+    pairs = _brute_pairs(m, 0.8)
+    parent = list(range(150))
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {i: find(i) for i in range(150)}
+    gotmap = dict(zip(got["vec_id"], got["cluster_id"]))
+    assert gotmap == want
+    # the planted twins actually cluster (non-trivial case)
+    assert any(v != k for k, v in want.items())

@@ -50,3 +50,30 @@ def test_cluster_profile_and_abundance(ray_session):
     assert ((prof["p90_score"] >= 0) & (prof["p90_score"] <= 1)).all()
     ab = abundance(res.assignments).to_pandas()
     assert ab["fraction"].sum() == pytest.approx(1.0)
+
+
+def test_window_sum_prefilter_never_rejects_true_substring():
+    """The rolling-sum prefilter is a sound screen: every true
+    contiguous occurrence has a matching window sum, so composing it
+    with KMP changes nothing but the Python-loop volume."""
+    import numpy as np
+    from kmcp_ray.substr import _kmp_contains, _window_sum_hit
+    rng = np.random.default_rng(7)
+    rejected_nonsub = 0
+    for _ in range(500):
+        hay = rng.integers(0, 2**63, size=int(rng.integers(3, 60)),
+                           dtype=np.uint64)
+        if rng.random() < 0.5:
+            i = int(rng.integers(0, len(hay)))
+            j = int(rng.integers(i + 1, len(hay) + 1))
+            needle = hay[i:j].copy()
+        else:
+            needle = rng.integers(0, 2**63, size=int(rng.integers(1, 10)),
+                                  dtype=np.uint64)
+        truth = _kmp_contains(needle, hay)
+        pre = _window_sum_hit(needle, hay)
+        if truth:
+            assert pre, "prefilter rejected a true substring"
+        elif not pre:
+            rejected_nonsub += 1
+    assert rejected_nonsub > 0      # the screen actually screens
