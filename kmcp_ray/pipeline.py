@@ -132,10 +132,18 @@ def _checkpoint(ds: "ray.data.Dataset", workdir: str, name: str) -> "ray.data.Da
     wall = _time.time() - t0
     back = ray.data.read_parquet(out)
     files = sorted(f for f in os.listdir(out) if f.endswith(".parquet"))
+    # per-PARTITION lineage (north rule): rows + bytes per part file,
+    # straight from Parquet footers — no data pass, and a resumed run
+    # can audit exactly which partition produced which rows.
+    import pyarrow.parquet as _pq
+    parts = [{"file": fn,
+              "rows": _pq.ParquetFile(os.path.join(out, fn)).metadata.num_rows,
+              "bytes": os.path.getsize(os.path.join(out, fn))}
+             for fn in files]
     from kmcp_ray.ioops import io_format
     with open(os.path.join(out, "_manifest.json"), "w") as f:
-        json.dump({"stage": name, "rows": back.count(),
-                   "n_files": len(files), "files": files,
+        json.dump({"stage": name, "rows": sum(p["rows"] for p in parts),
+                   "n_files": len(files), "partitions": parts,
                    "write_wall_s": round(wall, 3),
                    "io_format": io_format()}, f, indent=1)
     with open(os.path.join(out, "_DONE"), "w") as f:

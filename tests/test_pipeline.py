@@ -131,6 +131,15 @@ def test_checkpoint_resume(ray_session, corpus, tmp_path):
         .assignments.to_pandas().sort_values("image_id").reset_index(drop=True)
     assert os.path.exists(os.path.join(wd, "01_signatures", "_DONE"))
     assert os.path.exists(os.path.join(wd, "02_edges", "_DONE"))
+    # per-PARTITION lineage manifest (north rule): every stage records
+    # rows+bytes per part file, and the parts sum to the stage total
+    import json
+    for stage in ("01_signatures", "02_edges", "03_clusters"):
+        with open(os.path.join(wd, stage, "_manifest.json")) as f:
+            man = json.load(f)
+        assert man["n_files"] == len(man["partitions"]) > 0
+        assert man["rows"] == sum(p["rows"] for p in man["partitions"])
+        assert all(p["bytes"] > 0 for p in man["partitions"])
     # resume: feed an EMPTY input — completed signature/edge checkpoints
     # must be reused, proving stages 1-2 are skipped
     empty = ray.data.from_arrow(table.slice(0, 0))
