@@ -177,6 +177,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return ann.ivf_topk(ds, (ids[mask], mat[mask]), k=5,
                             nlist=16, nprobe=16)
 
+    def q_ann_ivf_persisted(sf):
+        """Persisted IVF index: write hive-partitioned by list_id +
+        centroid sidecars, then search with path-level partition
+        pruning — at nprobe == nlist every list is probed so the result
+        is provably exact (same oracle as ann_ivf_topk); the pruned-read
+        economics are asserted in tests/test_ann.py."""
+        import pyarrow.parquet as pq
+        import tempfile
+        emb = pq.read_table(f"{sf}/embeddings.parquet",
+                            columns=["vec_id", "embedding"])
+        ids = emb.column("vec_id").to_numpy().astype(np.int64)
+        mask = (ids >= 8) & (ids < 16)
+        mat = np.stack([np.asarray(v, dtype=np.float64)
+                        for v in emb.column("embedding").to_pylist()])
+        ds = _read(sf, "embeddings", columns=["vec_id", "embedding"])
+        idx = tempfile.mkdtemp(prefix="kmcp_ivf_idx_", dir="/tmp")
+        ann.write_ivf_index(ds, idx, nlist=16)
+        return ann.search_ivf_index(idx, (ids[mask], mat[mask]), k=5,
+                                    nprobe=16)
+
     def q_embedding_pairs(sf):
         ds = _read(sf, "embeddings", columns=["vec_id", "embedding"])
         return ann.cosine_pairs(ds, 0.4).select_columns(["id_a", "id_b"])
@@ -619,6 +639,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cov2simi": q_cov2simi,
         "ann_topk": q_ann_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_ivf_persisted": q_ann_ivf_persisted,
         "embedding_pairs": q_embedding_pairs,
         "embedding_dedup": q_embedding_dedup,
         "minhash_dedup_docs": q_minhash_dedup,
@@ -909,6 +930,18 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rank <= 5
         """,
         "ann_ivf_topk": """
+            SELECT query_id, neighbor_id, rank FROM (
+                SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY list_cosine_similarity(q.embedding, e.embedding)
+                                    DESC, e.vec_id ASC) AS rank
+                FROM embeddings q, embeddings e
+                WHERE q.vec_id >= 8 AND q.vec_id < 16
+                  AND e.vec_id <> q.vec_id
+            ) WHERE rank <= 5
+        """,
+        "ann_ivf_persisted": """
             SELECT query_id, neighbor_id, rank FROM (
                 SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
                        row_number() OVER (

@@ -386,10 +386,15 @@ def assign_lists(ds, centroids: np.ndarray, id_col: str = "vec_id",
 
 def ivf_topk(ds, queries: "tuple[np.ndarray, np.ndarray]", k: int = 5,
              nlist: int = 16, nprobe: int = 4, centroids: np.ndarray = None,
-             id_col: str = "vec_id", emb_col: str = "embedding"):
+             id_col: str = "vec_id", emb_col: str = "embedding",
+             list_col: str = None):
     """(query_id, neighbor_id, rank) — IVF-pruned cosine top-k.  Same
     output contract as :func:`topk_cosine` (self-matches excluded,
-    ties broken by neighbor id); exact when nprobe >= nlist."""
+    ties broken by neighbor id); exact when nprobe >= nlist.
+
+    ``list_col``: name of a precomputed list-assignment column (a
+    persisted index written via :func:`write_ivf_index` stores it);
+    when given, the per-batch centroid argmax is skipped entirely."""
     q_ids, q_mat = queries
     if centroids is None:
         centroids = train_ivf_centroids(ds, nlist=nlist, emb_col=emb_col)
@@ -409,7 +414,17 @@ def ivf_topk(ds, queries: "tuple[np.ndarray, np.ndarray]", k: int = 5,
         qi, qmat, c, pmask = ray.get(state)
         ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
         m = _normalize(_emb_matrix(batch, emb_col))
-        assign = np.argmax(m @ c.T, axis=1)              # (batch,)
+        if list_col is not None:                         # persisted index
+            lv = batch.column(list_col)
+            if not pa.types.is_integer(lv.type):         # hive readback may
+                import pyarrow.compute as _pc            # infer string/dict
+                lv = _pc.cast(lv.combine_chunks().dictionary_decode()
+                              if pa.types.is_dictionary(lv.type) else lv,
+                              pa.int64())
+            assign = np.asarray(lv.to_numpy(zero_copy_only=False),
+                                dtype=np.int64)
+        else:
+            assign = np.argmax(m @ c.T, axis=1)          # (batch,)
         out_q, out_n, out_s = [], [], []
         for r in range(len(qi)):
             keep = pmask[r][assign] & (ids != qi[r])
@@ -443,6 +458,68 @@ def ivf_topk(ds, queries: "tuple[np.ndarray, np.ndarray]", k: int = 5,
                                 batch_size=4096, zero_copy_batch=True)
     return partial_ds.groupby("query_id").map_groups(final_topk,
                                                      batch_format="pyarrow")
+
+
+def write_ivf_index(ds, path: str, nlist: int = 16,
+                    centroids: np.ndarray = None, id_col: str = "vec_id",
+                    emb_col: str = "embedding") -> np.ndarray:
+    """Persist an IVF index: the dataset written as Parquet
+    hive-partitioned by ``list_id`` (one directory per inverted list —
+    the kmcp index-block-on-disk analogue, search.go's prebuilt .uniki
+    blocks) plus ``_centroids.npy`` / ``_ivf_meta.json`` sidecars
+    (underscore prefix: ignored by Parquet dataset discovery).
+
+    Returns the trained centroids.  A search then reads ONLY the probed
+    lists' files — partition pruning at the scan, so I/O scales with
+    nprobe/nlist instead of corpus size."""
+    import json as _json
+    import os as _os
+
+    if centroids is None:
+        centroids = train_ivf_centroids(ds, nlist=nlist, emb_col=emb_col)
+    cent = _normalize(np.asarray(centroids, dtype=np.float64))
+    tagged = assign_lists(ds, cent, id_col=id_col, emb_col=emb_col)
+    tagged.write_parquet(path, partition_cols=["list_id"])
+    np.save(_os.path.join(path, "_centroids.npy"), cent)
+    with open(_os.path.join(path, "_ivf_meta.json"), "w") as f:
+        _json.dump({"nlist": int(cent.shape[0]), "dim": int(cent.shape[1]),
+                    "id_col": id_col, "emb_col": emb_col}, f)
+    return cent
+
+
+def search_ivf_index(path: str, queries: "tuple[np.ndarray, np.ndarray]",
+                     k: int = 5, nprobe: int = 4):
+    """Top-k search against a persisted IVF index (see
+    :func:`write_ivf_index`): loads the centroid sidecar, computes the
+    union of probed lists over all queries, and lists ONLY those hive
+    partition directories (``PathPartitionFilter`` — unprobed files are
+    pruned at path listing, before any byte leaves storage).  Per-query
+    probe masks still apply inside :func:`ivf_topk`; the stored
+    ``list_id`` column skips the per-batch centroid argmax."""
+    import json as _json
+    import os as _os
+    from ray.data.datasource.partitioning import (Partitioning,
+                                                  PathPartitionFilter)
+
+    cent = np.load(_os.path.join(path, "_centroids.npy"))
+    with open(_os.path.join(path, "_ivf_meta.json")) as f:
+        meta = _json.load(f)
+    nlist = meta["nlist"]
+    nprobe = min(nprobe, nlist)
+    q_ids, q_mat = queries
+    qm = _normalize(np.asarray(q_mat, dtype=np.float64))
+    probed_lists = np.unique(
+        np.argpartition(-(qm @ cent.T), nprobe - 1, axis=1)[:, :nprobe])
+    allowed = {str(int(x)) for x in probed_lists}
+    ds = ray.data.read_parquet(
+        path,
+        partition_filter=PathPartitionFilter.of(
+            lambda kv: kv.get("list_id") in allowed, style="hive"),
+        partitioning=Partitioning("hive"),
+        file_extensions=["parquet"])
+    return ivf_topk(ds, queries, k=k, nlist=nlist, nprobe=nprobe,
+                    centroids=cent, id_col=meta["id_col"],
+                    emb_col=meta["emb_col"], list_col="list_id")
 
 
 def embedding_dedup(ds, threshold: float, cfg: DedupConfig = None,

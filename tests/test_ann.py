@@ -209,3 +209,44 @@ def test_embedding_dedup_matches_bruteforce_closure(ray_session):
     assert gotmap == want
     # the planted twins actually cluster (non-trivial case)
     assert any(v != k for k, v in want.items())
+
+
+def test_ivf_persisted_index_roundtrip(ray_session, tmp_path):
+    """write_ivf_index → search_ivf_index: exact vs brute force at
+    nprobe==nlist, identical to the streaming IVF at nprobe<nlist, and
+    the probed read is a strict subset of the corpus (path-level
+    partition pruning actually prunes)."""
+    import ray.data
+    import numpy as np
+    import pyarrow as pa
+    rng = np.random.default_rng(5)
+    m = rng.normal(size=(400, 32))
+    tbl = pa.table({
+        "vec_id": pa.array(range(400), pa.int64()),
+        "embedding": pa.array([r.tolist() for r in m],
+                              pa.list_(pa.float32()))})
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    q = (np.array([0, 7, 99], dtype=np.int64), m[[0, 7, 99]])
+    idx = str(tmp_path / "ivf_idx")
+    cent = ann.write_ivf_index(ds, idx, nlist=8)
+
+    def canon(d):
+        return d.to_pandas().sort_values(
+            ["query_id", "rank"]).reset_index(drop=True)
+
+    full = canon(ann.topk_cosine(ds, q, k=5))
+    assert canon(ann.search_ivf_index(idx, q, k=5, nprobe=8)).equals(full)
+    s_stream = canon(ann.ivf_topk(ds, q, k=5, nprobe=2, centroids=cent))
+    assert canon(ann.search_ivf_index(idx, q, k=5, nprobe=2)).equals(s_stream)
+    # pruning: nprobe=1 per 3 queries unions to <= 3 of 8 lists
+    from ray.data.datasource.partitioning import (Partitioning,
+                                                  PathPartitionFilter)
+    qm = m[[0, 7, 99]] / np.linalg.norm(m[[0, 7, 99]], axis=1,
+                                        keepdims=True)
+    probed = {str(int(x)) for x in np.argmax(qm @ cent.T, axis=1)}
+    pruned = ray.data.read_parquet(
+        idx,
+        partition_filter=PathPartitionFilter.of(
+            lambda kv: kv.get("list_id") in probed, style="hive"),
+        partitioning=Partitioning("hive"), file_extensions=["parquet"])
+    assert 0 < pruned.count() < 400
