@@ -408,6 +408,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                                   captions=texts)
         return decode_verify(ray.data.from_arrow(table), concurrency=2)
 
+    def q_resize_images(sf):
+        """actor-pool resize stage: decode → 16x16 resample → lossless
+        re-encode + fresh phash; output keeps the image-table shape so
+        it composes with decode_verify / the dedup pipeline."""
+        import ray.data
+        from kmcp_ray import testgen
+        from kmcp_ray.imagecodec import resize_images
+        table, _p, _n = testgen.make_pairs_corpus(n=400, seed=42, cfg=cfg)
+        return resize_images(ray.data.from_arrow(table), out_w=16,
+                             out_h=16, concurrency=2) \
+            .select_columns(["image_id", "w", "h", "fmt", "phash"])
+
+    def q_frame_sample(sf):
+        """actor-pool video frame sampling (every 5th frame of a
+        deterministic synthetic clip table) → image-table rows; frame
+        decode is selective (only sampled indices materialize)."""
+        import pyarrow as _pa
+        import ray.data
+        from kmcp_ray.imagecodec import encode_video, frame_sample
+        rng = np.random.default_rng(99)
+        vids, blobs = [], []
+        for v in range(40):
+            n = int(rng.integers(8, 30))
+            fr = rng.integers(0, 256, (n, 24, 24, 3)).astype(np.uint8)
+            vids.append(f"vid{v:03d}")
+            blobs.append(encode_video(fr))
+        tbl = _pa.table({"video_id": _pa.array(vids, _pa.string()),
+                         "bytes": _pa.array(blobs, _pa.binary())})
+        return frame_sample(ray.data.from_arrow(tbl).repartition(4),
+                            every=5, concurrency=2) \
+            .select_columns(["image_id", "video_id", "frame_idx",
+                             "w", "h", "phash"])
+
     def q_docs_pushdown(sf):
         """M14 predicate pushdown: row filter + column pruning applied
         AT THE SCAN (only matching row groups / columns leave disk)."""
@@ -662,6 +695,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_pushdown_scan": q_docs_pushdown,
         "search_indexed_docs": q_search_indexed,
         "decode_verify": q_decode_verify,
+        "resize_images": q_resize_images,
+        "frame_sample": q_frame_sample,
         "image_features": q_image_features,
         "bucket_stats": q_bucket_stats,
         "substr_exact": q_substr_exact,

@@ -124,6 +124,17 @@ def _resize32(gray: np.ndarray) -> np.ndarray:
     return gray[np.ix_(yi, xi)]
 
 
+def resize_pixels(px: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbour resize of (h, w[, c]) pixels to (out_h, out_w)
+    — deterministic, dependency-free; PRODUCTION: PIL Image.resize."""
+    h, w = px.shape[:2]
+    if (h, w) == (out_h, out_w):
+        return px
+    yi = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+    xi = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+    return px[np.ix_(yi, xi)]
+
+
 def hamming64(a, b) -> "np.ndarray | int":
     """Bitwise Hamming distance between int64/uint64 phash values."""
     from kmcp_ray.hashing import popcount64
@@ -273,5 +284,145 @@ def image_features(ds, concurrency: int = 4, batch_size: int = 256,
     list<float32>) ready for ann.topk_cosine / lsh_cosine_pairs."""
     return ds.map_batches(FeatureStage,
                           fn_constructor_kwargs={"dct_k": dct_k},
+                          batch_format="pyarrow", concurrency=concurrency,
+                          batch_size=batch_size, num_cpus=1)
+
+
+class ResizeStage:
+    """Actor-pool image resize: decode → nearest-neighbour resample to
+    a fixed (out_w, out_h) → re-encode lossless + recompute the phash —
+    the thumbnail/normalize step of a training-data pipeline.  Output
+    keeps the input-table shape (image_id, bytes, w, h, fmt, phash) so
+    the resized corpus feeds straight back into dedup_pipeline /
+    decode_verify / image_features.
+
+    PRODUCTION: swap :func:`decode` / :func:`resize_pixels` /
+    :func:`encode` for PIL — the actor plumbing is unchanged.
+    """
+
+    def __init__(self, out_w: int = 64, out_h: int = 64):
+        self.decode = decode
+        self.out_w, self.out_h = out_w, out_h
+
+    def __call__(self, batch):
+        import numpy as np
+        import pyarrow as pa
+        bts = batch.column("bytes").to_numpy(zero_copy_only=False)
+        n = len(bts)
+        out = []
+        pixels = []
+        for data in bts:                        # stub-inherent decode loop
+            px = resize_pixels(self.decode(data), self.out_h, self.out_w)
+            pixels.append(px)
+            out.append(encode(px, "png"))
+        phs = phash64_batch(pixels)             # one stacked DCT pass
+        return pa.table({
+            "image_id": batch.column("image_id"),
+            "bytes": pa.array(out, pa.binary()),
+            "w": pa.array(np.full(n, self.out_w, np.int32)),
+            "h": pa.array(np.full(n, self.out_h, np.int32)),
+            "fmt": pa.array(["png"] * n, pa.string()),
+            "phash": pa.array(phs, pa.int64()),
+        })
+
+
+def resize_images(ds, out_w: int = 64, out_h: int = 64,
+                  concurrency: int = 4, batch_size: int = 256):
+    """Distributed resize over an image table; output schema == input
+    schema (minus caption), so stages compose."""
+    return ds.map_batches(ResizeStage,
+                          fn_constructor_kwargs={"out_w": out_w,
+                                                 "out_h": out_h},
+                          batch_format="pyarrow", concurrency=concurrency,
+                          batch_size=batch_size, num_cpus=1)
+
+
+# ---------------------------------------------------------------- video
+#: b"KVID" | u16 w | u16 h | u16 n_frames | n*w*h*3 raw RGB bytes
+MAGIC_VID = b"KVID"
+
+
+def encode_video(frames: np.ndarray) -> bytes:
+    """(n, h, w, 3) uint8 → deterministic stand-in video container.
+    PRODUCTION: ffmpeg/pyav encode."""
+    n, h, w, _ = frames.shape
+    return MAGIC_VID + struct.pack("<HHH", w, h, n) + frames.tobytes()
+
+
+def decode_video_frames(data: bytes, idx: np.ndarray) -> np.ndarray:
+    """Decode ONLY the requested frame indices (idx sorted int array) —
+    the seek-don't-scan shape a real container decoder has; the stub
+    slices the raw buffer per frame.  PRODUCTION: pyav seek + decode."""
+    if data[:4] != MAGIC_VID:
+        raise NotImplementedError(
+            "real video containers need ffmpeg/pyav — not in this sandbox")
+    w, h, n = struct.unpack_from("<HHH", data, 4)
+    fsz = w * h * 3
+    out = np.empty((len(idx), h, w, 3), dtype=np.uint8)
+    for j, i in enumerate(idx):
+        off = 10 + int(i) * fsz
+        out[j] = np.frombuffer(data, np.uint8, fsz, off).reshape(h, w, 3)
+    return out
+
+
+class FrameSampleStage:
+    """Actor-pool video frame sampling: one input row
+    (video_id, bytes) → ``ceil(n_frames / every)`` output rows, each a
+    lossless-encoded frame with the image-table shape
+    (image_id, bytes, w, h, fmt, phash, video_id, frame_idx) — ready to
+    flow into resize / features / the dedup pipeline.
+
+    Frame decode is selective (only sampled indices are materialized),
+    so a 10k-frame clip sampled at every=250 decodes 40 frames.  Keep
+    ``batch_size`` SMALL: each input row is a whole video payload.
+    """
+
+    def __init__(self, every: int = 10):
+        if every < 1:
+            raise ValueError("every must be >= 1")
+        self.every = every
+        self.decode_frames = decode_video_frames
+
+    def __call__(self, batch):
+        import numpy as np
+        import pyarrow as pa
+        vids = batch.column("video_id").to_numpy(zero_copy_only=False)
+        bts = batch.column("bytes").to_numpy(zero_copy_only=False)
+        ids, out_b, fidx, ws, hs = [], [], [], [], []
+        pixels = []
+        for vid, data in zip(vids, bts):
+            if data[:4] != MAGIC_VID:
+                raise NotImplementedError("not a KVID stand-in container")
+            w, h, n = struct.unpack_from("<HHH", data, 4)
+            take = np.arange(0, n, self.every)
+            frames = self.decode_frames(data, take)
+            for j, i in enumerate(take):
+                ids.append(f"{vid}#f{int(i):06d}")
+                out_b.append(encode(frames[j], "png"))
+                fidx.append(int(i))
+                ws.append(w)
+                hs.append(h)
+                pixels.append(frames[j])
+        phs = phash64_batch(pixels)
+        return pa.table({
+            "image_id": pa.array(ids, pa.string()),
+            "bytes": pa.array(out_b, pa.binary()),
+            "w": pa.array(ws, pa.int32()),
+            "h": pa.array(hs, pa.int32()),
+            "fmt": pa.array(["png"] * len(ids), pa.string()),
+            "phash": pa.array(phs, pa.int64()),
+            "video_id": pa.array(
+                [i.split("#f")[0] for i in ids], pa.string()),
+            "frame_idx": pa.array(fidx, pa.int64()),
+        })
+
+
+def frame_sample(ds, every: int = 10, concurrency: int = 4,
+                 batch_size: int = 8):
+    """Distributed every-k-th frame sampling over a video table
+    (video_id, bytes) → image-table rows.  batch_size defaults tiny:
+    rows are whole-video binary payloads."""
+    return ds.map_batches(FrameSampleStage,
+                          fn_constructor_kwargs={"every": every},
                           batch_format="pyarrow", concurrency=concurrency,
                           batch_size=batch_size, num_cpus=1)

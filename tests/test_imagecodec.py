@@ -97,3 +97,61 @@ def test_phash64_batch_equals_scalar_loop():
     want = np.array([reference(p) for p in imgs], dtype=np.int64)
     assert np.array_equal(got, want)
     assert imagecodec.phash64(imgs[0]) == int(want[0])
+
+
+def test_resize_stage_composes_with_decode_verify(ray_session):
+    """resize_images keeps the image-table shape: output feeds straight
+    into decode_verify with all integrity checks green, dims forced to
+    the target, and resizing an already-target-size image is identity."""
+    import ray.data
+    from kmcp_ray import testgen
+    from kmcp_ray.config import DedupConfig
+    from kmcp_ray.imagecodec import decode, decode_verify, resize_images
+    table, _, _ = testgen.make_pairs_corpus(n=60, seed=13,
+                                            cfg=DedupConfig())
+    small = resize_images(ray.data.from_arrow(table), out_w=16, out_h=16,
+                          concurrency=2)
+    ver = decode_verify(small, concurrency=2).to_pandas()
+    assert len(ver) == 60
+    assert ver["phash_ok"].all()
+    assert (ver["w_decoded"] == 16).all() and (ver["h_decoded"] == 16).all()
+    # identity when the target equals the source size (corpus is 32x32)
+    same = resize_images(ray.data.from_arrow(table), out_w=32, out_h=32,
+                         concurrency=2).to_pandas().set_index("image_id")
+    for rid in list(same.index)[:5]:
+        src = table.filter(
+            __import__("pyarrow").compute.equal(table["image_id"], rid))
+        assert np.array_equal(decode(same.loc[rid, "bytes"]),
+                              decode(src["bytes"][0].as_py()))
+
+
+def test_frame_sample_every_kth_frame(ray_session):
+    """frame_sample emits exactly ceil(n/every) rows per video, frame
+    indices 0, every, 2*every, ..., and each emitted frame's pixels
+    equal the source frame (selective decode is lossless)."""
+    import math
+    import pyarrow as pa
+    import ray.data
+    from kmcp_ray.imagecodec import (decode, decode_video_frames,
+                                     encode_video, frame_sample)
+    rng = np.random.default_rng(23)
+    vids, blobs, frames_by_vid = [], [], {}
+    for v in range(6):
+        n = int(rng.integers(5, 40))
+        fr = rng.integers(0, 256, (n, 24, 24, 3)).astype(np.uint8)
+        vids.append(f"vid{v:03d}")
+        blobs.append(encode_video(fr))
+        frames_by_vid[f"vid{v:03d}"] = fr
+    tbl = pa.table({"video_id": pa.array(vids, pa.string()),
+                    "bytes": pa.array(blobs, pa.binary())})
+    out = frame_sample(ray.data.from_arrow(tbl).repartition(3),
+                       every=7, concurrency=2).to_pandas()
+    for v, fr in frames_by_vid.items():
+        rows = out[out["video_id"] == v].sort_values("frame_idx")
+        assert len(rows) == math.ceil(len(fr) / 7)
+        assert list(rows["frame_idx"]) == list(range(0, len(fr), 7))
+        for _, r in rows.iterrows():
+            assert np.array_equal(decode(r["bytes"]), fr[r["frame_idx"]])
+    # selective decode really selects
+    got = decode_video_frames(blobs[0], np.array([0, 3]))
+    assert np.array_equal(got[1], frames_by_vid["vid000"][3])
