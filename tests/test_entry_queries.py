@@ -15,7 +15,8 @@ SF = "/root/testdata/sf0.001"
 SQL_CHECKED = ["exact_dedup_docs", "token_count", "doc_stats",
                "lang_source_agg", "events_type_agg", "events_hourly_user",
                "lineitem_pricing", "top_docs_by_len", "cov2simi",
-               "ann_topk", "ann_ivf_topk", "embedding_pairs"]
+               "ann_topk", "ann_ivf_topk", "ann_ivf_persisted",
+               "embedding_pairs", "embedding_dedup"]
 
 
 @pytest.fixture(scope="module")
@@ -44,6 +45,7 @@ def test_query_matches_oracle(ray_session, con, name):
 
 def test_rows_only_queries_run(ray_session):
     qs = entrymod.queries()
-    for name in ["minhash_dedup_docs", "doc_fingerprint", "lang_id"]:
+    for name in ["minhash_dedup_docs", "doc_fingerprint", "lang_id",
+                 "resize_images", "frame_sample"]:
         df = to_pandas(qs[name](SF))
         assert len(df) > 0, name
