@@ -115,6 +115,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_token_count(sf):
         return textops.token_count(_docs(sf))
 
+    def q_token_stats(sf):
+        """Whitespace + BPE-ish-pretokenizer token counts; both sides
+        run the same RE2 pattern (pyarrow and DuckDB both embed RE2),
+        so the oracle is byte-exact including unicode classes."""
+        return textops.token_stats(_docs(sf))
+
     def q_doc_stats(sf):
         return textops.doc_stats(_docs(sf))
 
@@ -663,6 +669,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "exact_dedup_docs": q_exact_dedup,
         "token_count": q_token_count,
+        "token_stats": q_token_stats,
         "doc_stats": q_doc_stats,
         "lang_source_agg": q_lang_source_agg,
         "events_type_agg": q_events_type_agg,
@@ -880,6 +887,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CAST(length(regexp_extract_all(lower(text), '[a-z0-9]+'))
                         AS BIGINT) AS n_tokens
+            FROM documents
+        """,
+        "token_stats": r"""
+            SELECT doc_id,
+                   CAST(length(regexp_extract_all(coalesce(text, ''),
+                        '\S+')) AS BIGINT) AS n_ws_tokens,
+                   CAST(length(regexp_extract_all(coalesce(text, ''),
+                        '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'))
+                        AS BIGINT) AS n_bpe_tokens
             FROM documents
         """,
         "doc_stats": """

@@ -35,6 +35,34 @@ def token_count(ds, id_col="doc_id", text_col="text"):
         batch_format="pyarrow", zero_copy_batch=True)
 
 
+#: GPT-2-style BPE pretokenizer (public pattern), lookahead dropped so
+#: it runs under RE2 — which both pyarrow.compute and DuckDB use, so
+#: engine and oracle counts agree byte-for-byte (incl. unicode classes)
+_BPE_RE = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+_WS_RE = r"\S+"
+
+
+def token_stats_batch(batch: pa.Table, *, id_col="doc_id",
+                      text_col="text") -> pa.Table:
+    """(id, n_ws_tokens, n_bpe_tokens): whitespace-split token count
+    and a BPE-ish pretokenizer count — the two standard corpus-sizing
+    measures for a training-data pipeline; one vectorized RE2 pass
+    each, no Python per row."""
+    t = pc.fill_null(batch.column(text_col), "")
+    return pa.table({
+        id_col: batch.column(id_col),
+        "n_ws_tokens": pc.cast(
+            pc.count_substring_regex(t, pattern=_WS_RE), pa.int64()),
+        "n_bpe_tokens": pc.cast(
+            pc.count_substring_regex(t, pattern=_BPE_RE), pa.int64())})
+
+
+def token_stats(ds, id_col="doc_id", text_col="text"):
+    return ds.map_batches(
+        lambda b: token_stats_batch(b, id_col=id_col, text_col=text_col),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
 # ------------------------------------------------------------ quality stats
 
 def doc_stats_batch(batch: pa.Table, *, id_col="doc_id", text_col="text") -> pa.Table:

@@ -12,7 +12,7 @@ from tools.check_queries import TABLES, canon, to_pandas
 SF = "/root/testdata/sf0.001"
 
 # SQL-checked queries, kept fast at sf0.001
-SQL_CHECKED = ["exact_dedup_docs", "token_count", "doc_stats",
+SQL_CHECKED = ["exact_dedup_docs", "token_count", "token_stats", "doc_stats",
                "lang_source_agg", "events_type_agg", "events_hourly_user",
                "lineitem_pricing", "top_docs_by_len", "cov2simi",
                "ann_topk", "ann_ivf_topk", "ann_ivf_persisted",
