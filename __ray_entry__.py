@@ -447,6 +447,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             .select_columns(["image_id", "video_id", "frame_idx",
                              "w", "h", "phash"])
 
+    def q_corpus_funnel(sf):
+        """Training-data funnel: quality gate → lang ID → exact dedup
+        → per-language stats as ONE streaming composition; text is
+        dropped inside the fused read chain, the only wide exchange
+        carries ~40 B/row survivors."""
+        from kmcp_ray.funnel import corpus_funnel
+        return corpus_funnel(_docs(sf), min_quality_u=300000)
+
     def q_docs_pushdown(sf):
         """M14 predicate pushdown: row filter + column pruning applied
         AT THE SCAN (only matching row groups / columns leave disk)."""
@@ -670,6 +678,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup_docs": q_exact_dedup,
         "token_count": q_token_count,
         "token_stats": q_token_stats,
+        "corpus_funnel": q_corpus_funnel,
         "doc_stats": q_doc_stats,
         "lang_source_agg": q_lang_source_agg,
         "events_type_agg": q_events_type_agg,
@@ -888,6 +897,70 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(regexp_extract_all(lower(text), '[a-z0-9]+'))
                         AS BIGINT) AS n_tokens
             FROM documents
+        """,
+        "corpus_funnel": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+                FROM documents
+            ), agg AS (
+                SELECT doc_id, count(*) AS n_tokens,
+                       count(DISTINCT tok) AS n_uniq_tokens,
+                       sum(length(tok)) AS sum_token_len
+                FROM toks GROUP BY doc_id
+            ), st AS (
+                SELECT d.doc_id, d.text,
+                       CAST(coalesce(a.n_tokens, 0) AS DOUBLE) AS nt,
+                       CAST(coalesce(a.n_uniq_tokens, 0) AS DOUBLE) AS nu,
+                       CAST(coalesce(a.sum_token_len, 0) AS DOUBLE) AS sl
+                FROM documents d LEFT JOIN agg a USING (doc_id)
+            ), gated AS (
+                SELECT doc_id, text FROM st
+                WHERE CAST(floor(
+                     (CASE WHEN nt > 0 THEN nu / nt ELSE 0.0 END)
+                     * (1.0 - exp(-nt / 32.0))
+                     * (0.5 + 0.5 * least(1.0, greatest(0.0,
+                          1.0 - abs((CASE WHEN nt > 0 THEN sl / nt
+                                          ELSE 0.0 END) - 5.0) / 10.0)))
+                     * 1000000.0) AS BIGINT) >= 300000
+            ), surv AS (
+                SELECT doc_id, text FROM (
+                    SELECT doc_id, text,
+                           min(doc_id) OVER (PARTITION BY text) AS keep_id
+                    FROM gated
+                ) WHERE doc_id = keep_id
+            ), lt AS (
+                SELECT doc_id, text,
+                       regexp_extract_all(lower(coalesce(text, '')),
+                                          '[a-z0-9]+') AS tk,
+                       substr(coalesce(text, ''), 1, 200) AS head
+                FROM surv
+            ), sc AS (
+                SELECT doc_id, text,
+                    len(list_filter(tk, t -> t IN ('der','die','das','und',
+                        'ist','nicht','ein','mit','zu','ich'))) AS de,
+                    len(list_filter(tk, t -> t IN ('the','and','of','to','a',
+                        'in','is','it','you','that'))) AS en,
+                    len(list_filter(tk, t -> t IN ('el','la','los','las','es',
+                        'un','una','por','para','que'))) AS es,
+                    len(list_filter(tk, t -> t IN ('le','la','les','et','est',
+                        'un','une','pas','pour','que'))) AS fr,
+                    regexp_matches(head, '[^\x00-\x7f]') AS non_ascii
+                FROM lt
+            ), labeled AS (
+                SELECT CASE WHEN non_ascii THEN 'zh'
+                            WHEN greatest(de, en, es, fr) = 0 THEN 'und'
+                            WHEN de >= en AND de >= es AND de >= fr THEN 'de'
+                            WHEN en >= es AND en >= fr THEN 'en'
+                            WHEN es >= fr THEN 'es'
+                            ELSE 'fr' END AS lang_pred,
+                       len(regexp_extract_all(coalesce(text, ''), '\S+'))
+                           AS ws
+                FROM sc
+            )
+            SELECT lang_pred, count(*) AS n_docs,
+                   CAST(sum(ws) AS BIGINT) AS n_tokens
+            FROM labeled GROUP BY lang_pred ORDER BY lang_pred
         """,
         "token_stats": r"""
             SELECT doc_id,

@@ -140,8 +140,11 @@ class LangIdStage:
     (__call__) — token membership via searchsorted on 64-bit token
     hashes, non-ASCII detection via one RE2 pass."""
 
-    def __init__(self, id_col="doc_id", text_col="text"):
+    def __init__(self, id_col="doc_id", text_col="text", append=False):
         self.id_col, self.text_col = id_col, text_col
+        #: append=True: add lang_pred to the incoming batch instead of
+        #: projecting (lets pipelines carry other columns through)
+        self.append = append
         self.langs = sorted(k for k, v in _LANG_MARKERS.items() if v)
         self.marker_hashes = {
             lang: np.sort(hashing.hash_tokens(
@@ -168,8 +171,11 @@ class LangIdStage:
         pred = np.array(self.langs, dtype=object)[best]
         pred[best_score == 0] = "und"
         pred[non_ascii] = "zh"
+        lang_arr = pa.array(pred, pa.string())
+        if self.append:
+            return batch.append_column("lang_pred", lang_arr)
         return pa.table({self.id_col: batch.column(self.id_col),
-                         "lang_pred": pa.array(pred, pa.string())})
+                         "lang_pred": lang_arr})
 
 
 def lang_id(ds, id_col="doc_id", text_col="text", concurrency=4):
