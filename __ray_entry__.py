@@ -230,6 +230,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return docs_dedup.simhash_dedup(_docs(sf), ex_cfg,
                                         token_hash="md5")
 
+    def q_incremental_dedup(sf):
+        """Incremental epoch growth (kmcp incremental shard-grow,
+        reference README.md:118-122): checkpointed base run over
+        doc_id < 350, then ONE increment epoch for the rest — new rows
+        sketched, prior epochs contribute only persisted band keys,
+        stale buckets never re-verified.  Assignments over the union
+        equal the from-scratch transitive closure, so the oracle is the
+        same SQL as minhash_dedup_docs."""
+        import tempfile
+
+        import pyarrow.compute as pc
+        docs = _docs(sf)
+        old = docs.map_batches(
+            lambda t: t.filter(pc.less(t["doc_id"], 350)),
+            batch_format="pyarrow", zero_copy_batch=True)
+        new = docs.map_batches(
+            lambda t: t.filter(pc.greater_equal(t["doc_id"], 350)),
+            batch_format="pyarrow", zero_copy_batch=True)
+        wd = tempfile.mkdtemp(prefix="kmcp_incdd_", dir="/tmp")
+        return docs_dedup.minhash_dedup_incremental(old, new, ex_cfg, wd)
+
     def q_ngram_pairs(sf):
         import pyarrow as pa
         out = docs_dedup.ngram_jaccard_pairs(_docs(sf), ex_cfg)
@@ -692,6 +713,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_pairs": q_embedding_pairs,
         "embedding_dedup": q_embedding_dedup,
         "minhash_dedup_docs": q_minhash_dedup,
+        "incremental_dedup": q_incremental_dedup,
         "simhash_dedup_docs": q_simhash_dedup,
         "ngram_jaccard_pairs": q_ngram_pairs,
         "doc_fingerprint": q_fingerprint,
@@ -1226,7 +1248,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE query <> target
             ORDER BY query, target""",
             self_cond="TRUE"),
-        "minhash_dedup_docs": """
+        "minhash_dedup_docs": (_minhash_closure := """
             WITH RECURSIVE """ + pair_cte.replace(
                 "{SRC}", "(SELECT doc_id AS did, text FROM documents)") + """
             , verified AS (
@@ -1241,7 +1263,10 @@ def oracle_sql() -> dict[str, str]:
                 SELECT ia, ib FROM verified
                 UNION SELECT ia, ib FROM exact_e
             ), nodes AS (SELECT doc_id AS did FROM documents)
-        """ + closure_tail,
+        """ + closure_tail),
+        # incremental epoch growth == from-scratch rebuild (the module
+        # invariant), so the oracle is the identical closure
+        "incremental_dedup": _minhash_closure,
         "ngram_jaccard_pairs": """
             WITH """ + pair_cte.replace(
                 "{SRC}", "(SELECT doc_id AS did, text FROM documents)") + """

@@ -123,19 +123,27 @@ def _pairs_within_segments(starts: np.ndarray, ends: np.ndarray):
     return first, second
 
 
-def make_bucket_verifier(cfg: DedupConfig):
+def make_bucket_verifier(cfg: DedupConfig, fresh_gate: bool = False):
     """Factory for the per-partition bucket processor — fully vectorized
     (no per-edge Python): emits star edges + membership rows from the
     designated entry stream and deduplicated ident-class pairs (verified
-    in place for pHash, ``cand`` for sketches) from both streams."""
+    in place for pHash, ``cand`` for sketches) from both streams.
+
+    ``fresh_gate=True`` (incremental mode, increment.py): packed rows
+    carry a scalar ``fresh`` flag (0 = rows from a prior epoch, 1 = new
+    rows); star and pair generation run ONLY in buckets containing ≥1
+    fresh entry — stale buckets' edges are already in the prior epoch's
+    edge checkpoint — while (ident → id) membership rows stay
+    unconditional (a stale class can still be the partner of a pair
+    formed in a fresh bucket, and expansion must find its members)."""
 
     def verify_partition(batch: pa.Table) -> pa.Table:
         from kmcp_ray.arrowutil import column, list_to_numpy
 
-        k1, _ = list_to_numpy(column(batch, "kind"), dtype=np.int8)
+        k1, off1 = list_to_numpy(column(batch, "kind"), dtype=np.int8)
         keys1, _ = list_to_numpy(column(batch, "key"), dtype=np.uint64)
         idn1, _ = list_to_numpy(column(batch, "ident"), dtype=np.uint64)
-        k2, _ = list_to_numpy(column(batch, "dkind"), dtype=np.int8)
+        k2, off2 = list_to_numpy(column(batch, "dkind"), dtype=np.int8)
         keys2, _ = list_to_numpy(column(batch, "dkey"), dtype=np.uint64)
         idn2, _ = list_to_numpy(column(batch, "dident"), dtype=np.uint64)
         ids2 = column(batch, "did").flatten().to_numpy(zero_copy_only=False)
@@ -143,6 +151,14 @@ def make_bucket_verifier(cfg: DedupConfig):
         m = n1 + n2
         if m == 0:
             return _empty_raw()
+
+        if fresh_gate:
+            fr = column(batch, "fresh").to_numpy(zero_copy_only=False) \
+                .astype(bool)
+            fresh1 = np.repeat(fr, off1[1:] - off1[:-1])
+            fresh2 = np.repeat(fr, off2[1:] - off2[:-1])
+        else:
+            fresh1 = fresh2 = None
 
         out_tables = []
 
@@ -177,17 +193,35 @@ def make_bucket_verifier(cfg: DedupConfig):
         seg_of = np.empty(m, dtype=np.int64)
         seg_of[order] = seg_id
 
+        if fresh_gate:
+            fresh_s = np.concatenate((fresh1, fresh2))[order]
+            # per-segment any(fresh): one add.reduceat over sorted entries
+            seg_fresh = np.add.reduceat(
+                fresh_s.astype(np.int64), seg_start) > 0
+        else:
+            seg_fresh = np.ones(len(seg_start), dtype=bool)
+
         # ---- stars: designated entries grouped by (bucket, ident) —
         # every member of an ident class designates the same bucket
         # (identical content ⇒ identical first band / chunk-0 / exact
         # key), so the whole class meets exactly here and nowhere else.
         # Root = lexicographic min id.  Exact buckets degenerate to
         # per-segment stars (equal exact_key ⇒ equal fold). ------------
-        if n2:
+        if n2 and fresh_gate:
+            # stars only in fresh-touching buckets (stale classes'
+            # stars are already checkpointed)
+            keep2 = seg_fresh[seg_of[n1:]]
+        if n2 and fresh_gate and not keep2.all():
+            uids2, rank2 = np.unique(ids2[keep2], return_inverse=True)
+            seg2 = seg_of[n1:][keep2]
+            idn2g, k2g = idn2[keep2], k2[keep2]
+        elif n2:
             uids2, rank2 = np.unique(ids2, return_inverse=True)
             seg2 = seg_of[n1:]
-            ordg = np.lexsort((rank2, idn2, seg2))
-            g_seg, g_idn, g_rank = seg2[ordg], idn2[ordg], rank2[ordg]
+            idn2g, k2g = idn2, k2
+        if n2 and len(seg2):
+            ordg = np.lexsort((rank2, idn2g, seg2))
+            g_seg, g_idn, g_rank = seg2[ordg], idn2g[ordg], rank2[ordg]
             g_first = np.concatenate(([True], (g_seg[1:] != g_seg[:-1])
                                       | (g_idn[1:] != g_idn[:-1])))
             grp = np.cumsum(g_first) - 1
@@ -196,7 +230,7 @@ def make_bucket_verifier(cfg: DedupConfig):
             if members.any():
                 r_rank = roots_per_grp[grp[members]]
                 m_rank = g_rank[members]
-                via_k = k2[ordg][members]
+                via_k = k2g[ordg][members]
                 via = np.where(via_k == KIND_EXACT, "exact",
                                np.where(via_k == KIND_PHASH, "phash",
                                         "minhash")).astype(object)
@@ -212,7 +246,7 @@ def make_bucket_verifier(cfg: DedupConfig):
         pair_i, pair_j, pair_cls = [], [], []
         dropped = 0
 
-        pairable = (seg_kind != KIND_EXACT) & \
+        pairable = (seg_kind != KIND_EXACT) & seg_fresh & \
             ~((seg_kind == KIND_CONTAIN) & (seg_size > cfg.max_shingle_df))
 
         # normal buckets: all rep pairs (sizes gate on RAW entry counts —

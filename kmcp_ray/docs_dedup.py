@@ -92,6 +92,27 @@ def minhash_dedup(ds, cfg: DedupConfig = None, id_col="doc_id", text_col="text")
     return _to_int_assignments(res.assignments, id_col)
 
 
+def minhash_dedup_incremental(ds_old, ds_new, cfg: DedupConfig, workdir: str,
+                              id_col="doc_id", text_col="text"):
+    """(id, cluster_id) over old ∪ new documents, computed as a
+    checkpointed base run over ``ds_old`` plus ONE incremental epoch for
+    ``ds_new`` (increment.dedup_increment): new text is sketched, old
+    epochs contribute only their persisted band keys, and stale buckets
+    are never re-verified.  Equals ``minhash_dedup`` over the union when
+    no skew cap binds differently (exact mode lifts the caps)."""
+    from kmcp_ray.increment import dedup_increment
+
+    dedup_pipeline(_with_str_id(ds_old, id_col, text_col), cfg,
+                   id_col="image_id", text_col="caption",
+                   phash_col=None, bytes_col=None,
+                   enable=("minhash", "contain", "exact"),
+                   workdir=workdir)   # checkpoints written eagerly
+    res = dedup_increment(_with_str_id(ds_new, id_col, text_col), cfg,
+                          workdir, phash_col=None, bytes_col=None,
+                          enable=("minhash", "contain", "exact"))
+    return _to_int_assignments(res.assignments, id_col)
+
+
 # ------------------------------------------------------------ simhash dedup
 
 def simhash_dedup(ds, cfg: DedupConfig = None, id_col="doc_id", text_col="text",

@@ -196,13 +196,21 @@ def edges_stage(sig_ds, cfg: DedupConfig, enable=ALL_GENERATORS,
     ids before tokenization) instead of a ``vsk`` column on ``sig_ds``
     — so the materialized signature table never carries the blob.
     """
-    import pyarrow.compute as pc
-
     band_fn = bands_mod.make_band_fn(cfg, enable=enable)
     band_ds = sig_ds.map_batches(band_fn, batch_format="pyarrow",
                                  batch_size=4096, zero_copy_batch=True)
     verifier = buckets_mod.make_bucket_verifier(cfg)
     raw = band_ds.groupby("part").map_groups(verifier, batch_format="pyarrow")
+    return edges_from_raw(raw, sig_ds, cfg, vsk_provider=vsk_provider)
+
+
+def edges_from_raw(raw, sig_ds, cfg: DedupConfig, vsk_provider=None):
+    """Verifier output stream → final verified edge dataset (the part
+    of the edge stage shared by the full and the incremental band
+    exchanges: class-pair dedup, class→member expansion, sketch attach,
+    pair verification)."""
+    import pyarrow.compute as pc
+
     raw = raw.materialize()          # small: pairs, stars + membership rows
 
     # hash shuffle (when the caller enabled it, see perf.py) is proven
@@ -429,6 +437,28 @@ def assign_via_join(ids_ds, labels_ds, cfg: DedupConfig,
     return out
 
 
+def cc_and_assign(edges_ds, ids_ds, cfg: DedupConfig,
+                  id_col: str = "image_id"):
+    """Connected components + emission over an edge dataset (stage 3,
+    shared by the full pipeline and incremental epochs): reduce edge
+    blocks to spanning forests (distributed, map-only), switch on the
+    forest size between driver union-find + broadcast map and
+    distributed label propagation + partitioned join."""
+    forest = edges_ds.select_columns(["id_a", "id_b"]) \
+        .map_batches(cc_mod.spanning_forest_batch, batch_format="pyarrow",
+                     batch_size=1 << 20).materialize()
+    n_forest = forest.count()
+    if n_forest <= cfg.broadcast_assign_edges:
+        cluster_map = cc_mod.connected_components_arrays(forest,
+                                                         reduce_rounds=0)
+        assignments = assign_stage(ids_ds, cluster_map, id_col=id_col)
+    else:
+        cluster_map = (np.empty(0, object), np.empty(0, object))
+        labels = cc_mod.labels_via_exchange(forest, cfg.num_partitions)
+        assignments = assign_via_join(ids_ds, labels, cfg, id_col=id_col)
+    return assignments, cluster_map
+
+
 def cluster_stats(assignments):
     """Per-cluster aggregates — the kmcp `profile` analogue (small)."""
     from ray.data.aggregate import Count
@@ -521,18 +551,8 @@ def dedup_pipeline(ds, cfg: DedupConfig = DedupConfig(), *,
     # sig_ds single-consumer is what lets it stream (see stage 1)
     ids_ds = ds.select_columns([id_col]) if not workdir \
         else sig_ds.select_columns([id_col])
-    forest = edges_ds.select_columns(["id_a", "id_b"]) \
-        .map_batches(cc_mod.spanning_forest_batch, batch_format="pyarrow",
-                     batch_size=1 << 20).materialize()
-    n_forest = forest.count()
-    if n_forest <= cfg.broadcast_assign_edges:
-        cluster_map = cc_mod.connected_components_arrays(forest,
-                                                         reduce_rounds=0)
-        assignments = assign_stage(ids_ds, cluster_map, id_col=id_col)
-    else:
-        cluster_map = (np.empty(0, object), np.empty(0, object))
-        labels = cc_mod.labels_via_exchange(forest, cfg.num_partitions)
-        assignments = assign_via_join(ids_ds, labels, cfg, id_col=id_col)
+    assignments, cluster_map = cc_and_assign(edges_ds, ids_ds, cfg,
+                                             id_col=id_col)
     if workdir and not _done(workdir, "03_clusters"):
         assignments = _checkpoint(assignments, workdir, "03_clusters")
     elif workdir:

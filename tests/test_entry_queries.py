@@ -16,7 +16,8 @@ SQL_CHECKED = ["exact_dedup_docs", "token_count", "token_stats", "doc_stats",
                "lang_source_agg", "events_type_agg", "events_hourly_user",
                "lineitem_pricing", "top_docs_by_len", "cov2simi",
                "ann_topk", "ann_ivf_topk", "ann_ivf_persisted",
-               "embedding_pairs", "embedding_dedup", "corpus_funnel"]
+               "embedding_pairs", "embedding_dedup", "corpus_funnel",
+               "incremental_dedup"]
 
 
 @pytest.fixture(scope="module")
