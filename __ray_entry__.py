@@ -695,6 +695,123 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["group_id", "n_members", "n_tokens", "n_distinct"]) \
             .sort("group_id")
 
+    def q_hash_sample(sf):
+        """Deterministic multiplicative-hash row sampling (SURVEY §2.6
+        O7 — absent in the reference, required by training pipelines):
+        pure stateless filter, nested keep-sets across rates."""
+        from kmcp_ray import curate
+        return curate.hash_sample(
+            _read(sf, "documents", columns=["doc_id", "lang", "n_chars"]),
+            pct=10).sort("doc_id")
+
+    def q_stratified_sample(sf):
+        """Exact per-language quota sample: smallest (hash, id) rows
+        per group, quota = ceil(n_group * pct / 100)."""
+        from kmcp_ray import curate
+        return curate.stratified_sample(
+            _read(sf, "documents", columns=["doc_id", "lang"]),
+            pct=10, group_col="lang").sort("doc_id")
+
+    def q_decontaminate(sf):
+        """Benchmark decontamination: docs (doc_id % 20 == 0) form the
+        eval set; every other doc sharing ANY 3-token shingle with it is
+        dropped via the broadcast blocklist anti-join."""
+        import pyarrow as pa
+        from kmcp_ray import curate
+        docs = _read(sf, "documents", columns=["doc_id", "text", "lang"])
+
+        def split(keep_eval):
+            def fn(t: "pa.Table") -> "pa.Table":
+                ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+                m = (ids % 20) == 0
+                return t.filter(pa.array(m if keep_eval else ~m))
+            return fn
+
+        eval_ds = docs.map_batches(split(True), batch_format="pyarrow",
+                                   zero_copy_batch=True)
+        corpus = docs.map_batches(split(False), batch_format="pyarrow",
+                                  zero_copy_batch=True)
+        out = curate.decontaminate(corpus, eval_ds, k=3)
+        return out.select_columns(["doc_id", "lang"]).sort("doc_id")
+
+    def q_vocab_topk(sf):
+        """Token-frequency vocabulary: map-side combine → one
+        vocabulary-sized groupby → global (cnt desc, token) top-k."""
+        from kmcp_ray import curate
+        return curate.vocab_topk(
+            _read(sf, "documents", columns=["text"]), topk=40)
+
+    def q_pii_scrub(sf):
+        """RE2 email/long-number redaction with per-doc counts.  The
+        corpus is synthetic word-salad, so PII-shaped content is
+        PLANTED deterministically from doc_id (same expression on the
+        SQL side) — the substr-entry pattern."""
+        import pyarrow as pa
+        from kmcp_ray import curate
+        docs = _read(sf, "documents", columns=["doc_id", "text"])
+
+        def plant(t: "pa.Table") -> "pa.Table":
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+            txt = t.column("text").to_numpy(zero_copy_only=False)
+            out = txt.astype(object).copy()
+            for i in np.nonzero(ids % 7 == 0)[0]:
+                out[i] = ((out[i] or "")
+                          + f" contact user{ids[i]}@mail.example ref "
+                          + f"{ids[i] * 1000003 + 123456}")
+            return pa.table({"doc_id": t.column("doc_id"),
+                             "text": pa.array(out, pa.string())})
+
+        planted = docs.map_batches(plant, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+        return curate.pii_scrub(planted).sort("doc_id")
+
+    def q_sessionize(sf):
+        """Gap-based sessionization (30-min window) — the windowed
+        aggregate Ray Data lacks, composed as groupby(user) + one
+        vectorized in-group sweep; value totals in integer cents so
+        engine and SQL sum bit-identically."""
+        from kmcp_ray import windows
+        return windows.sessionize(
+            _read(sf, "events",
+                  columns=["event_id", "ts", "user_id", "value"]),
+            gap_minutes=30).sort(["user_id", "session_id"])
+
+    def q_asof_join(sf):
+        """As-of join: each event picks the latest order of the same
+        key at-or-before its timestamp — tag/union/groupby + one
+        searchsorted per group; right-side (key, ts) ties keep the max
+        orderkey so the match is deterministic."""
+        from kmcp_ray import windows
+        ev = _read(sf, "events", columns=["event_id", "ts", "user_id"])
+        od = _read(sf, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate"])
+        return windows.asof_join(ev, od).sort("event_id")
+
+    def q_range_join(sf):
+        """Range join: pairs of same-part shipments where the right
+        ship date falls in the left's trailing 90-day window — two
+        searchsorted bounds + vectorized repeat/gather per part group
+        (includes the self pair, as the interval predicate does)."""
+        import pyarrow as pa
+        from kmcp_ray import windows
+
+        def uid(t: "pa.Table") -> "pa.Table":
+            ok = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+            ln = t.column("l_linenumber") \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table({"l_partkey": t.column("l_partkey"),
+                             "uid": pa.array(ok * 10 + ln, pa.int64()),
+                             "l_shipdate": t.column("l_shipdate")})
+
+        li = _read(sf, "lineitem", columns=[
+            "l_orderkey", "l_linenumber", "l_partkey", "l_shipdate"]) \
+            .map_batches(uid, batch_format="pyarrow", zero_copy_batch=True)
+        out = windows.range_join(
+            li, li, window_days=90,
+            left_key="l_partkey", left_ts="l_shipdate", left_id="uid",
+            right_key="l_partkey", right_ts="l_shipdate", right_val="uid")
+        return out.sort(["left_id", "right_id"])
+
     return {
         "exact_dedup_docs": q_exact_dedup,
         "token_count": q_token_count,
@@ -741,12 +858,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_jaccard_pairs": q_token_jaccard,
         "grouped_sketch": q_grouped_sketch,
         "search_exact_docs": q_search_exact,
+        "hash_sample": q_hash_sample,
+        "stratified_sample": q_stratified_sample,
+        "decontaminate": q_decontaminate,
+        "vocab_topk": q_vocab_topk,
+        "pii_scrub": q_pii_scrub,
+        "sessionize": q_sessionize,
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
     }
 
 
 # ------------------------------------------------------------- oracle SQL
 
 def oracle_sql() -> dict[str, str]:
+    from kmcp_ray.curate import EMAIL_RE as _EMAIL_RE
+    from kmcp_ray.curate import LONGNUM_RE as _LONGNUM_RE
+    from kmcp_ray.curate import sample_hash_sql
+    _h32 = sample_hash_sql("doc_id")
+
     # shared CTE: exact distinct 3-token-shingle sets per document +
     # per-doc kept counts — the SQL mirror of the engine's scale=1
     # (exact containment) sketch.  {QF}/{RF} filter the two join sides;
@@ -1649,5 +1779,134 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS chunk_hits
             FROM gated WHERE qg <> rg
             GROUP BY 1, 2 ORDER BY id_a, id_b
+        """,
+        "hash_sample": f"""
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE ({_h32}) % 100 < 10
+            ORDER BY doc_id
+        """,
+        "stratified_sample": f"""
+            WITH h AS (
+                SELECT doc_id, lang, {_h32} AS hv FROM documents
+            ), r AS (
+                SELECT doc_id, lang,
+                       row_number() OVER (PARTITION BY lang
+                                          ORDER BY hv, doc_id) AS rk,
+                       count(*) OVER (PARTITION BY lang) AS n
+                FROM h
+            )
+            SELECT doc_id, lang FROM r
+            WHERE rk <= (n * 10 + 99) // 100
+            ORDER BY doc_id
+        """,
+        "decontaminate": """
+            WITH t AS (
+                SELECT doc_id AS did,
+                       regexp_extract_all(lower(coalesce(text, '')),
+                                          '[a-z0-9]+') AS tk
+                FROM documents
+            ), sh AS (
+                SELECT did, unnest(
+                    CASE WHEN len(tk) >= 3 THEN list_transform(
+                              generate_series(1, len(tk) - 2),
+                              i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+                         WHEN len(tk) > 0 THEN [array_to_string(tk, ' ')]
+                         ELSE [] END) AS s
+                FROM t
+            ), d AS (
+                SELECT DISTINCT did, s FROM sh
+            ), ev AS (
+                SELECT DISTINCT s FROM d WHERE did % 20 = 0
+            ), bad AS (
+                SELECT DISTINCT did FROM d JOIN ev USING (s)
+                WHERE did % 20 <> 0
+            )
+            SELECT doc_id, lang FROM documents
+            WHERE doc_id % 20 <> 0
+              AND doc_id NOT IN (SELECT did FROM bad)
+            ORDER BY doc_id
+        """,
+        "vocab_topk": """
+            WITH t AS (
+                SELECT regexp_extract_all(lower(coalesce(text, '')),
+                                          '[a-z0-9]+') AS tk
+                FROM documents
+            ), f AS (
+                SELECT unnest(tk) AS token FROM t
+            )
+            SELECT token, count(*) AS cnt FROM f
+            GROUP BY 1 ORDER BY cnt DESC, token LIMIT 40
+        """,
+        "pii_scrub": f"""
+            WITH aug AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 7 = 0 THEN
+                           coalesce(text, '') || ' contact user' || doc_id
+                           || '@mail.example ref '
+                           || CAST(doc_id * 1000003 + 123456 AS VARCHAR)
+                       ELSE coalesce(text, '') END AS s
+                FROM documents
+            ), e AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(s, '{_EMAIL_RE}')) AS ne,
+                       regexp_replace(s, '{_EMAIL_RE}', '<EMAIL>', 'g') AS s1
+                FROM aug
+            )
+            SELECT doc_id,
+                   regexp_replace(s1, '{_LONGNUM_RE}', '<NUM>', 'g')
+                       AS clean_text,
+                   ne + len(regexp_extract_all(s1, '{_LONGNUM_RE}'))
+                       AS n_redacted
+            FROM e ORDER BY doc_id
+        """,
+        "sessionize": """
+            WITH e AS (
+                SELECT user_id, event_id, epoch_us(ts) AS tus,
+                       CAST(round(value * 100) AS BIGINT) AS cents
+                FROM events
+            ), l AS (
+                SELECT *, lag(tus) OVER (PARTITION BY user_id
+                                         ORDER BY tus, event_id) AS ptus
+                FROM e
+            ), s AS (
+                SELECT *, CAST(sum(CASE WHEN ptus IS NULL
+                                          OR tus - ptus > 1800000000
+                                        THEN 1 ELSE 0 END)
+                          OVER (PARTITION BY user_id
+                                ORDER BY tus, event_id
+                                ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT)
+                          AS session_id
+                FROM l
+            )
+            SELECT user_id, session_id, count(*) AS n_events,
+                   min(tus) AS t_start_us, max(tus) AS t_end_us,
+                   CAST(sum(cents) AS BIGINT) AS sum_cents
+            FROM s GROUP BY 1, 2 ORDER BY user_id, session_id
+        """,
+        "asof_join": """
+            WITH o AS (
+                SELECT o_custkey, epoch_us(o_orderdate) AS od_us,
+                       max(o_orderkey) AS o_orderkey
+                FROM orders GROUP BY 1, 2
+            )
+            SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+                   o.o_orderkey, o.od_us AS o_orderdate_us
+            FROM events e ASOF LEFT JOIN o
+              ON e.user_id = o.o_custkey AND epoch_us(e.ts) >= o.od_us
+            ORDER BY e.event_id
+        """,
+        "range_join": """
+            WITH li AS (
+                SELECT l_partkey, l_orderkey * 10 + l_linenumber AS uid,
+                       epoch_us(l_shipdate) AS tus
+                FROM lineitem
+            )
+            SELECT a.uid AS left_id, a.l_partkey AS key,
+                   b.uid AS right_id, b.tus AS right_ts_us
+            FROM li a JOIN li b
+              ON a.l_partkey = b.l_partkey
+             AND a.tus >= b.tus
+             AND a.tus < b.tus + 7776000000000
+            ORDER BY left_id, right_id
         """,
     }

@@ -127,7 +127,8 @@ def run_bench() -> dict:
                      "simhash_dedup_docs", "doc_stats", "lineitem_pricing",
                      "events_hourly_user", "ann_topk", "lsh_cosine_pairs",
                      "doc_fingerprint", "profile_em", "merge_regions",
-                     "search_indexed_docs"]:
+                     "search_indexed_docs", "hash_sample", "decontaminate",
+                     "vocab_topk", "pii_scrub", "sessionize"]:
             timed(name, lambda n=name: consume(qs[n](SF_DIR)))
 
     n_assign = ray.data.read_parquet(out_dir).count()

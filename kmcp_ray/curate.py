@@ -1,0 +1,215 @@
+"""Corpus-curation operators for training-data pipelines.
+
+The kmcp reference curates its inputs with regex blacklists and
+duplicate checks before indexing (reference: kmcp/cmd/compute.go:248-260,
+index.go:524-537); a 100 TB training-data pipeline needs the same
+pre-index hygiene stages generalized: deterministic sampling,
+benchmark decontamination, vocabulary statistics, and PII redaction.
+Every operator here is a vectorized ``map_batches`` stage (RE2 /
+numpy / SipHash kernels); the only shuffles are a vocabulary-sized
+``groupby`` and a per-group quota selection, and the decontamination
+blocklist is broadcast once (``ray.put``), never joined.
+
+All text semantics (lower-cased ``[a-z0-9]+`` tokens, k-token
+space-joined shingles) are the frozen contract shared with the DuckDB
+oracles (textops.shingle_strings / text.tokenize).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+
+from kmcp_ray import hashing, text, textops
+
+# ------------------------------------------------------------- hash sample
+
+#: 32-bit multiplicative mixing constants (Knuth 2654435761 + the
+#: lowbias32-style second multiplier) — SQL-mirrorable: every step stays
+#: under 2^63 so DuckDB BIGINT arithmetic reproduces it bit-exactly.
+SAMPLE_MULT_1 = 2654435761
+SAMPLE_MULT_2 = 0x45D9F3B
+_M32 = np.uint64(0xFFFFFFFF)
+
+
+def sample_hash32(ids: np.ndarray) -> np.ndarray:
+    """Deterministic 32-bit mix of integer ids (vectorized).
+
+    ``h = mix(id)``; keep-decisions derive from ``h % 100``.  The same
+    arithmetic is expressible in ANSI SQL over BIGINT (no wraparound
+    ever exceeds 2^63), which is what makes sampled outputs
+    driver-oracle-checkable — unlike a seeded RNG."""
+    x = np.asarray(ids).astype(np.uint64)
+    with np.errstate(over="ignore"):
+        h = (x * np.uint64(SAMPLE_MULT_1)) & _M32
+        h = h ^ (h >> np.uint64(16))
+        h = (h * np.uint64(SAMPLE_MULT_2)) & _M32
+        h = h ^ (h >> np.uint64(16))
+    return h
+
+
+def sample_hash_sql(id_expr: str) -> str:
+    """The DuckDB expression computing :func:`sample_hash32`."""
+    return (
+        "xor((xor(({id} * {m1}) % 4294967296, "
+        "(({id} * {m1}) % 4294967296) // 65536) * {m2}) % 4294967296, "
+        "((xor(({id} * {m1}) % 4294967296, "
+        "(({id} * {m1}) % 4294967296) // 65536) * {m2}) % 4294967296) "
+        "// 65536)"
+    ).format(id=id_expr, m1=SAMPLE_MULT_1, m2=SAMPLE_MULT_2)
+
+
+def hash_sample(ds, pct: int = 10, id_col: str = "doc_id"):
+    """Keep rows whose id-hash lands in the first ``pct`` of 100 buckets.
+
+    Deterministic, stateless, embarrassingly parallel — the sampling
+    primitive the reference lacks (SURVEY §2.6 O7) expressed as a pure
+    filter: reproducible across runs and cluster sizes, no shuffle, no
+    driver state, and the keep-set of a 10% sample is a superset of the
+    5% sample (nested samples for ablations)."""
+    pct_u = np.uint64(pct)
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        keep = (sample_hash32(ids) % np.uint64(100)) < pct_u
+        return t.filter(pa.array(keep))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def stratified_sample(ds, pct: int = 10, group_col: str = "lang",
+                      id_col: str = "doc_id"):
+    """Exact per-group quota sample: for each group keep the
+    ``ceil(n_group * pct / 100)`` rows with the smallest
+    ``(hash, id)`` — deterministic and total-ordered, so the quota is
+    met exactly (plain :func:`hash_sample` only meets it in
+    expectation).
+
+    One ``groupby(group_col)`` shuffle; the quota is computed inside
+    each group (no driver pass).  Scale note: a group is one language /
+    domain — if a single group exceeds worker memory, switch to the
+    two-pass histogram selection (per-(group, h>>24) counts → threshold
+    per group), same semantics."""
+    pct_i = int(pct)
+
+    def select(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        if n == 0:
+            return group
+        ids = group.column(id_col).to_numpy(zero_copy_only=False)
+        h = sample_hash32(ids)
+        quota = -(-n * pct_i // 100)            # ceil
+        order = np.lexsort((ids, h))[:quota]
+        return group.take(pa.array(np.sort(order)))
+
+    return ds.groupby(group_col).map_groups(select, batch_format="pyarrow")
+
+
+# --------------------------------------------------------- decontamination
+
+def eval_shingle_blocklist(eval_ds, k: int = 3, text_col: str = "text"):
+    """Distinct shingle-hash blocklist of an eval/benchmark set.
+
+    Per-batch distinct SipHash shingle hashes stream back to the driver
+    and collapse with one ``np.unique`` — the blocklist is
+    eval-set-sized (small by definition), the corpus side never
+    shuffles.  Returns a sorted uint64 ndarray."""
+    def partial(t: pa.Table) -> pa.Table:
+        sh, _rows, _n = textops.shingle_strings(t.column(text_col), k)
+        u = np.unique(hashing.hash_tokens(sh))
+        return pa.table({"h": pa.array(u, pa.uint64())})
+
+    chunks = [np.empty(0, np.uint64)]
+    hashed = eval_ds.map_batches(partial, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    for b in hashed.iter_batches(batch_size=1 << 18, batch_format="pyarrow"):
+        chunks.append(b.column("h").to_numpy(zero_copy_only=False))
+    return np.unique(np.concatenate(chunks))
+
+
+def decontaminate(ds, eval_ds, k: int = 3, text_col: str = "text"):
+    """Drop corpus rows sharing ANY k-token shingle with the eval set.
+
+    The standard benchmark-decontamination step for training corpora,
+    shaped as a broadcast anti-semi-join: the eval shingle set is
+    ``ray.put`` once and probed per batch with one ``searchsorted`` —
+    the corpus is filtered in place, nothing corpus-sized moves.  The
+    kmcp analogue is the seq-name blacklist filter applied before
+    sketching (reference: kmcp/cmd/compute.go:248-260), lifted from
+    name-level to content-level."""
+    block = eval_shingle_blocklist(eval_ds, k=k, text_col=text_col)
+    block_ref = ray.put(block)
+
+    def fn(t: pa.Table) -> pa.Table:
+        keys = ray.get(block_ref)
+        sh, rows, n = textops.shingle_strings(t.column(text_col), k)
+        hit_rows = np.zeros(n, dtype=bool)
+        if len(sh) and len(keys):
+            h = hashing.hash_tokens(sh)
+            pos = np.searchsorted(keys, h)
+            pos_c = np.minimum(pos, len(keys) - 1)
+            hit = (pos < len(keys)) & (keys[pos_c] == h)
+            hit_rows[rows[hit]] = True
+        return t.filter(pa.array(~hit_rows))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ------------------------------------------------------------- vocabulary
+
+def vocab_topk(ds, topk: int = 50, text_col: str = "text"):
+    """Global top-k token vocabulary by occurrence count.
+
+    Map-side combine (per-batch ``np.unique`` counts) → one
+    vocabulary-sized ``groupby("token").sum`` → global sort + limit:
+    the shuffle moves one row per distinct token per block, never one
+    per occurrence.  Total order = (cnt desc, token asc) so ties are
+    deterministic."""
+    def partial(t: pa.Table) -> pa.Table:
+        toks, _rows, _n = text.tokenize(t.column(text_col))
+        if len(toks) == 0:
+            return pa.table({"token": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        u, c = np.unique(toks, return_counts=True)
+        return pa.table({"token": pa.array(u, pa.string()),
+                         "cnt": pa.array(c.astype(np.int64), pa.int64())})
+
+    from ray.data.aggregate import Sum
+    agg = ds.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True) \
+        .groupby("token").aggregate(Sum(on="cnt", alias_name="cnt"))
+    return agg.sort(["cnt", "token"], descending=[True, False]).limit(topk)
+
+
+# -------------------------------------------------------------- PII scrub
+
+#: RE2 patterns (pyarrow and DuckDB both embed RE2 — byte-identical
+#: match semantics on both sides of the oracle)
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+LONGNUM_RE = r"[0-9]{6,}"
+
+
+def pii_scrub(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """Redact email addresses and long digit runs; count redactions.
+
+    Two RE2 passes per batch (count + global replace), fully inside
+    Arrow kernels — the model-training privacy-hygiene stage, same
+    execution shape as the reference's regex blacklist filter
+    (kmcp/cmd/compute.go:586-598).  Emits
+    ``(id, clean_text, n_redacted)``."""
+    def fn(t: pa.Table) -> pa.Table:
+        s = pc.fill_null(t.column(text_col), "")
+        ne = pc.count_substring_regex(s, pattern=EMAIL_RE)
+        s1 = pc.replace_substring_regex(s, pattern=EMAIL_RE,
+                                        replacement="<EMAIL>")
+        nn = pc.count_substring_regex(s1, pattern=LONGNUM_RE)
+        s2 = pc.replace_substring_regex(s1, pattern=LONGNUM_RE,
+                                        replacement="<NUM>")
+        n_red = pc.add(pc.cast(ne, pa.int64()), pc.cast(nn, pa.int64()))
+        return pa.table({id_col: t.column(id_col),
+                         "clean_text": s2,
+                         "n_redacted": n_red})
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

@@ -1,0 +1,214 @@
+"""Ordered / windowed operators: gap sessionization and as-of join.
+
+Ray Data has no native window or as-of primitives; both operators here
+follow the composition rule the survey prescribes (SURVEY §2 / custom
+operators): ONE ``groupby(key)`` shuffle, then fully vectorized
+order-dependent kernels inside ``map_groups`` — the same
+partition-then-sweep shape as the BED6 merge-regions port
+(kmcp/cmd/merge-regions.go analogue, regions.py).
+
+Partitioning assumption: one group = one user/key fits a worker.  For a
+pathological hot key (one user with billions of events), pre-split by
+time range and stitch boundary sessions in a second tiny pass — the
+same salt-and-recurse treatment the LSH buckets get (buckets.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+_US = 1_000_000
+
+
+def _epoch_us(col: "pa.ChunkedArray | pa.Array") -> np.ndarray:
+    """timestamp[us] column → int64 epoch microseconds."""
+    import pyarrow.compute as pc
+    return pc.cast(col, pa.int64()).to_numpy(zero_copy_only=False)
+
+
+def sessionize(events_ds, gap_minutes: int = 30, *, user_col="user_id",
+               ts_col="ts", id_col="event_id", value_col="value"):
+    """Gap-based sessionization: a new session starts when the time
+    since the user's previous event exceeds ``gap_minutes``.
+
+    Emits one row per session: ``(user_id, session_id, n_events,
+    t_start_us, t_end_us, sum_cents)`` with ``session_id`` the 0-based
+    session rank within the user and ``sum_cents`` the integer-cents
+    value total (floats summed as integers so engine and SQL agree
+    bit-exactly).  Ordering inside a user is ``(ts, event_id)`` — a
+    deterministic total order even with equal timestamps."""
+    gap_us = int(gap_minutes) * 60 * _US
+
+    def per_user(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        uid = group.column(user_col)[0].as_py()
+        ts = _epoch_us(group.column(ts_col))
+        eid = group.column(id_col).to_numpy(zero_copy_only=False)
+        val = group.column(value_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts))
+        ts, val = ts[order], val[order]
+        new_sess = np.ones(n, dtype=bool)
+        new_sess[1:] = (ts[1:] - ts[:-1]) > gap_us
+        sid = np.cumsum(new_sess) - 1
+        starts = np.nonzero(new_sess)[0]
+        counts = np.diff(np.append(starts, n))
+        cents = np.rint(val * 100.0).astype(np.int64)
+        sum_cents = np.add.reduceat(cents, starts)
+        t_end = ts[np.append(starts[1:], n) - 1]
+        return pa.table({
+            "user_id": pa.array(np.full(len(starts), uid), pa.int64()),
+            "session_id": pa.array(sid[starts], pa.int64()),
+            "n_events": pa.array(counts.astype(np.int64), pa.int64()),
+            "t_start_us": pa.array(ts[starts], pa.int64()),
+            "t_end_us": pa.array(t_end, pa.int64()),
+            "sum_cents": pa.array(sum_cents, pa.int64()),
+        })
+
+    return events_ds.groupby(user_col).map_groups(per_user,
+                                                  batch_format="pyarrow")
+
+
+def asof_join(events_ds, orders_ds, *, left_key="user_id", left_ts="ts",
+              left_id="event_id", right_key="o_custkey",
+              right_ts="o_orderdate", right_val="o_orderkey",
+              num_partitions: int = 64):
+    """As-of (most-recent-prior) join: each left row picks the right row
+    with the greatest ``right_ts <= left_ts`` for the same key.
+
+    Right-side ties on (key, ts) are resolved deterministically by
+    keeping the max ``right_val``.  Shape: both sides are tagged and
+    unioned so ONE ``groupby(key)`` co-locates them; inside a group the
+    match is a single ``searchsorted`` over the sorted right side — no
+    driver state, no broadcast, works when both sides are huge.  Emits
+    ``(event_id, user_id, ts_us, o_orderkey, o_orderdate_us)`` with
+    nulls where no prior right row exists."""
+    def tag_left(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "k": t.column(left_key).cast(pa.int64()),
+            "tus": pa.array(_epoch_us(t.column(left_ts)), pa.int64()),
+            "rid": t.column(left_id).cast(pa.int64()),
+            "side": pa.array(np.zeros(t.num_rows, np.int8), pa.int8()),
+        })
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "k": t.column(right_key).cast(pa.int64()),
+            "tus": pa.array(_epoch_us(t.column(right_ts)), pa.int64()),
+            "rid": t.column(right_val).cast(pa.int64()),
+            "side": pa.array(np.ones(t.num_rows, np.int8), pa.int8()),
+        })
+
+    both = events_ds.map_batches(tag_left, batch_format="pyarrow",
+                                 zero_copy_batch=True) \
+        .union(orders_ds.map_batches(tag_right, batch_format="pyarrow",
+                                     zero_copy_batch=True))
+
+    def per_key(group: pa.Table) -> pa.Table:
+        k = group.column("k")[0].as_py()
+        side = group.column("side").to_numpy(zero_copy_only=False)
+        tus = group.column("tus").to_numpy(zero_copy_only=False)
+        rid = group.column("rid").to_numpy(zero_copy_only=False)
+        lm = side == 0
+        le_t, le_id = tus[lm], rid[lm]
+        if not len(le_t):
+            return pa.table({
+                "event_id": pa.array([], pa.int64()),
+                "user_id": pa.array([], pa.int64()),
+                "ts_us": pa.array([], pa.int64()),
+                "o_orderkey": pa.array([], pa.int64()),
+                "o_orderdate_us": pa.array([], pa.int64())})
+        rt, rv = tus[~lm], rid[~lm]
+        if len(rt):
+            # dedupe right side per ts: keep max val (deterministic tie)
+            o = np.lexsort((rv, rt))
+            rt, rv = rt[o], rv[o]
+            last = np.append(rt[1:] != rt[:-1], True)
+            rt, rv = rt[last], rv[last]
+            pos = np.searchsorted(rt, le_t, side="right") - 1
+            ok = pos >= 0
+            okey = np.where(ok, rv[np.maximum(pos, 0)], 0)
+            odate = np.where(ok, rt[np.maximum(pos, 0)], 0)
+        else:
+            ok = np.zeros(len(le_t), bool)
+            okey = odate = np.zeros(len(le_t), np.int64)
+        return pa.table({
+            "event_id": pa.array(le_id, pa.int64()),
+            "user_id": pa.array(np.full(len(le_t), k), pa.int64()),
+            "ts_us": pa.array(le_t, pa.int64()),
+            "o_orderkey": pa.array(okey.astype(np.int64), pa.int64(),
+                                   mask=~ok),
+            "o_orderdate_us": pa.array(odate.astype(np.int64), pa.int64(),
+                                       mask=~ok),
+        })
+
+    return both.groupby("k").map_groups(per_key, batch_format="pyarrow")
+
+
+def range_join(events_ds, orders_ds, window_days: int = 30, *,
+               left_key="user_id", left_ts="ts", left_id="event_id",
+               right_key="o_custkey", right_ts="o_orderdate",
+               right_val="o_orderkey"):
+    """Range (interval) join: every (event, order) pair with the same
+    key where ``right_ts <= left_ts < right_ts + window``.
+
+    Same tag/union/one-groupby shape as :func:`asof_join`; inside a
+    group each event's matching order index range is TWO searchsorted
+    calls (window lower/upper bound) and the pair expansion is a
+    vectorized repeat+gather — per-group cost is O((n+m) log m + pairs),
+    never the n×m nested loop.  Fan-out is bounded by orders-per-window,
+    the analogue of the LSH bucket-size cap (buckets.py)."""
+    window_us = int(window_days) * 86_400 * _US
+
+    def tag(side_val, key, ts, idc):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "k": t.column(key).cast(pa.int64()),
+                "tus": pa.array(_epoch_us(t.column(ts)), pa.int64()),
+                "rid": t.column(idc).cast(pa.int64()),
+                "side": pa.array(np.full(t.num_rows, side_val, np.int8),
+                                 pa.int8()),
+            })
+        return fn
+
+    both = events_ds.map_batches(tag(0, left_key, left_ts, left_id),
+                                 batch_format="pyarrow",
+                                 zero_copy_batch=True) \
+        .union(orders_ds.map_batches(tag(1, right_key, right_ts, right_val),
+                                     batch_format="pyarrow",
+                                     zero_copy_batch=True))
+
+    _EMPTY = pa.table({"left_id": pa.array([], pa.int64()),
+                       "key": pa.array([], pa.int64()),
+                       "right_id": pa.array([], pa.int64()),
+                       "right_ts_us": pa.array([], pa.int64())})
+
+    def per_key(group: pa.Table) -> pa.Table:
+        k = group.column("k")[0].as_py()
+        side = group.column("side").to_numpy(zero_copy_only=False)
+        tus = group.column("tus").to_numpy(zero_copy_only=False)
+        rid = group.column("rid").to_numpy(zero_copy_only=False)
+        lm = side == 0
+        le_t, le_id = tus[lm], rid[lm]
+        rt, rv = tus[~lm], rid[~lm]
+        if not len(le_t) or not len(rt):
+            return _EMPTY
+        o = np.argsort(rt, kind="stable")
+        rt, rv = rt[o], rv[o]
+        lo = np.searchsorted(rt, le_t - window_us, side="right")
+        hi = np.searchsorted(rt, le_t, side="right")
+        counts = hi - lo
+        tot = int(counts.sum())
+        if tot == 0:
+            return _EMPTY
+        # repeat+gather pair expansion (bands._segment_gather pattern)
+        excl = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        idx = np.repeat(lo - excl, counts) + np.arange(tot)
+        return pa.table({
+            "left_id": pa.array(np.repeat(le_id, counts), pa.int64()),
+            "key": pa.array(np.full(tot, k), pa.int64()),
+            "right_id": pa.array(rv[idx], pa.int64()),
+            "right_ts_us": pa.array(rt[idx], pa.int64()),
+        })
+
+    return both.groupby("k").map_groups(per_key, batch_format="pyarrow")

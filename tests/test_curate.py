@@ -1,0 +1,137 @@
+"""Unit tests for the corpus-curation operators (kmcp_ray/curate.py)
+against small pure-Python oracles on constructed corpora."""
+
+import re
+from collections import Counter
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from kmcp_ray import curate
+
+try:  # ray only needed by the dataset-level tests
+    import ray.data
+except ImportError:  # pragma: no cover
+    ray = None
+
+
+def _docs_table():
+    rows = [
+        (0, "alpha beta gamma delta epsilon", "en"),
+        (1, "alpha beta gamma delta zeta", "en"),      # shares shingles w/ 0
+        (2, "one two three four five six", "en"),
+        (3, "uno dos tres cuatro cinco", "es"),
+        (4, "seis siete ocho nueve diez", "es"),
+        (5, "", "en"),
+        (6, None, "en"),
+        (7, "short one", "es"),                         # < k tokens
+        (8, "completely different words here now", "en"),
+        (9, "one two three totally else", "en"),        # shares w/ 2
+    ]
+    return pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+        "lang": pa.array([r[2] for r in rows], pa.string()),
+    })
+
+
+def test_sample_hash32_deterministic_and_uniform():
+    ids = np.arange(100000, dtype=np.int64)
+    h = curate.sample_hash32(ids)
+    assert np.array_equal(h, curate.sample_hash32(ids))
+    assert h.max() <= 0xFFFFFFFF
+    rate = float((h % 100 < 10).mean())
+    assert 0.09 < rate < 0.11
+
+
+def test_hash_sample_nested_keep_sets(ray_session):
+    ds = ray.data.from_arrow(_docs_table())
+    ids5 = set(r["doc_id"] for r in curate.hash_sample(ds, pct=55).take_all())
+    ids9 = set(r["doc_id"] for r in curate.hash_sample(ds, pct=90).take_all())
+    assert ids5 <= ids9           # nested samples
+    # oracle: direct predicate
+    h = curate.sample_hash32(np.arange(10))
+    assert ids5 == set(np.nonzero(h % 100 < 55)[0].tolist())
+
+
+def test_stratified_sample_exact_quota(ray_session):
+    n = 300
+    langs = np.array(["en", "es", "fr"])[np.arange(n) % 3]
+    t = pa.table({"doc_id": pa.array(np.arange(n), pa.int64()),
+                  "lang": pa.array(langs, pa.string())})
+    out = curate.stratified_sample(ray.data.from_arrow(t), pct=17,
+                                   group_col="lang").take_all()
+    got = Counter(r["lang"] for r in out)
+    assert got == {"en": 17, "es": 17, "fr": 17}    # ceil(100*17/100)
+    # deterministic: smallest (hash, id) per group
+    ids = np.arange(n)
+    h = curate.sample_hash32(ids)
+    for lang in ["en", "es", "fr"]:
+        grp = ids[langs == lang]
+        order = grp[np.lexsort((grp, h[langs == lang]))][:17]
+        want = set(order.tolist())
+        assert set(r["doc_id"] for r in out if r["lang"] == lang) == want
+
+
+def test_decontaminate_drops_shingle_overlap(ray_session):
+    t = _docs_table()
+    ds = ray.data.from_arrow(t)
+    eval_ds = ray.data.from_arrow(t.slice(0, 1))       # doc 0 is the eval set
+    ev2 = ray.data.from_arrow(t.slice(2, 1))           # doc 2
+    out = curate.decontaminate(ds, eval_ds, k=3).take_all()
+    kept = {r["doc_id"] for r in out}
+    # doc 0 itself and doc 1 (shares "alpha beta gamma" etc.) are dropped;
+    # empty/None/short/disjoint docs survive
+    assert kept == {2, 3, 4, 5, 6, 7, 8, 9}
+    kept2 = {r["doc_id"]
+             for r in curate.decontaminate(ds, ev2, k=3).take_all()}
+    assert kept2 == {0, 1, 3, 4, 5, 6, 7, 8}           # 2 and 9 share
+
+    # empty eval set: nothing dropped
+    empty = ray.data.from_arrow(t.slice(5, 1))         # text == ""
+    kept3 = {r["doc_id"]
+             for r in curate.decontaminate(ds, empty, k=3).take_all()}
+    assert kept3 == set(range(10))
+
+
+def test_vocab_topk_matches_counter(ray_session):
+    t = _docs_table()
+    out = curate.vocab_topk(ray.data.from_arrow(t), topk=5).take_all()
+    cnt = Counter()
+    for s in t.column("text").to_pylist():
+        cnt.update(re.findall("[a-z0-9]+", (s or "").lower()))
+    want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert [(r["token"], r["cnt"]) for r in out] == want
+
+
+def test_pii_scrub_counts_and_text(ray_session):
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "mail me at jane.doe+x@sub.example.org thanks",
+            "card 1234567890 and pin 12345",        # one >=6-digit run
+            None,
+            "two mails a@b.io c@d.co and 999999888877",
+        ], pa.string()),
+    })
+    out = {r["doc_id"]: r
+           for r in curate.pii_scrub(ray.data.from_arrow(t)).take_all()}
+    assert out[0]["clean_text"] == "mail me at <EMAIL> thanks"
+    assert out[0]["n_redacted"] == 1
+    assert out[1]["clean_text"] == "card <NUM> and pin 12345"
+    assert out[1]["n_redacted"] == 1
+    assert out[2]["clean_text"] == ""
+    assert out[2]["n_redacted"] == 0
+    assert out[3]["clean_text"] == "two mails <EMAIL> <EMAIL> and <NUM>"
+    assert out[3]["n_redacted"] == 3
+
+
+def test_sample_hash_sql_expression_matches_numpy():
+    duckdb = pytest.importorskip("duckdb")
+    ids = np.arange(2000, dtype=np.int64)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT unnest(range(0, 2000)) AS i")
+    sql = f"SELECT {curate.sample_hash_sql('i')} AS h FROM t ORDER BY i"
+    got = con.execute(sql).fetchnumpy()["h"].astype(np.uint64)
+    assert np.array_equal(got, curate.sample_hash32(ids))

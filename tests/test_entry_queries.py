@@ -17,7 +17,9 @@ SQL_CHECKED = ["exact_dedup_docs", "token_count", "token_stats", "doc_stats",
                "lineitem_pricing", "top_docs_by_len", "cov2simi",
                "ann_topk", "ann_ivf_topk", "ann_ivf_persisted",
                "embedding_pairs", "embedding_dedup", "corpus_funnel",
-               "incremental_dedup"]
+               "incremental_dedup", "hash_sample", "stratified_sample",
+               "decontaminate", "vocab_topk", "pii_scrub", "sessionize",
+               "asof_join", "range_join"]
 
 
 @pytest.fixture(scope="module")
