@@ -812,6 +812,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
             right_key="l_partkey", right_ts="l_shipdate", right_val="uid")
         return out.sort(["left_id", "right_id"])
 
+    def q_repetition_score(sf):
+        """Gopher/C4-style intra-doc repetition signal: duplicate
+        3-shingle fraction per doc, integer-milli so it hashes stably."""
+        from kmcp_ray import curate
+        return curate.repetition_score(
+            _read(sf, "documents", columns=["doc_id", "text"])) \
+            .sort("doc_id")
+
+    def q_doc_len_quantiles(sf):
+        """Exact order statistics of doc length via the distinct-value
+        histogram — no global sort, driver state bounded by metric
+        cardinality."""
+        return relops.exact_quantiles(
+            _read(sf, "documents", columns=["n_chars"]), "n_chars",
+            q_pcts=(25, 50, 90, 99))
+
     return {
         "exact_dedup_docs": q_exact_dedup,
         "token_count": q_token_count,
@@ -866,6 +882,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": q_sessionize,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
+        "doc_len_quantiles": q_doc_len_quantiles,
+        "repetition_score": q_repetition_score,
     }
 
 
@@ -1908,5 +1926,44 @@ def oracle_sql() -> dict[str, str]:
              AND a.tus >= b.tus
              AND a.tus < b.tus + 7776000000000
             ORDER BY left_id, right_id
+        """,
+        "doc_len_quantiles": """
+            WITH r AS (
+                SELECT n_chars,
+                       row_number() OVER (ORDER BY n_chars) - 1 AS rk,
+                       count(*) OVER () AS n
+                FROM documents
+            )
+            SELECT CAST(q.q_pct AS BIGINT) AS q_pct, r.n_chars AS value
+            FROM (VALUES (25), (50), (90), (99)) q(q_pct)
+            JOIN r ON r.rk = ((r.n - 1) * q.q_pct) // 100
+            ORDER BY q.q_pct
+        """,
+        "repetition_score": """
+            WITH t AS (
+                SELECT doc_id AS did,
+                       regexp_extract_all(lower(coalesce(text, '')),
+                                          '[a-z0-9]+') AS tk
+                FROM documents
+            ), sh AS (
+                SELECT did, unnest(
+                    CASE WHEN len(tk) >= 3 THEN list_transform(
+                              generate_series(1, len(tk) - 2),
+                              i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+                         WHEN len(tk) > 0 THEN [array_to_string(tk, ' ')]
+                         ELSE [] END) AS s
+                FROM t
+            ), tot AS (
+                SELECT did, count(*) AS n_sh, count(DISTINCT s) AS n_di
+                FROM sh GROUP BY did
+            )
+            SELECT d.doc_id,
+                   coalesce(n_sh, 0) AS n_shingles,
+                   coalesce(n_di, 0) AS n_distinct,
+                   CASE WHEN coalesce(n_sh, 0) = 0 THEN 0
+                        ELSE CAST(floor(1000.0 * (n_sh - n_di) / n_sh)
+                                  AS BIGINT) END AS rep_milli
+            FROM documents d LEFT JOIN tot ON tot.did = d.doc_id
+            ORDER BY d.doc_id
         """,
     }

@@ -4,7 +4,8 @@ The kmcp reference curates its inputs with regex blacklists and
 duplicate checks before indexing (reference: kmcp/cmd/compute.go:248-260,
 index.go:524-537); a 100 TB training-data pipeline needs the same
 pre-index hygiene stages generalized: deterministic sampling,
-benchmark decontamination, vocabulary statistics, and PII redaction.
+benchmark decontamination, vocabulary statistics, PII redaction, and
+intra-document repetition scoring.
 Every operator here is a vectorized ``map_batches`` stage (RE2 /
 numpy / SipHash kernels); the only shuffles are a vocabulary-sized
 ``groupby`` and a per-group quota selection, and the decontamination
@@ -211,5 +212,42 @@ def pii_scrub(ds, id_col: str = "doc_id", text_col: str = "text"):
         return pa.table({id_col: t.column(id_col),
                          "clean_text": s2,
                          "n_redacted": n_red})
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ----------------------------------------------------- repetition scoring
+
+def repetition_score(ds, id_col: str = "doc_id", text_col: str = "text",
+                     k: int = 3):
+    """Intra-document repetition: the fraction of k-token shingles that
+    are duplicates of an earlier shingle in the SAME document — the
+    Gopher/C4-style repetitious-text quality signal.
+
+    Stateless and fully vectorized: one shingle pass per batch, distinct
+    counting via a (row, hash) lexsort — no shuffle at all.  Emits
+    ``(id, n_shingles, n_distinct, rep_milli)`` with ``rep_milli =
+    floor(1000 * (n_shingles - n_distinct) / n_shingles)`` (0 for
+    shingle-less docs) so the ratio hashes stably as an integer."""
+    def fn(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        sh, rows, _ = textops.shingle_strings(t.column(text_col), k)
+        tot = np.bincount(rows, minlength=n).astype(np.int64)
+        if len(sh):
+            h = hashing.hash_tokens(sh)
+            order = np.lexsort((h, rows))
+            hs, rs = h[order], rows[order]
+            first = np.ones(len(hs), dtype=bool)
+            first[1:] = (hs[1:] != hs[:-1]) | (rs[1:] != rs[:-1])
+            dist = np.bincount(rs[first], minlength=n).astype(np.int64)
+        else:
+            dist = np.zeros(n, np.int64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            rep = np.floor(1000.0 * (tot - dist) / tot)
+        rep_milli = np.where(tot > 0, rep, 0.0).astype(np.int64)
+        return pa.table({id_col: t.column(id_col),
+                         "n_shingles": pa.array(tot, pa.int64()),
+                         "n_distinct": pa.array(dist, pa.int64()),
+                         "rep_milli": pa.array(rep_milli, pa.int64())})
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

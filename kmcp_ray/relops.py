@@ -171,3 +171,36 @@ def query_fpr(ds, n_col: str, m_col: str, p_fpr: float = 0.05):
         return batch.append_column(
             "fpr_tail", pa.array(query_fpr_values(n, m, p_fpr), pa.float64()))
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ------------------------------------------------- exact order statistics
+
+def exact_quantiles(ds, col: str, q_pcts=(25, 50, 90, 99)):
+    """Exact order statistics of an integer metric column without a
+    global sort: ONE ``groupby(col).count()`` collapses the dataset to
+    its distinct-value histogram (bounded by the metric's cardinality,
+    not the row count), then the driver cumsums the sorted histogram
+    and picks the value at rank ``(n-1) * q // 100`` per quantile.
+
+    The exact counterpart of the reference's approximate qCov quantile
+    sketch (kmcp/cmd/util-profile.go:228-230 analogue, A6) — at 10^12
+    rows the shuffle moves one row per distinct metric value per block.
+    Returns a pyarrow Table ``(q_pct, value)`` sorted by q_pct."""
+    from ray.data.aggregate import Count
+
+    vc = ds.groupby(col).aggregate(Count(alias_name="cnt")).take_all()
+    vals = np.array([r[col] for r in vc], dtype=np.int64)
+    cnts = np.array([r["cnt"] for r in vc], dtype=np.int64)
+    order = np.argsort(vals)
+    vals, cnts = vals[order], cnts[order]
+    cum = np.cumsum(cnts)
+    n = int(cum[-1]) if len(cum) else 0
+    out_q, out_v = [], []
+    for q in q_pcts:
+        if n == 0:
+            continue
+        rank = (n - 1) * int(q) // 100          # 0-based lower statistic
+        out_q.append(int(q))
+        out_v.append(int(vals[np.searchsorted(cum, rank + 1)]))
+    return pa.table({"q_pct": pa.array(out_q, pa.int64()),
+                     "value": pa.array(out_v, pa.int64())})

@@ -135,3 +135,36 @@ def test_sample_hash_sql_expression_matches_numpy():
     sql = f"SELECT {curate.sample_hash_sql('i')} AS h FROM t ORDER BY i"
     got = con.execute(sql).fetchnumpy()["h"].astype(np.uint64)
     assert np.array_equal(got, curate.sample_hash32(ids))
+
+
+def test_exact_quantiles_match_numpy_order_statistics(ray_session):
+    from kmcp_ray import relops
+    rng = np.random.default_rng(7)
+    vals = rng.integers(0, 50, size=5000).astype(np.int64)   # heavy ties
+    ds = ray.data.from_arrow(pa.table({"v": pa.array(vals, pa.int64())}))
+    out = relops.exact_quantiles(ds, "v", q_pcts=(0, 25, 50, 90, 99, 100))
+    s = np.sort(vals)
+    for q, v in zip(out.column("q_pct").to_pylist(),
+                    out.column("value").to_pylist()):
+        assert v == int(s[(len(s) - 1) * q // 100]), q
+
+
+def test_repetition_score_counts(ray_session):
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "a b c a b c a b c",     # shingles: abc bca cab ×repeats
+            "x y z w",               # all distinct
+            "",                      # no shingles
+            "p q",                   # short row: one all-token shingle
+        ], pa.string()),
+    })
+    out = {r["doc_id"]: r
+           for r in curate.repetition_score(ray.data.from_arrow(t)).take_all()}
+    # doc 0: 7 shingles, 3 distinct ("a b c","b c a","c a b")
+    assert (out[0]["n_shingles"], out[0]["n_distinct"]) == (7, 3)
+    assert out[0]["rep_milli"] == int(np.floor(1000.0 * 4 / 7))
+    assert (out[1]["n_shingles"], out[1]["n_distinct"],
+            out[1]["rep_milli"]) == (2, 2, 0)
+    assert (out[2]["n_shingles"], out[2]["rep_milli"]) == (0, 0)
+    assert (out[3]["n_shingles"], out[3]["n_distinct"]) == (1, 1)

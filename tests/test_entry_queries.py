@@ -19,7 +19,8 @@ SQL_CHECKED = ["exact_dedup_docs", "token_count", "token_stats", "doc_stats",
                "embedding_pairs", "embedding_dedup", "corpus_funnel",
                "incremental_dedup", "hash_sample", "stratified_sample",
                "decontaminate", "vocab_topk", "pii_scrub", "sessionize",
-               "asof_join", "range_join"]
+               "asof_join", "range_join", "doc_len_quantiles",
+               "repetition_score"]
 
 
 @pytest.fixture(scope="module")
