@@ -820,6 +820,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf, "documents", columns=["doc_id", "text"])) \
             .sort("doc_id")
 
+    def q_shingle_hll(sf):
+        """HyperLogLog distinct-shingle sketch (p=12) with the
+        md5-derived hash: the REGISTER-STATE histogram is deterministic
+        pure integers, so even the approximate sketch is
+        driver-hash-checkable; estimate accuracy is pytest-pinned."""
+        from kmcp_ray import hll
+        regs, _est = hll.shingle_hll(
+            _read(sf, "documents", columns=["text"]), k=3, p=12,
+            token_hash="md5")
+        return hll.register_histogram(regs)
+
     def q_doc_len_quantiles(sf):
         """Exact order statistics of doc length via the distinct-value
         histogram — no global sort, driver state bounded by metric
@@ -884,6 +895,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_join": q_range_join,
         "doc_len_quantiles": q_doc_len_quantiles,
         "repetition_score": q_repetition_score,
+        "shingle_hll": q_shingle_hll,
     }
 
 
@@ -1965,5 +1977,41 @@ def oracle_sql() -> dict[str, str]:
                                   AS BIGINT) END AS rep_milli
             FROM documents d LEFT JOIN tot ON tot.did = d.doc_id
             ORDER BY d.doc_id
+        """,
+        "shingle_hll": """
+            WITH t AS (
+                SELECT regexp_extract_all(lower(coalesce(text, '')),
+                                          '[a-z0-9]+') AS tk
+                FROM documents
+            ), sh AS (
+                SELECT unnest(
+                    CASE WHEN len(tk) >= 3 THEN list_transform(
+                              generate_series(1, len(tk) - 2),
+                              i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+                         WHEN len(tk) > 0 THEN [array_to_string(tk, ' ')]
+                         ELSE [] END) AS s
+                FROM t
+            ), d AS (
+                SELECT DISTINCT s FROM sh
+            ), h AS (
+                SELECT ('0x' || substr(md5(s), 1, 16))::UBIGINT AS hv
+                FROM d
+            ), r AS (
+                SELECT CAST(hv >> 52 AS BIGINT) AS reg,
+                       hv & 4503599627370495 AS w
+                FROM h
+            ), rk AS (
+                SELECT reg, max(CASE WHEN w = 0 THEN 53
+                                     ELSE 53 - length(bin(w)) END) AS rank
+                FROM r GROUP BY reg
+            ), hist AS (
+                SELECT rank, count(*) AS n_registers FROM rk GROUP BY rank
+                UNION ALL
+                SELECT 0, 4096 - (SELECT count(*) FROM rk)
+                WHERE (SELECT count(*) FROM rk) < 4096
+            )
+            SELECT CAST(rank AS BIGINT) AS rank,
+                   CAST(n_registers AS BIGINT) AS n_registers
+            FROM hist ORDER BY rank
         """,
     }

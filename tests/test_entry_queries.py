@@ -20,7 +20,7 @@ SQL_CHECKED = ["exact_dedup_docs", "token_count", "token_stats", "doc_stats",
                "incremental_dedup", "hash_sample", "stratified_sample",
                "decontaminate", "vocab_topk", "pii_scrub", "sessionize",
                "asof_join", "range_join", "doc_len_quantiles",
-               "repetition_score"]
+               "repetition_score", "shingle_hll"]
 
 
 @pytest.fixture(scope="module")
