@@ -32,8 +32,17 @@ def _docs(sf_dir: str):
 
 
 def _read(sf_dir: str, name: str, columns=None):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
     import ray.data
-    return ray.data.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+    path = f"{sf_dir}/{name}.parquet"
+    # pass an explicit metadata-free (projected) schema: the testdata
+    # files carry a pandas-metadata blob that makes hash(pa.Schema)
+    # raise, so every read would log Ray's "Failed to hash the schemas"
+    # warning on each block-schema dedup
+    full = pq.read_schema(path).remove_metadata()
+    schema = pa.schema([full.field(c) for c in columns]) if columns else full
+    return ray.data.read_parquet(path, columns=columns, schema=schema)
 
 
 def _finalize_matches(out, drop_self: bool = True):
@@ -820,6 +829,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf, "documents", columns=["doc_id", "text"])) \
             .sort("doc_id")
 
+    def q_pack_sequences(sf):
+        """Context-window sequence packing (budget=256 tokens):
+        distributed exclusive prefix sum in doc_id order — per-range
+        token totals broadcast as offsets, in-group vectorized cumsum;
+        oracle = the SQL running-sum window."""
+        from kmcp_ray import curate
+        return curate.pack_sequences(
+            _read(sf, "documents", columns=["doc_id", "text"]),
+            budget=256, num_partitions=16)
+
     def q_shingle_hll(sf):
         """HyperLogLog distinct-shingle sketch (p=12) with the
         md5-derived hash: the REGISTER-STATE histogram is deterministic
@@ -896,6 +915,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_len_quantiles": q_doc_len_quantiles,
         "repetition_score": q_repetition_score,
         "shingle_hll": q_shingle_hll,
+        "pack_sequences": q_pack_sequences,
     }
 
 
@@ -1977,6 +1997,27 @@ def oracle_sql() -> dict[str, str]:
                                   AS BIGINT) END AS rep_milli
             FROM documents d LEFT JOIN tot ON tot.did = d.doc_id
             ORDER BY d.doc_id
+        """,
+        "pack_sequences": """
+            WITH t AS (
+                SELECT doc_id,
+                       CAST(length(regexp_extract_all(lower(text),
+                                                      '[a-z0-9]+'))
+                            AS BIGINT) AS n_tokens
+                FROM documents
+            ), c AS (
+                SELECT doc_id, n_tokens,
+                       CAST(coalesce(sum(n_tokens) OVER (
+                                ORDER BY doc_id ROWS BETWEEN UNBOUNDED
+                                PRECEDING AND 1 PRECEDING), 0)
+                            AS BIGINT) AS tok_offset
+                FROM t
+            )
+            SELECT doc_id, n_tokens, tok_offset,
+                   tok_offset // 256 AS win_start,
+                   (tok_offset + greatest(n_tokens, 1) - 1) // 256
+                       AS win_end
+            FROM c ORDER BY doc_id
         """,
         "shingle_hll": """
             WITH t AS (

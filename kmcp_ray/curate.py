@@ -251,3 +251,80 @@ def repetition_score(ds, id_col: str = "doc_id", text_col: str = "text",
                          "rep_milli": pa.array(rep_milli, pa.int64())})
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# --------------------------------------------------------- sequence packing
+
+def pack_sequences(ds, budget: int = 2048, num_partitions: int = 64, *,
+                   id_col: str = "doc_id", text_col: str = "text",
+                   cache_slim: bool = True):
+    """Context-window sequence packing: place documents end-to-end in
+    ``id_col`` order and cut fixed ``budget``-token windows — the
+    standard "pack the corpus into training sequences" step.  Emits one
+    row per document: ``(doc_id, n_tokens, tok_offset, win_start,
+    win_end)`` where ``tok_offset`` is the document's global starting
+    token position, ``win_start = tok_offset // budget`` and
+    ``win_end`` the window of its last token (documents may straddle
+    windows; a window id is a training-sequence id).
+
+    Shape — a distributed exclusive prefix sum, the one pattern
+    ``Dataset`` lacks natively: (1) slim ``(id, n_tok)`` projection
+    (tokenization = the frozen ``[a-z0-9]+`` contract shared with the
+    token_count oracle); (2) contiguous range partitions
+    ``part = id * P // (max_id + 1)``; (3) per-partition token totals —
+    a P-row aggregate collected on the driver (P ints, never rows);
+    (4) one ``groupby(part)`` whose in-group kernel is a vectorized
+    argsort + cumsum seeded with the partition's broadcast offset.
+
+    ``cache_slim=True`` materializes the 16 B/row projection because it
+    is consumed twice (totals + binning); at 10^12 rows prefer
+    ``cache_slim=False`` to re-read instead of spilling ~16 TB.
+    """
+    P = int(num_partitions)
+
+    def slim_fn(t: pa.Table) -> pa.Table:
+        lowered = pc.utf8_lower(pc.fill_null(t.column(text_col), ""))
+        n = pc.count_substring_regex(lowered, pattern="[a-z0-9]+")
+        return pa.table({"id": t.column(id_col).cast(pa.int64()),
+                         "n_tok": pc.cast(n, pa.int64())})
+
+    slim = ds.map_batches(slim_fn, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    if cache_slim:
+        slim = slim.materialize()
+    max_id = slim.max("id")
+    span = int(max_id) + 1
+
+    def add_part(t: pa.Table) -> pa.Table:
+        ids = t.column("id").to_numpy(zero_copy_only=False)
+        part = (ids.astype(np.int64) * P) // span
+        return t.append_column("part", pa.array(part, pa.int64()))
+
+    parted = slim.map_batches(add_part, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    totals = parted.groupby("part").sum("n_tok").take_all()   # ≤ P rows
+    tok_of_part = np.zeros(P, np.int64)
+    for r in totals:
+        tok_of_part[int(r["part"])] = int(r["sum(n_tok)"])
+    offsets = np.concatenate(([0], np.cumsum(tok_of_part)[:-1]))
+    offsets_ref = ray.put(offsets)
+
+    def per_part(group: pa.Table) -> pa.Table:
+        offs = ray.get(offsets_ref)
+        part = int(group.column("part")[0].as_py())
+        ids = group.column("id").to_numpy(zero_copy_only=False)
+        n = group.column("n_tok").to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")
+        ids, n = ids[order], n[order]
+        excl = offs[part] + np.concatenate(([0], np.cumsum(n)[:-1]))
+        last = excl + np.maximum(n, 1) - 1   # empty doc: window of offset
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_tokens": pa.array(n, pa.int64()),
+            "tok_offset": pa.array(excl, pa.int64()),
+            "win_start": pa.array(excl // budget, pa.int64()),
+            "win_end": pa.array(last // budget, pa.int64()),
+        })
+
+    return parted.groupby("part").map_groups(per_part,
+                                             batch_format="pyarrow")

@@ -168,3 +168,26 @@ def test_repetition_score_counts(ray_session):
             out[1]["rep_milli"]) == (2, 2, 0)
     assert (out[2]["n_shingles"], out[2]["rep_milli"]) == (0, 0)
     assert (out[3]["n_shingles"], out[3]["n_distinct"]) == (1, 1)
+
+
+def test_pack_sequences_prefix_sum(ray_session):
+    # ids deliberately out of order across blocks; doc 2 empty; budget 10
+    t = pa.table({
+        "doc_id": pa.array([3, 0, 2, 1, 4], pa.int64()),
+        "text": pa.array(["g h i j k l",          # 6 tok, offset 12
+                          "a b c d e f g",        # 7 tok, offset 0
+                          "",                     # 0 tok, offset 12
+                          "x y z w v",            # 5 tok, offset 7
+                          "m n o p q r s t u"],   # 9 tok, offset 18
+                         pa.string()),
+    })
+    out = {r["doc_id"]: r for r in curate.pack_sequences(
+        ray.data.from_arrow(t), budget=10, num_partitions=4).take_all()}
+    assert [out[i]["tok_offset"] for i in range(5)] == [0, 7, 12, 12, 18]
+    assert [out[i]["n_tokens"] for i in range(5)] == [7, 5, 0, 6, 9]
+    # doc 1 straddles windows 0→1; doc 4 spans 1→2; empty doc 2 sits at
+    # its offset's window
+    assert (out[1]["win_start"], out[1]["win_end"]) == (0, 1)
+    assert (out[2]["win_start"], out[2]["win_end"]) == (1, 1)
+    assert (out[3]["win_start"], out[3]["win_end"]) == (1, 1)
+    assert (out[4]["win_start"], out[4]["win_end"]) == (1, 2)
