@@ -155,7 +155,8 @@ def run_bench() -> dict:
                      "events_hourly_user", "ann_topk", "lsh_cosine_pairs",
                      "doc_fingerprint", "profile_em", "merge_regions",
                      "search_indexed_docs", "hash_sample", "decontaminate",
-                     "vocab_topk", "pii_scrub", "sessionize"]:
+                     "vocab_topk", "pii_scrub", "sessionize",
+                     "pack_sequences"]:
             timed(name, lambda n=name: consume(qs[n](SF_DIR)))
 
     n_assign = ray.data.read_parquet(out_dir).count()
