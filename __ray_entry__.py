@@ -829,6 +829,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf, "documents", columns=["doc_id", "text"])) \
             .sort("doc_id")
 
+    def q_select_reps(sf):
+        """Cluster-representative selection after near-dup clustering:
+        keep the longest document (n_chars, ties min id) per minhash
+        cluster — the "which duplicate survives" policy step; oracle =
+        row_number window over the SQL transitive closure."""
+        assign = docs_dedup.minhash_dedup(_docs(sf), ex_cfg)
+        docs = _read(sf, "documents", columns=["doc_id", "n_chars"])
+        return docs_dedup.select_representatives(assign, docs)
+
     def q_pack_sequences(sf):
         """Context-window sequence packing (budget=256 tokens):
         distributed exclusive prefix sum in doc_id order — per-range
@@ -916,6 +925,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_score": q_repetition_score,
         "shingle_hll": q_shingle_hll,
         "pack_sequences": q_pack_sequences,
+        "select_representatives": q_select_reps,
     }
 
 
@@ -1997,6 +2007,21 @@ def oracle_sql() -> dict[str, str]:
                                   AS BIGINT) END AS rep_milli
             FROM documents d LEFT JOIN tot ON tot.did = d.doc_id
             ORDER BY d.doc_id
+        """,
+        "select_representatives": """
+            SELECT cluster_id, doc_id AS rep_id, n_chars AS rep_quality,
+                   n_members
+            FROM (
+                SELECT a.cluster_id, a.doc_id, d.n_chars,
+                       row_number() OVER (PARTITION BY a.cluster_id
+                           ORDER BY d.n_chars DESC, a.doc_id ASC) AS rn,
+                       count(*) OVER (PARTITION BY a.cluster_id)
+                           AS n_members
+                FROM (""" + _minhash_closure + """) a
+                JOIN documents d USING (doc_id)
+            )
+            WHERE rn = 1
+            ORDER BY cluster_id
         """,
         "pack_sequences": """
             WITH t AS (

@@ -247,3 +247,102 @@ def token_jaccard_exact(ds, *, max_id: int = 300, min_jacc_u: int = 650000,
 
     return shared.map_batches(score, batch_format="pyarrow") \
         .sort(["id_a", "id_b"])
+
+
+# ------------------------------------------------- representative selection
+
+def select_representatives(assignments, docs, *, id_col="doc_id",
+                           quality_col="n_chars", num_partitions: int = 64):
+    """Pick each dedup cluster's surviving document by a quality policy:
+    max ``quality_col``, ties broken by min id (the training-data "which
+    duplicate do we keep" step; generalizes the pipeline's min-id
+    canonical choice).  Emits one row per cluster:
+    ``(cluster_id, rep_id, rep_quality, n_members)``.
+
+    Shape: two packed exchanges, both pair-sized — (1) hash-partition by
+    doc id to attach the quality value to each (id, cluster) assignment
+    row via an in-partition searchsorted join (the non-broadcast arm,
+    same as exchange.join_lookup but int64-typed end to end); (2)
+    hash-partition by cluster id, one vectorized lexsort + segment-first
+    per partition.  No driver pass, no broadcast of either side.
+    """
+    from kmcp_ray.exchange import Exchange, u64_part_fn
+
+    P = int(num_partitions)
+    ex1 = Exchange([("rt", pa.int8()), ("id", pa.int64()),
+                    ("v", pa.int64())], P)
+    pack1 = ex1.make_pack_fn(u64_part_fn("id", P=P))
+
+    def tag_docs(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({"rt": pa.array(np.zeros(n, np.int8), pa.int8()),
+                         "id": t.column(id_col).cast(pa.int64()),
+                         "v": t.column(quality_col).cast(pa.int64())})
+
+    def tag_assign(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({"rt": pa.array(np.ones(n, np.int8), pa.int8()),
+                         "id": t.column(id_col).cast(pa.int64()),
+                         "v": t.column("cluster_id").cast(pa.int64())})
+
+    both = docs.map_batches(tag_docs, batch_format="pyarrow",
+                            zero_copy_batch=True) \
+        .union(assignments.map_batches(tag_assign, batch_format="pyarrow",
+                                       zero_copy_batch=True)) \
+        .map_batches(pack1, batch_format="pyarrow", zero_copy_batch=True)
+
+    def attach_quality(group: pa.Table) -> pa.Table:
+        u = ex1.unpack(group)
+        rt = u["rt"].to_numpy(zero_copy_only=False)
+        ids = u["id"].to_numpy(zero_copy_only=False)
+        v = u["v"].to_numpy(zero_copy_only=False)
+        kv = rt == 0
+        pid, pcl = ids[~kv], v[~kv]
+        if len(pid) == 0:
+            return pa.table({"cluster_id": pa.array([], pa.int64()),
+                             "doc_id": pa.array([], pa.int64()),
+                             "q": pa.array([], pa.int64())})
+        kid, kq = ids[kv], v[kv]
+        order = np.argsort(kid, kind="stable")
+        kid, kq = kid[order], kq[order]
+        pos = np.searchsorted(kid, pid)
+        pos_c = np.minimum(pos, max(len(kid) - 1, 0))
+        hit = (pos < len(kid)) & (kid[pos_c] == pid) if len(kid) \
+            else np.zeros(len(pid), bool)
+        q = np.where(hit, kq[pos_c] if len(kid) else 0, 0)
+        return pa.table({"cluster_id": pa.array(pcl, pa.int64()),
+                         "doc_id": pa.array(pid, pa.int64()),
+                         "q": pa.array(q.astype(np.int64), pa.int64())})
+
+    triples = both.groupby("part").map_groups(attach_quality,
+                                              batch_format="pyarrow")
+
+    ex2 = Exchange([("cluster_id", pa.int64()), ("doc_id", pa.int64()),
+                    ("q", pa.int64())], P)
+    pack2 = ex2.make_pack_fn(u64_part_fn("cluster_id", P=P))
+
+    def per_cluster(group: pa.Table) -> pa.Table:
+        u = ex2.unpack(group)
+        cl = u["cluster_id"].to_numpy(zero_copy_only=False)
+        ids = u["doc_id"].to_numpy(zero_copy_only=False)
+        q = u["q"].to_numpy(zero_copy_only=False)
+        if len(cl) == 0:
+            return pa.table({"cluster_id": pa.array([], pa.int64()),
+                             "rep_id": pa.array([], pa.int64()),
+                             "rep_quality": pa.array([], pa.int64()),
+                             "n_members": pa.array([], pa.int64())})
+        order = np.lexsort((ids, -q, cl))     # per cluster: q desc, id asc
+        cl_s, ids_s, q_s = cl[order], ids[order], q[order]
+        first = np.concatenate(([True], cl_s[1:] != cl_s[:-1]))
+        starts = np.nonzero(first)[0]
+        counts = np.diff(np.append(starts, len(cl_s)))
+        return pa.table({
+            "cluster_id": pa.array(cl_s[starts], pa.int64()),
+            "rep_id": pa.array(ids_s[starts], pa.int64()),
+            "rep_quality": pa.array(q_s[starts], pa.int64()),
+            "n_members": pa.array(counts.astype(np.int64), pa.int64()),
+        })
+
+    return triples.map_batches(pack2, batch_format="pyarrow",
+                               zero_copy_batch=True) \
+        .groupby("part").map_groups(per_cluster, batch_format="pyarrow")

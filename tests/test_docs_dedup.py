@@ -99,3 +99,19 @@ def test_token_jaccard_exact(ray_session):
         ray.data.from_arrow(tbl), max_id=10, min_jacc_u=600000).to_pandas()
     got = {(a, b): j for a, b, j in zip(out.id_a, out.id_b, out.jaccard_u)}
     assert got == {(0, 1): 600000, (0, 2): 1000000, (1, 2): 600000}
+
+
+def test_select_representatives_policy(ray_session):
+    import ray.data
+    # clusters: {0,1,2} and {3,4}; quality picks longest, tie -> min id
+    assign = pa.table({"doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+                       "cluster_id": pa.array([0, 0, 0, 3, 3], pa.int64())})
+    docs = pa.table({"doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+                     "n_chars": pa.array([5, 9, 9, 7, 7], pa.int64())})
+    out = {r["cluster_id"]: r for r in docs_dedup.select_representatives(
+        ray.data.from_arrow(assign), ray.data.from_arrow(docs),
+        num_partitions=4).take_all()}
+    assert (out[0]["rep_id"], out[0]["rep_quality"],
+            out[0]["n_members"]) == (1, 9, 3)     # tie 1 vs 2 -> min id
+    assert (out[3]["rep_id"], out[3]["rep_quality"],
+            out[3]["n_members"]) == (3, 7, 2)
