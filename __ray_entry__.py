@@ -838,6 +838,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
         docs = _read(sf, "documents", columns=["doc_id", "n_chars"])
         return docs_dedup.select_representatives(assign, docs)
 
+    def q_corpus_diff(sf):
+        """Epoch-to-epoch corpus delta (added/removed/changed/same by
+        content hash): two deterministically derived versions of the
+        documents table — old drops doc_id%7==0, new drops doc_id%10==0
+        and appends ' v2' to doc_id%5==0 texts; oracle = the FULL OUTER
+        JOIN CASE."""
+        import pyarrow as pa
+        from kmcp_ray.increment import corpus_diff
+        docs = _docs(sf)
+
+        def derive(drop_mod: int, with_edit: bool):
+            def fn(t: pa.Table) -> pa.Table:
+                ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+                texts = t.column("text").to_numpy(zero_copy_only=False)
+                texts = np.where(texts == None, "", texts)  # noqa: E711
+                keep = ids % drop_mod != 0
+                ids, texts = ids[keep], texts[keep]
+                if with_edit:
+                    ed = ids % 5 == 0
+                    texts = texts.astype(object)
+                    texts[ed] = [s + " v2" for s in texts[ed]]
+                return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                                 "text": pa.array(texts, pa.string())})
+            return fn
+
+        old = docs.map_batches(derive(7, False), batch_format="pyarrow",
+                               zero_copy_batch=True)
+        new = docs.map_batches(derive(10, True), batch_format="pyarrow",
+                               zero_copy_batch=True)
+        return corpus_diff(old, new)
+
     def q_pack_sequences(sf):
         """Context-window sequence packing (budget=256 tokens):
         distributed exclusive prefix sum in doc_id order — per-range
@@ -926,6 +957,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shingle_hll": q_shingle_hll,
         "pack_sequences": q_pack_sequences,
         "select_representatives": q_select_reps,
+        "corpus_diff": q_corpus_diff,
     }
 
 
@@ -2007,6 +2039,25 @@ def oracle_sql() -> dict[str, str]:
                                   AS BIGINT) END AS rep_milli
             FROM documents d LEFT JOIN tot ON tot.did = d.doc_id
             ORDER BY d.doc_id
+        """,
+        "corpus_diff": """
+            WITH old_v AS (
+                SELECT doc_id, coalesce(text, '') AS text FROM documents
+                WHERE doc_id % 7 <> 0
+            ), new_v AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 5 = 0
+                            THEN coalesce(text, '') || ' v2'
+                            ELSE coalesce(text, '') END AS text
+                FROM documents WHERE doc_id % 10 <> 0
+            )
+            SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+                   CASE WHEN o.doc_id IS NULL THEN 'added'
+                        WHEN n.doc_id IS NULL THEN 'removed'
+                        WHEN o.text = n.text THEN 'same'
+                        ELSE 'changed' END AS status
+            FROM old_v o FULL OUTER JOIN new_v n ON o.doc_id = n.doc_id
+            ORDER BY doc_id
         """,
         "select_representatives": """
             SELECT cluster_id, doc_id AS rep_id, n_chars AS rep_quality,

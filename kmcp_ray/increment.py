@@ -197,3 +197,75 @@ def dedup_increment(new_ds, cfg: DedupConfig, workdir: str, *,
 
     return PipelineResult(assignments=assignments, edges=all_edges,
                           signatures=sig_union, cluster_map=cluster_map)
+
+
+# ------------------------------------------------------------- corpus diff
+
+def corpus_diff(old_ds, new_ds, *, id_col="doc_id", text_col="text",
+                num_partitions: int = 64):
+    """Epoch-to-epoch corpus delta by content hash: one row per id in
+    either version, ``(doc_id, status)`` with status in
+    ``added | removed | changed | same`` — the dataset-versioning diff
+    that decides what an incremental rebuild must touch (added/changed
+    rows feed :func:`dedup_increment`; removed ids invalidate their
+    clusters).
+
+    Shape: both sides map to ``(id, content_hash)`` (payload dropped at
+    the read, as the sketch stage does), tag/union, ONE packed exchange
+    by id hash, vectorized per-partition segment compare.  Never moves
+    text, never materializes either corpus.
+    """
+    from kmcp_ray import hashing
+    from kmcp_ray.exchange import Exchange, u64_part_fn
+
+    P = int(num_partitions)
+    ex = Exchange([("side", pa.int8()), ("id", pa.int64()),
+                   ("h", pa.uint64())], P)
+    pack = ex.make_pack_fn(u64_part_fn("id", P=P))
+
+    def tag(side_val):
+        def fn(t: pa.Table) -> pa.Table:
+            texts = t.column(text_col).to_numpy(zero_copy_only=False)
+            h = hashing.hash_strings(np.where(texts == None, "", texts))  # noqa: E711
+            n = t.num_rows
+            return pa.table({
+                "side": pa.array(np.full(n, side_val, np.int8), pa.int8()),
+                "id": t.column(id_col).cast(pa.int64()),
+                "h": pa.array(h, pa.uint64())})
+        return fn
+
+    both = old_ds.map_batches(tag(0), batch_format="pyarrow",
+                              zero_copy_batch=True) \
+        .union(new_ds.map_batches(tag(1), batch_format="pyarrow",
+                                  zero_copy_batch=True)) \
+        .map_batches(pack, batch_format="pyarrow", zero_copy_batch=True)
+
+    def per_partition(group: pa.Table) -> pa.Table:
+        u = ex.unpack(group)
+        side = u["side"].to_numpy(zero_copy_only=False)
+        ids = u["id"].to_numpy(zero_copy_only=False)
+        h = u["h"].to_numpy(zero_copy_only=False)
+        if len(ids) == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "status": pa.array([], pa.string())})
+        order = np.lexsort((side, ids))
+        ids_s, side_s, h_s = ids[order], side[order], h[order]
+        first = np.concatenate(([True], ids_s[1:] != ids_s[:-1]))
+        starts = np.nonzero(first)[0]
+        counts = np.diff(np.append(starts, len(ids_s)))
+        # per id: 1 row -> added (side 1) / removed (side 0);
+        # 2 rows (sorted old,new) -> same or changed by hash compare
+        single = counts == 1
+        out_ids = ids_s[starts]
+        status = np.empty(len(starts), dtype=object)
+        s_single = side_s[starts[single]]
+        status[single] = np.where(s_single == 1, "added", "removed")
+        both_m = ~single
+        b_starts = starts[both_m]
+        status[both_m] = np.where(h_s[b_starts] == h_s[b_starts + 1],
+                                  "same", "changed")
+        return pa.table({"doc_id": pa.array(out_ids, pa.int64()),
+                         "status": pa.array(status, pa.string())})
+
+    return both.groupby("part").map_groups(per_partition,
+                                           batch_format="pyarrow")

@@ -3,6 +3,7 @@ equal a from-scratch rebuild over the union — the kmcp incremental
 shard-growth contract (reference README.md:118-122) re-expressed as a
 checkpoint-epoch invariant."""
 
+import pyarrow as pa
 import pytest
 import ray
 import ray.data
@@ -69,3 +70,18 @@ def test_increment_refuses_config_mismatch(ray_session, tmp_path):
     with pytest.raises(ValueError, match="DedupConfig"):
         dedup_increment(ray.data.from_arrow(table.slice(40)),
                         DedupConfig(num_partitions=4), wd)
+
+
+def test_corpus_diff_statuses(ray_session):
+    import ray.data
+    from kmcp_ray.increment import corpus_diff
+    old = pa.table({"doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+                    "text": pa.array(["a", "b", "c", None], pa.string())})
+    new = pa.table({"doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                    "text": pa.array(["b", "CHANGED", "", "e"], pa.string())})
+    out = {r["doc_id"]: r["status"] for r in corpus_diff(
+        ray.data.from_arrow(old), ray.data.from_arrow(new),
+        num_partitions=4).take_all()}
+    # null text hashes as "" -> id 3 (None vs "") counts as same
+    assert out == {0: "removed", 1: "same", 2: "changed", 3: "same",
+                   4: "added"}
