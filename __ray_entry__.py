@@ -27,8 +27,7 @@ import numpy as np
 
 
 def _docs(sf_dir: str):
-    import ray.data
-    return ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    return _read(sf_dir, "documents")
 
 
 def _read(sf_dir: str, name: str, columns=None):

@@ -159,6 +159,19 @@ def run_bench() -> dict:
                      "pack_sequences"]:
             timed(name, lambda n=name: consume(qs[n](SF_DIR)))
 
+    if not skip_queries:
+        # production-config counterpart of the oracle-exact
+        # minhash_dedup_docs entry (see the BASELINE.md bench note:
+        # the entry switched to exact mode in r3, which on the dense
+        # word-salad sf corpus verifies ~10x more candidates) — this is
+        # the sampled-bands + skew-caps config a real corpus run uses
+        from kmcp_ray.config import DedupConfig as _DC
+        from kmcp_ray import docs_dedup as _dd
+        import __ray_entry__ as _em
+        timed("minhash_dedup_production",
+              lambda: _dd.minhash_dedup(
+                  _em._docs(SF_DIR), _DC(num_partitions=16)).count())
+
     n_assign = ray.data.read_parquet(out_dir).count()
     result = {
         "metric": "near-dup pipeline wall time (sketch→LSH→verify→CC→emit, "
