@@ -897,6 +897,68 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf, "documents", columns=["n_chars"]), "n_chars",
             q_pcts=(25, 50, 90, 99))
 
+    def q_normalized_dedup(sf):
+        """Fuzzy-exact dedup: canonicalize text (lower / strip
+        punctuation / collapse whitespace), then exact dedup on the
+        canonical form.  The corpus is already normalized, so messy
+        copies are PLANTED deterministically (doc_id%10==3 rows gain an
+        upper-cased, double-spaced, punctuated twin at id+1e9) — the
+        pii_scrub planting pattern; oracle mirrors with UNION ALL."""
+        import pyarrow as pa
+
+        def plant(t: "pa.Table") -> "pa.Table":
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+            txt = t.column("text").to_numpy(zero_copy_only=False)
+            sel = np.nonzero(ids % 10 == 3)[0]
+            messy = np.array(
+                ["!! " + (txt[i] or "").upper().replace(" ", "  ") + " ??"
+                 for i in sel], dtype=object)
+            return pa.table({
+                "doc_id": pa.array(
+                    np.concatenate([ids, ids[sel] + 1_000_000_000]),
+                    pa.int64()),
+                "text": pa.array(
+                    np.concatenate([txt.astype(object), messy]),
+                    pa.string())})
+
+        planted = _read(sf, "documents", columns=["doc_id", "text"]) \
+            .map_batches(plant, batch_format="pyarrow", zero_copy_batch=True)
+        return docs_dedup.normalized_dedup(planted).sort("doc_id")
+
+    def q_group_topk(sf):
+        """Per-language top-10 docs by length (the ROW_NUMBER window
+        analogue): map-side combiner keeps ≤k rows per group per block,
+        one group-count-sized groupby finalizes ranks."""
+        from kmcp_ray import windows
+        return windows.group_topk(
+            _read(sf, "documents", columns=["doc_id", "lang", "n_chars"]),
+            k=10).sort(["lang", "rnk"])
+
+    def q_keyword_search(sf):
+        """Boolean AND keyword search over token sets (kmcp multi-DB
+        intersection J2 re-expressed for posting semantics): terms ride
+        a broadcast closure, the filter streams with zero shuffle."""
+        from kmcp_ray import curate
+        return curate.keyword_search(
+            _read(sf, "documents", columns=["doc_id", "lang", "text"]),
+            ["customer", "spark", "agg", "big", "slow"]).sort("doc_id")
+
+    def q_doc_top_term(sf):
+        """Per-doc dominant term under (tf desc, token asc) —
+        integer-exact keyword extraction, float-free oracle."""
+        from kmcp_ray import curate
+        return curate.doc_top_term(
+            _read(sf, "documents", columns=["doc_id", "text"])) \
+            .sort("doc_id")
+
+    def q_bigram_topk(sf):
+        """Global top-25 adjacent-token bigrams (collocation mining):
+        per-batch np.unique combine → bigram-sized groupby sum →
+        (cnt desc, w1, w2) top-k."""
+        from kmcp_ray import curate
+        return curate.bigram_topk(
+            _read(sf, "documents", columns=["text"]), topk=25)
+
     return {
         "exact_dedup_docs": q_exact_dedup,
         "token_count": q_token_count,
@@ -957,6 +1019,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": q_pack_sequences,
         "select_representatives": q_select_reps,
         "corpus_diff": q_corpus_diff,
+        "normalized_dedup": q_normalized_dedup,
+        "group_topk": q_group_topk,
+        "keyword_search": q_keyword_search,
+        "doc_top_term": q_doc_top_term,
+        "bigram_topk": q_bigram_topk,
     }
 
 
@@ -1927,6 +1994,66 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT token, count(*) AS cnt FROM f
             GROUP BY 1 ORDER BY cnt DESC, token LIMIT 40
+        """,
+        "normalized_dedup": """
+            WITH aug AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000000,
+                       '!! ' || replace(upper(text), ' ', '  ') || ' ??'
+                FROM documents WHERE doc_id % 10 = 3
+            ), n AS (
+                SELECT doc_id,
+                       trim(regexp_replace(regexp_replace(
+                            lower(coalesce(text, '')),
+                            '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS nt
+                FROM aug
+            )
+            SELECT doc_id,
+                   min(doc_id) OVER (PARTITION BY nt) AS keep_id,
+                   count(*)    OVER (PARTITION BY nt) AS n_copies
+            FROM n
+        """,
+        "group_topk": """
+            SELECT lang, doc_id, n_chars, rnk FROM (
+                SELECT lang, doc_id, n_chars,
+                       ROW_NUMBER() OVER (PARTITION BY lang
+                           ORDER BY n_chars DESC, doc_id) AS rnk
+                FROM documents
+            ) WHERE rnk <= 10
+        """,
+        "keyword_search": """
+            SELECT doc_id, lang FROM documents
+            WHERE """ + " AND ".join(
+                "list_contains(regexp_extract_all(lower(coalesce(text, "
+                f"'')), '[a-z0-9]+'), '{t}')"
+                for t in ("customer", "spark", "agg", "big", "slow")) + """
+        """,
+        "doc_top_term": """
+            WITH f AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(coalesce(text, '')),
+                                                 '[a-z0-9]+')) AS tok
+                FROM documents
+            ), tf AS (
+                SELECT doc_id, tok, count(*) AS c FROM f GROUP BY 1, 2
+            )
+            SELECT doc_id, tok AS top_token, c AS tf FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                    ORDER BY c DESC, tok) AS r FROM tf
+            ) WHERE r = 1
+        """,
+        "bigram_topk": """
+            WITH t AS (
+                SELECT regexp_extract_all(lower(coalesce(text, '')),
+                                          '[a-z0-9]+') AS l
+                FROM documents
+            ), p AS (
+                SELECT unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS z
+                FROM t WHERE len(l) >= 2
+            )
+            SELECT z[1] AS w1, z[2] AS w2, count(*) AS cnt
+            FROM p GROUP BY 1, 2 ORDER BY cnt DESC, w1, w2 LIMIT 25
         """,
         "pii_scrub": f"""
             WITH aug AS (

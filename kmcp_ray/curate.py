@@ -328,3 +328,111 @@ def pack_sequences(ds, budget: int = 2048, num_partitions: int = 64, *,
 
     return parted.groupby("part").map_groups(per_part,
                                              batch_format="pyarrow")
+
+
+# ------------------------------------------------------- keyword search
+
+def keyword_search(ds, terms, id_col: str = "doc_id",
+                   keep_cols: tuple = ("lang",), text_col: str = "text"):
+    """Boolean AND keyword search: keep docs whose token set contains
+    EVERY query term (kmcp multi-DB intersection analogue, reference:
+    kmcp/cmd/util-db-search.go:359-474 — keep targets present in all
+    databases; semantics re-derived for token posting sets).
+
+    The query side is tiny and broadcast by closure (≤63 term hashes);
+    each batch pays one tokenize + one hash + one vectorized membership
+    pass per term — no posting-list materialization, no shuffle, so the
+    filter streams at read speed regardless of corpus size."""
+    terms = sorted(set(terms))
+    if not terms or len(terms) > 63:
+        raise ValueError("keyword_search needs 1..63 distinct terms")
+    term_h = hashing.hash_strings(np.array(terms, dtype=object))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        toks, rows, n = text.tokenize(batch.column(text_col))
+        ok = np.ones(n, dtype=bool)
+        if len(toks):
+            th = hashing.hash_strings(toks)
+            for h in term_h:
+                has = np.zeros(n, dtype=bool)
+                has[rows[th == h]] = True
+                ok &= has
+        else:
+            ok[:] = False
+        return batch.select([id_col, *keep_cols]).filter(pa.array(ok))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ------------------------------------------------------ per-doc top term
+
+def doc_top_term(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """Dominant term per document under the integer-exact total order
+    (term frequency desc, token asc) — idf-free keyword extraction, so
+    the SQL oracle needs no float math.  Docs with zero tokens emit no
+    row (matching the oracle's unnest semantics).
+
+    Per-batch only (a document is one row, so term counts never span
+    batches): one tokenize + one np.unique on packed (row, token-code)
+    keys + one lexsort — stateless, no shuffle."""
+    def fn(batch: pa.Table) -> pa.Table:
+        toks, rows, _n = text.tokenize(batch.column(text_col))
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        if len(toks) == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "top_token": pa.array([], pa.string()),
+                             "tf": pa.array([], pa.int64())})
+        u, codes = np.unique(toks, return_inverse=True)
+        m = np.int64(len(u))
+        key = rows * m + codes
+        uk, cnt = np.unique(key, return_counts=True)
+        d, c = uk // m, uk % m
+        order = np.lexsort((c, -cnt, d))
+        first = np.concatenate(([True], d[order][1:] != d[order][:-1]))
+        sel = order[first]
+        return pa.table({
+            id_col: pa.array(ids[d[sel]], pa.int64()),
+            "top_token": pa.array(u[c[sel]], pa.string()),
+            "tf": pa.array(cnt[sel].astype(np.int64), pa.int64())})
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ------------------------------------------------------- bigram top-k
+
+def bigram_topk(ds, topk: int = 25, text_col: str = "text"):
+    """Global top-k adjacent-token bigrams by count (collocation mining
+    — the n=2 instance of the reference's k-mer counting, kmcp
+    compute.go:746-803 semantics over tokens instead of bases).
+
+    Map-side combine: each batch reduces its bigrams to distinct
+    (w1, w2, partial count) rows via one np.unique over packed token
+    codes, so the shuffle carries one row per distinct bigram per
+    block (bounded by vocab², not corpus size); then a bigram-sized
+    groupby().sum() and a tiny global sort+limit.  Total order =
+    (cnt desc, w1 asc, w2 asc)."""
+    def partial(t: pa.Table) -> pa.Table:
+        toks, rows, _n = text.tokenize(t.column(text_col))
+        empty = pa.table({"w1": pa.array([], pa.string()),
+                          "w2": pa.array([], pa.string()),
+                          "cnt": pa.array([], pa.int64())})
+        if len(toks) < 2:
+            return empty
+        adj = rows[1:] == rows[:-1]
+        if not adj.any():
+            return empty
+        u, codes = np.unique(toks, return_inverse=True)
+        m = np.int64(len(u))
+        key = codes[:-1][adj] * m + codes[1:][adj]
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table({
+            "w1": pa.array(u[uk // m], pa.string()),
+            "w2": pa.array(u[uk % m], pa.string()),
+            "cnt": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    from ray.data.aggregate import Sum
+    agg = ds.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True) \
+        .groupby(["w1", "w2"]).aggregate(Sum(on="cnt", alias_name="cnt"))
+    return agg.sort(["cnt", "w1", "w2"],
+                    descending=[True, False, False]).limit(topk)

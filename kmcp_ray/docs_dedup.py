@@ -80,6 +80,29 @@ def exact_dedup(ds, id_col="doc_id", text_col="text", num_partitions: int = 64):
     return hashed.groupby("part").map_groups(per_partition, batch_format="pyarrow")
 
 
+# ----------------------------------------------------- normalized dedup
+
+def normalized_dedup(ds, id_col="doc_id", text_col="text",
+                     num_partitions: int = 64):
+    """Exact dedup after text canonicalization (lower → strip
+    non-[a-z0-9 ] → collapse spaces → trim): catches trivially-mangled
+    copies (case, punctuation, whitespace) that byte-exact dedup
+    misses — the standard "fuzzy exact" pass of web-corpus pipelines,
+    run before the MinHash stage so LSH never pays for them.
+
+    One extra vectorized normalize kernel in the same map pass that
+    hashes content; identical shuffle shape to :func:`exact_dedup`
+    (hash-partition groupby over 8-byte digests, payloads stay put)."""
+    def norm(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: batch.column(id_col),
+            text_col: textops.normalize_text(batch.column(text_col))})
+
+    nds = ds.map_batches(norm, batch_format="pyarrow", zero_copy_batch=True)
+    return exact_dedup(nds, id_col=id_col, text_col=text_col,
+                       num_partitions=num_partitions)
+
+
 # -------------------------------------------------------- minhash-LSH dedup
 
 def minhash_dedup(ds, cfg: DedupConfig = None, id_col="doc_id", text_col="text"):

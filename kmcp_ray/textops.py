@@ -184,6 +184,21 @@ def lang_id(ds, id_col="doc_id", text_col="text", concurrency=4):
         batch_format="pyarrow", concurrency=concurrency, batch_size=4096)
 
 
+# ------------------------------------------------- text normalization
+
+def normalize_text(col: "pa.Array | pa.ChunkedArray"):
+    """Canonical text form for fuzzy-exact dedup: lower-case, strip
+    every char outside ``[a-z0-9 ]``, collapse space runs, trim.
+
+    Three vectorized RE2 kernels (pyarrow.compute embeds RE2, as does
+    DuckDB's regexp_replace — engine and SQL oracle normalize
+    byte-identically).  No Python per row."""
+    x = pc.utf8_lower(pc.fill_null(col, ""))
+    x = pc.replace_substring_regex(x, pattern=r"[^a-z0-9 ]", replacement="")
+    x = pc.replace_substring_regex(x, pattern=r" +", replacement=" ")
+    return pc.utf8_trim(x, characters=" ")
+
+
 # ------------------------------------------- regex hooks (kmcp M8 / M9)
 
 def filter_blacklist(ds, col: str = "text", pattern: str = r"plasmid"):

@@ -212,3 +212,60 @@ def range_join(events_ds, orders_ds, window_days: int = 30, *,
         })
 
     return both.groupby("k").map_groups(per_key, batch_format="pyarrow")
+
+
+# --------------------------------------------------- per-group top-k
+
+def _topk_per_group(g: np.ndarray, v: np.ndarray, ids: np.ndarray, k: int):
+    """Row indices of the top-k rows per group under the total order
+    (v desc, id asc), plus each kept row's 1-based rank.  Vectorized:
+    one lexsort + segment arithmetic, no per-group Python."""
+    if len(g) == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    _, gc = np.unique(g, return_inverse=True)
+    order = np.lexsort((ids, -v, gc))
+    gs = gc[order]
+    new = np.concatenate(([True], gs[1:] != gs[:-1]))
+    starts = np.nonzero(new)[0]
+    lens = np.diff(np.append(starts, len(gs)))
+    rank = np.arange(len(gs)) - np.repeat(starts, lens)
+    keep = rank < k
+    return order[keep], rank[keep] + 1
+
+
+def group_topk(ds, k: int = 10, *, group_col: str = "lang",
+               order_col: str = "n_chars", id_col: str = "doc_id"):
+    """Per-group top-k rows by (order_col desc, id asc) with 1-based
+    rank — the ``ROW_NUMBER() OVER (PARTITION BY g ORDER BY v DESC)``
+    window Ray Data lacks (kmcp analogue: --keep-top-scores per-query
+    top-N, kmcp/cmd/util-db-search.go:284-311, semantics re-derived).
+
+    Two-level: a map-side combiner keeps ≤k rows per group per block
+    (so the shuffle moves at most k·groups·blocks rows, never the
+    corpus), then one small ``groupby(group)`` finalizes ranks.  Ties
+    broken by id so output is deterministic."""
+    def cols(t: pa.Table):
+        return (t.column(group_col).to_numpy(zero_copy_only=False),
+                t.column(order_col).to_numpy(zero_copy_only=False)
+                    .astype(np.int64),
+                t.column(id_col).to_numpy(zero_copy_only=False)
+                    .astype(np.int64))
+
+    def partial(t: pa.Table) -> pa.Table:
+        g, v, ids = cols(t)
+        keep, _ = _topk_per_group(g, v, ids, k)
+        return pa.table({group_col: pa.array(g[keep]),
+                         order_col: pa.array(v[keep], pa.int64()),
+                         id_col: pa.array(ids[keep], pa.int64())})
+
+    def final(t: pa.Table) -> pa.Table:
+        g, v, ids = cols(t)
+        keep, rnk = _topk_per_group(g, v, ids, k)
+        return pa.table({group_col: pa.array(g[keep]),
+                         id_col: pa.array(ids[keep], pa.int64()),
+                         order_col: pa.array(v[keep], pa.int64()),
+                         "rnk": pa.array(rnk, pa.int64())})
+
+    part = ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    return part.groupby(group_col).map_groups(final, batch_format="pyarrow")
