@@ -959,6 +959,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return curate.bigram_topk(
             _read(sf, "documents", columns=["text"]), topk=25)
 
+    def q_distinctive_term(sf):
+        """Per-doc most distinctive term under (tf desc, global df asc,
+        token asc) — integer-exact idf analogue.  Two corpus passes:
+        vocab-sized df aggregate, then broadcast-probe selection (the
+        exchange arm takes over past the measured-vocab gate)."""
+        from kmcp_ray import curate
+        return curate.distinctive_term(
+            _read(sf, "documents", columns=["doc_id", "text"])) \
+            .sort("doc_id")
+
+    def q_dup_rate_by_source(sf):
+        """Per-source duplication dashboard: docs, corpus-wide dup
+        docs, distinct texts — one content-hash partition groupby,
+        partials reduce to ≤1 row per (partition, source)."""
+        return docs_dedup.dup_rate_by_source(
+            _read(sf, "documents", columns=["source", "text"])) \
+            .sort("source")
+
     return {
         "exact_dedup_docs": q_exact_dedup,
         "token_count": q_token_count,
@@ -1024,6 +1042,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "keyword_search": q_keyword_search,
         "doc_top_term": q_doc_top_term,
         "bigram_topk": q_bigram_topk,
+        "distinctive_term": q_distinctive_term,
+        "dup_rate_by_source": q_dup_rate_by_source,
     }
 
 
@@ -2054,6 +2074,37 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT z[1] AS w1, z[2] AS w2, count(*) AS cnt
             FROM p GROUP BY 1, 2 ORDER BY cnt DESC, w1, w2 LIMIT 25
+        """,
+        "distinctive_term": """
+            WITH f AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(coalesce(text, '')),
+                                                 '[a-z0-9]+')) AS tok
+                FROM documents
+            ), tf AS (
+                SELECT doc_id, tok, count(*) AS c FROM f GROUP BY 1, 2
+            ), df AS (
+                SELECT tok, count(DISTINCT doc_id) AS d FROM f GROUP BY 1
+            )
+            SELECT doc_id, tok AS top_token, c AS tf, d AS df FROM (
+                SELECT tf.doc_id, tf.tok, tf.c, df.d,
+                       ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                           ORDER BY tf.c DESC, df.d, tf.tok) AS r
+                FROM tf JOIN df USING (tok)
+            ) WHERE r = 1
+        """,
+        "dup_rate_by_source": """
+            WITH h AS (
+                SELECT source, coalesce(text, '') AS t,
+                       count(*) OVER (PARTITION BY coalesce(text, ''))
+                           AS c
+                FROM documents
+            )
+            SELECT source,
+                   count(*) AS n_docs,
+                   sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS n_dup_docs,
+                   count(DISTINCT t) AS n_distinct
+            FROM h GROUP BY source
         """,
         "pii_scrub": f"""
             WITH aug AS (

@@ -436,3 +436,194 @@ def bigram_topk(ds, topk: int = 25, text_col: str = "text"):
         .groupby(["w1", "w2"]).aggregate(Sum(on="cnt", alias_name="cnt"))
     return agg.sort(["cnt", "w1", "w2"],
                     descending=[True, False, False]).limit(topk)
+
+
+# --------------------------------------------------- distinctive term
+
+def _tf_segments(batch: pa.Table, id_col: str, text_col: str):
+    """Per-batch (doc, token) term frequencies.
+
+    Returns ``(seg_doc_idx, seg_tok_str, seg_tok_hash, seg_tf)`` — one
+    entry per distinct (row, token) pair — plus the batch's int64 doc
+    ids.  A document is one row, so term frequencies never span
+    batches; everything is one tokenize + one lexsort + segment
+    arithmetic."""
+    toks, rows, _n = text.tokenize(batch.column(text_col))
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    if len(toks) == 0:
+        z = np.empty(0, np.int64)
+        return z, np.empty(0, object), np.empty(0, np.uint64), z, ids
+    th = hashing.hash_strings(toks)
+    order = np.lexsort((th, rows))
+    th_s, rows_s = th[order], rows[order]
+    new = np.concatenate(([True],
+                          (th_s[1:] != th_s[:-1])
+                          | (rows_s[1:] != rows_s[:-1])))
+    seg_id = np.cumsum(new) - 1
+    tf = np.bincount(seg_id).astype(np.int64)
+    first = np.nonzero(new)[0]
+    return (rows_s[first], toks[order][first], th_s[first], tf, ids)
+
+
+def document_frequency(ds, id_col: str = "doc_id",
+                       text_col: str = "text"):
+    """Corpus-wide document frequency per token, keyed by the token's
+    u64 content hash: (th, df).  Map-side combine — each block emits
+    one row per distinct token it contains — so the shuffle is
+    vocab-per-block-sized, never corpus-sized."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        _d, _t, th, _tf, _ids = _tf_segments(batch, id_col, text_col)
+        u, cnt = np.unique(th, return_counts=True)
+        # int64 VIEW of the u64 hash — u64 values past int64 max don't
+        # survive Ray's groupby key materialization (pickled-object
+        # fallback); the two's-complement view is order-irrelevant here
+        return pa.table({"th": pa.array(u.view(np.int64), pa.int64()),
+                         "df": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    return ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .groupby("th").aggregate(Sum(on="df", alias_name="df"))
+
+
+def distinctive_term(ds, id_col: str = "doc_id", text_col: str = "text",
+                     *, broadcast_vocab_limit: int = 2_000_000,
+                     num_partitions: int = 64):
+    """Most distinctive term per document under the integer-exact total
+    order (tf desc, global df asc, token asc) — the idf intuition with
+    no float math, so the DuckDB oracle reproduces it bit-exactly.
+
+    Two passes over the corpus: (1) :func:`document_frequency` — a
+    vocab-sized aggregate; (2) per-doc selection with df attached.  The
+    df table rides as a broadcast sorted-u64 probe while the vocab fits
+    (Heaps' law keeps real-text vocabularies in the millions), else the
+    attach falls back to a partitioned exchange — the same
+    broadcast-vs-join mode switch as the cluster-map emission
+    (pipeline.py) and ann.cosine_pairs' row gate, decided on the
+    MEASURED vocab size, vocab-sized driver work only."""
+    df_ds = document_frequency(ds, id_col, text_col)
+    n_vocab = df_ds.count()
+
+    if n_vocab <= broadcast_vocab_limit:
+        dft = df_ds.to_pandas()
+        keys = dft["th"].to_numpy().astype(np.int64)
+        order = np.argsort(keys)
+        ref = ray.put((keys[order], dft["df"].to_numpy()
+                       .astype(np.int64)[order]))
+
+        def pick(batch: pa.Table) -> pa.Table:
+            d, tok, th, tf, ids = _tf_segments(batch, id_col, text_col)
+            if len(d) == 0:
+                return _empty_distinctive(id_col)
+            keys, vals = ray.get(ref)
+            pos = np.searchsorted(keys, th.view(np.int64))
+            df = vals[np.clip(pos, 0, len(keys) - 1)]
+            sel, _rnk = _pick_per_doc(d, tf, df, tok)
+            return pa.table({
+                id_col: pa.array(ids[d[sel]], pa.int64()),
+                "top_token": pa.array(tok[sel], pa.string()),
+                "tf": pa.array(tf[sel], pa.int64()),
+                "df": pa.array(df[sel], pa.int64())})
+
+        return ds.map_batches(pick, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    # exchange arm: union tf rows with df rows on a th-hash partition,
+    # attach df inside each partition, then re-partition by doc for the
+    # per-doc argmin — two packed exchanges, nothing driver-resident
+    P = num_partitions
+
+    def tf_rows(batch: pa.Table) -> pa.Table:
+        d, tok, th, tf, ids = _tf_segments(batch, id_col, text_col)
+        return pa.table({
+            "part": pa.array((th % np.uint64(P)).astype(np.int64)),
+            "rt": pa.array(np.zeros(len(d), np.int8), pa.int8()),
+            "th": pa.array(th.view(np.int64), pa.int64()),
+            "doc": pa.array(ids[d], pa.int64()),
+            "tok": pa.array(tok, pa.string()),
+            "v": pa.array(tf, pa.int64())})
+
+    def df_rows(batch: pa.Table) -> pa.Table:
+        th = batch.column("th").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        df = batch.column("df").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            "part": pa.array((th.view(np.uint64) % np.uint64(P))
+                             .astype(np.int64)),
+            "rt": pa.array(np.ones(len(th), np.int8), pa.int8()),
+            "th": pa.array(th, pa.int64()),
+            "doc": pa.array(np.zeros(len(th), np.int64), pa.int64()),
+            "tok": pa.array([""] * len(th), pa.string()),
+            "v": pa.array(df, pa.int64())})
+
+    both = ds.map_batches(tf_rows, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .union(df_ds.map_batches(df_rows, batch_format="pyarrow"))
+
+    def attach(t: pa.Table) -> pa.Table:
+        th = t.column("th").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        rt = t.column("rt").to_numpy(zero_copy_only=False)
+        v = t.column("v").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((rt, th))     # df row (rt=1) LAST per th
+        th_s, rt_s, v_s = th[order], rt[order], v[order]
+        # segment end index per th == its df row (every token present
+        # in a partition's tf rows has its df row in the same partition)
+        new = np.concatenate(([True], th_s[1:] != th_s[:-1]))
+        seg_id = np.cumsum(new) - 1
+        ends = np.append(np.nonzero(new)[0][1:], len(th_s)) - 1
+        dfv = v_s[ends][seg_id]
+        keep = rt_s == 0
+        sel = order[keep]
+        dpart = (t.column("doc").to_numpy(zero_copy_only=False)[sel]
+                 % P).astype(np.int64)
+        return pa.table({
+            "dpart": pa.array(dpart, pa.int64()),
+            "doc": pa.array(t.column("doc")
+                            .to_numpy(zero_copy_only=False)[sel]),
+            "tok": pa.array(t.column("tok")
+                            .to_numpy(zero_copy_only=False)[sel]),
+            "tf": pa.array(v_s[keep], pa.int64()),
+            "df": pa.array(dfv[keep], pa.int64())})
+
+    attached = both.groupby("part").map_groups(attach,
+                                               batch_format="pyarrow")
+
+    def finish(t: pa.Table) -> pa.Table:
+        doc = t.column("doc").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        tok = t.column("tok").to_numpy(zero_copy_only=False)
+        tf = t.column("tf").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        df = t.column("df").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        if len(doc) == 0:
+            return _empty_distinctive(id_col)
+        sel, _ = _pick_per_doc(doc, tf, df, tok)
+        return pa.table({id_col: pa.array(doc[sel], pa.int64()),
+                         "top_token": pa.array(tok[sel], pa.string()),
+                         "tf": pa.array(tf[sel], pa.int64()),
+                         "df": pa.array(df[sel], pa.int64())})
+
+    return attached.groupby("dpart").map_groups(finish,
+                                                batch_format="pyarrow")
+
+
+def _empty_distinctive(id_col: str) -> pa.Table:
+    return pa.table({id_col: pa.array([], pa.int64()),
+                     "top_token": pa.array([], pa.string()),
+                     "tf": pa.array([], pa.int64()),
+                     "df": pa.array([], pa.int64())})
+
+
+def _pick_per_doc(doc: np.ndarray, tf: np.ndarray, df: np.ndarray,
+                  tok: np.ndarray):
+    """Index of the winning (tf desc, df asc, token asc) entry per
+    distinct doc value, plus nothing else — one lexsort."""
+    order = np.lexsort((tok, df, -tf, doc))
+    d_s = doc[order]
+    first = np.concatenate(([True], d_s[1:] != d_s[:-1]))
+    return order[first], None

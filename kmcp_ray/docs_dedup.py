@@ -369,3 +369,70 @@ def select_representatives(assignments, docs, *, id_col="doc_id",
     return triples.map_batches(pack2, batch_format="pyarrow",
                                zero_copy_batch=True) \
         .groupby("part").map_groups(per_cluster, batch_format="pyarrow")
+
+
+# ------------------------------------------------- duplication by group
+
+def dup_rate_by_source(ds, group_col: str = "source",
+                       text_col: str = "text",
+                       num_partitions: int = 64):
+    """Per-group duplication metrics: ``(group, n_docs, n_dup_docs,
+    n_distinct)`` where a dup doc is one whose text occurs more than
+    once CORPUS-WIDE (not just within its group) and n_distinct counts
+    the group's distinct texts — the curation dashboard that decides
+    which crawl sources feed the dedup stage (kmcp analogue: the
+    per-database index-density diagnostics, kmcp/cmd/index.go:524-537
+    dup-name accounting; semantics re-derived for corpus sources).
+
+    Same shuffle shape as :func:`exact_dedup` — ONE hash-partition
+    groupby over 8-byte content digests; each partition reduces to at
+    most one row per (group) so the final groupby is group-count-sized.
+    Integer-only outputs keep the DuckDB oracle bit-exact."""
+    from ray.data.aggregate import Sum
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_numpy(zero_copy_only=False)
+        th = hashing.hash_strings(np.where(texts == None, "", texts))  # noqa: E711
+        return pa.table({
+            group_col: batch.column(group_col),
+            "th": pa.array(th, pa.uint64()),
+            "part": pa.array((th % np.uint64(num_partitions))
+                             .astype(np.int64), pa.int64())})
+
+    def per_partition(batch: pa.Table) -> pa.Table:
+        th = batch.column("th").to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        grp = batch.column(group_col).to_numpy(zero_copy_only=False)
+        empty = pa.table({group_col: pa.array([], pa.string()),
+                          "n_docs": pa.array([], pa.int64()),
+                          "n_dup_docs": pa.array([], pa.int64()),
+                          "n_distinct": pa.array([], pa.int64())})
+        if len(th) == 0:
+            return empty
+        # corpus-wide copy count per digest (a digest's rows all land
+        # in this partition)
+        u_th, inv_th, cnt = np.unique(th, return_inverse=True,
+                                      return_counts=True)
+        is_dup = (cnt > 1)[inv_th]
+        g_u, g_inv = np.unique(grp, return_inverse=True)
+        n_docs = np.bincount(g_inv, minlength=len(g_u))
+        n_dup = np.bincount(g_inv[is_dup], minlength=len(g_u))
+        # distinct (group, digest) pairs per group
+        pair = g_inv.astype(np.uint64) * np.uint64(len(u_th)) \
+            + inv_th.astype(np.uint64)
+        up = np.unique(pair)
+        n_dis = np.bincount((up // np.uint64(len(u_th))).astype(np.int64),
+                            minlength=len(g_u))
+        return pa.table({
+            group_col: pa.array(g_u),
+            "n_docs": pa.array(n_docs.astype(np.int64), pa.int64()),
+            "n_dup_docs": pa.array(n_dup.astype(np.int64), pa.int64()),
+            "n_distinct": pa.array(n_dis.astype(np.int64), pa.int64())})
+
+    partials = ds.map_batches(add_hash, batch_format="pyarrow",
+                              zero_copy_batch=True) \
+        .groupby("part").map_groups(per_partition, batch_format="pyarrow")
+    return partials.groupby(group_col).aggregate(
+        Sum(on="n_docs", alias_name="n_docs"),
+        Sum(on="n_dup_docs", alias_name="n_dup_docs"),
+        Sum(on="n_distinct", alias_name="n_distinct"))

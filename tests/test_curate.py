@@ -191,3 +191,46 @@ def test_pack_sequences_prefix_sum(ray_session):
     assert (out[2]["win_start"], out[2]["win_end"]) == (1, 1)
     assert (out[3]["win_start"], out[3]["win_end"]) == (1, 1)
     assert (out[4]["win_start"], out[4]["win_end"]) == (1, 2)
+
+
+def test_distinctive_term_arms_equal(ray_session):
+    """The broadcast-probe arm and the two-exchange fallback arm must
+    emit identical rows; winner order is (tf desc, df asc, tok asc)."""
+    import ray.data
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "apple apple banana cherry",   # tf: apple 2 → wins
+            "banana cherry date",          # all tf 1 → rarest df wins
+            "",                            # no tokens → no row
+            "cherry cherry banana banana", # tf tie → lower-df wins
+        ], pa.string())})
+    ds = ray.data.from_arrow(t)
+    broad = curate.distinctive_term(ds).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    exch = curate.distinctive_term(
+        ds, broadcast_vocab_limit=1, num_partitions=4).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert broad.equals(exch)
+    got = {r.doc_id: (r.top_token, r.tf, r.df) for r in broad.itertuples()}
+    # df: apple 1, banana 3, cherry 3, date 1
+    assert got[0] == ("apple", 2, 1)
+    assert got[1] == ("date", 1, 1)
+    assert 2 not in got
+    # doc 3: banana/cherry both tf 2 df 3 → token asc
+    assert got[3] == ("banana", 2, 3)
+
+
+def test_dup_rate_by_source(ray_session):
+    import ray.data
+    from kmcp_ray import docs_dedup
+    t = pa.table({
+        "source": pa.array(["a", "a", "a", "b", "b", "c"], pa.string()),
+        "text": pa.array(["x", "x", "y", "x", "z", "z"], pa.string())})
+    df = docs_dedup.dup_rate_by_source(
+        ray.data.from_arrow(t), num_partitions=4).to_pandas() \
+        .set_index("source")
+    # corpus-wide: "x"×3 dup, "z"×2 dup, "y"×1 unique
+    assert tuple(df.loc["a"]) == (3, 2, 2)   # docs, dup(x,x), distinct{x,y}
+    assert tuple(df.loc["b"]) == (2, 2, 2)   # both x and z are dups
+    assert tuple(df.loc["c"]) == (1, 1, 1)
