@@ -23,7 +23,8 @@ SQL_CHECKED = ["exact_dedup_docs", "token_count", "token_stats", "doc_stats",
                "repetition_score", "shingle_hll", "pack_sequences",
                "select_representatives", "corpus_diff",
                "normalized_dedup", "group_topk", "keyword_search",
-               "doc_top_term", "bigram_topk"]
+               "doc_top_term", "bigram_topk", "distinctive_term",
+               "dup_rate_by_source"]
 
 
 @pytest.fixture(scope="module")
