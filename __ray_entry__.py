@@ -889,6 +889,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
             token_hash="md5")
         return hll.register_histogram(regs)
 
+    def q_token_cms(sf):
+        """Count-min sketch of token occurrences (d=4, w=2048) with the
+        md5-derived row hashes: counters are exact integer sums, so the
+        ENTIRE sketch state is driver-hash-checkable; over-estimate
+        bounds are pytest-pinned (tests/test_sketches_diag.py)."""
+        from kmcp_ray import cms
+        sk = cms.token_cms(
+            _read(sf, "documents", columns=["text"]), d=4, w=2048,
+            token_hash="md5")
+        return cms.counter_table(sk)
+
     def q_doc_len_quantiles(sf):
         """Exact order statistics of doc length via the distinct-value
         histogram — no global sort, driver state bounded by metric
@@ -1034,6 +1045,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_len_quantiles": q_doc_len_quantiles,
         "repetition_score": q_repetition_score,
         "shingle_hll": q_shingle_hll,
+        "token_cms": q_token_cms,
         "pack_sequences": q_pack_sequences,
         "select_representatives": q_select_reps,
         "corpus_diff": q_corpus_diff,
@@ -2271,6 +2283,24 @@ def oracle_sql() -> dict[str, str]:
                    (tok_offset + greatest(n_tokens, 1) - 1) // 256
                        AS win_end
             FROM c ORDER BY doc_id
+        """,
+        "token_cms": """
+            WITH f AS (
+                SELECT unnest(regexp_extract_all(lower(coalesce(text, '')),
+                                                 '[a-z0-9]+')) AS tok
+                FROM documents
+            ), c AS (
+                SELECT tok, count(*) AS n FROM f GROUP BY tok
+            ), b AS (
+                SELECT t.r,
+                       CAST(('0x' || substr(md5(c.tok || '|' || t.r), 1, 16))
+                            ::UBIGINT % 2048 AS BIGINT) AS bucket,
+                       c.n
+                FROM c CROSS JOIN range(4) t(r)
+            )
+            SELECT CAST(r AS BIGINT) AS "row", bucket,
+                   CAST(sum(n) AS BIGINT) AS cnt
+            FROM b GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "shingle_hll": """
             WITH t AS (

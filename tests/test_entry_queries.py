@@ -20,7 +20,8 @@ SQL_CHECKED = ["exact_dedup_docs", "token_count", "token_stats", "doc_stats",
                "incremental_dedup", "hash_sample", "stratified_sample",
                "decontaminate", "vocab_topk", "pii_scrub", "sessionize",
                "asof_join", "range_join", "doc_len_quantiles",
-               "repetition_score", "shingle_hll", "pack_sequences",
+               "repetition_score", "shingle_hll", "token_cms",
+               "pack_sequences",
                "select_representatives", "corpus_diff",
                "normalized_dedup", "group_topk", "keyword_search",
                "doc_top_term", "bigram_topk", "distinctive_term",
