@@ -742,6 +742,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = curate.decontaminate(corpus, eval_ds, k=3)
         return out.select_columns(["doc_id", "lang"]).sort("doc_id")
 
+    def q_bloom_decontaminate(sf):
+        """Bloom-filter decontamination (the fixed-size-broadcast scale
+        path beside the exact blocklist): same eval split as
+        `decontaminate`, membership through a 65536-bit / 3-hash filter
+        with md5-derived positions — the oracle rebuilds the SAME
+        filter, so false positives are mirrored bit-exactly."""
+        import pyarrow as pa
+        from kmcp_ray import bloom
+        docs = _read(sf, "documents", columns=["doc_id", "text", "lang"])
+
+        def split(keep_eval):
+            def fn(t: "pa.Table") -> "pa.Table":
+                ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+                m = (ids % 20) == 0
+                return t.filter(pa.array(m if keep_eval else ~m))
+            return fn
+
+        eval_ds = docs.map_batches(split(True), batch_format="pyarrow",
+                                   zero_copy_batch=True)
+        corpus = docs.map_batches(split(False), batch_format="pyarrow",
+                                  zero_copy_batch=True)
+        out = bloom.bloom_decontaminate(corpus, eval_ds, k=3,
+                                        m_bits=65536, k_hashes=3,
+                                        token_hash="md5")
+        return out.select_columns(["doc_id", "lang"]).sort("doc_id")
+
     def q_vocab_topk(sf):
         """Token-frequency vocabulary: map-side combine → one
         vocabulary-sized groupby → global (cnt desc, token) top-k."""
@@ -900,6 +926,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             token_hash="md5")
         return cms.counter_table(sk)
 
+    def q_hopping_window(sf):
+        """1-hour windows hopping every 15 min over events: batch-local
+        expand×4 + pre-aggregate, one row per (block, window) shuffles."""
+        from kmcp_ray import windows
+        return windows.hopping_window_agg(
+            _read(sf, "events", columns=["ts", "value"])).sort("win_id")
+
     def q_doc_len_quantiles(sf):
         """Exact order statistics of doc length via the distinct-value
         histogram — no global sort, driver state bounded by metric
@@ -907,6 +940,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return relops.exact_quantiles(
             _read(sf, "documents", columns=["n_chars"]), "n_chars",
             q_pcts=(25, 50, 90, 99))
+
+    def q_group_quantiles(sf):
+        """Per-lang exact doc-length quantiles: histogram collapse +
+        in-group rank pick inside map_groups — the distributed form of
+        doc_len_quantiles (nothing driver-resident)."""
+        return relops.group_quantiles(
+            _read(sf, "documents", columns=["lang", "n_chars"]),
+            "lang", "n_chars").sort(["lang", "q_pct"])
 
     def q_normalized_dedup(sf):
         """Fuzzy-exact dedup: canonicalize text (lower / strip
@@ -1037,12 +1078,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_sample": q_hash_sample,
         "stratified_sample": q_stratified_sample,
         "decontaminate": q_decontaminate,
+        "bloom_decontaminate": q_bloom_decontaminate,
         "vocab_topk": q_vocab_topk,
         "pii_scrub": q_pii_scrub,
         "sessionize": q_sessionize,
+        "hopping_window": q_hopping_window,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "doc_len_quantiles": q_doc_len_quantiles,
+        "group_quantiles": q_group_quantiles,
         "repetition_score": q_repetition_score,
         "shingle_hll": q_shingle_hll,
         "token_cms": q_token_cms,
@@ -2016,6 +2060,45 @@ def oracle_sql() -> dict[str, str]:
               AND doc_id NOT IN (SELECT did FROM bad)
             ORDER BY doc_id
         """,
+        "bloom_decontaminate": """
+            WITH t AS (
+                SELECT doc_id AS did,
+                       regexp_extract_all(lower(coalesce(text, '')),
+                                          '[a-z0-9]+') AS tk
+                FROM documents
+            ), sh AS (
+                SELECT did, unnest(
+                    CASE WHEN len(tk) >= 3 THEN list_transform(
+                              generate_series(1, len(tk) - 2),
+                              i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+                         WHEN len(tk) > 0 THEN [array_to_string(tk, ' ')]
+                         ELSE [] END) AS s
+                FROM t
+            ), d AS (
+                SELECT DISTINCT did, s FROM sh
+            ), bits AS (
+                SELECT DISTINCT
+                       ('0x' || substr(md5(ev.s || '|' || r2.r), 1, 16))
+                           ::UBIGINT % 65536 AS bit
+                FROM (SELECT DISTINCT s FROM d WHERE did % 20 = 0) ev
+                CROSS JOIN range(3) r2(r)
+            ), probe AS (
+                SELECT d.did, d.s,
+                       ('0x' || substr(md5(d.s || '|' || r3.r), 1, 16))
+                           ::UBIGINT % 65536 AS bit
+                FROM d CROSS JOIN range(3) r3(r)
+                WHERE d.did % 20 <> 0
+            ), bad AS (
+                SELECT DISTINCT did FROM (
+                    SELECT did, s FROM probe JOIN bits USING (bit)
+                    GROUP BY did, s HAVING count(*) = 3
+                )
+            )
+            SELECT doc_id, lang FROM documents
+            WHERE doc_id % 20 <> 0
+              AND doc_id NOT IN (SELECT did FROM bad)
+            ORDER BY doc_id
+        """,
         "vocab_topk": """
             WITH t AS (
                 SELECT regexp_extract_all(lower(coalesce(text, '')),
@@ -2201,6 +2284,33 @@ def oracle_sql() -> dict[str, str]:
             FROM (VALUES (25), (50), (90), (99)) q(q_pct)
             JOIN r ON r.rk = ((r.n - 1) * q.q_pct) // 100
             ORDER BY q.q_pct
+        """,
+        "hopping_window": """
+            WITH e AS (
+                SELECT epoch_us(ts) // 900000000 AS base,
+                       CAST(floor(value * 100) AS BIGINT) AS cents
+                FROM events
+            ), x AS (
+                SELECT e.base - t.k AS win_id, e.cents
+                FROM e CROSS JOIN range(4) t(k)
+            )
+            SELECT win_id, count(*) AS n,
+                   CAST(sum(cents) AS BIGINT) AS sum_cents
+            FROM x GROUP BY win_id ORDER BY win_id
+        """,
+        "group_quantiles": """
+            WITH r AS (
+                SELECT lang, n_chars,
+                       row_number() OVER (PARTITION BY lang
+                                          ORDER BY n_chars) - 1 AS rk,
+                       count(*) OVER (PARTITION BY lang) AS n
+                FROM documents
+            )
+            SELECT r.lang, CAST(q.q_pct AS BIGINT) AS q_pct,
+                   r.n_chars AS value
+            FROM (VALUES (25), (50), (90), (99)) q(q_pct)
+            JOIN r ON r.rk = ((r.n - 1) * q.q_pct) // 100
+            ORDER BY r.lang, q.q_pct
         """,
         "repetition_score": """
             WITH t AS (

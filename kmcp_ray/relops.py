@@ -204,3 +204,41 @@ def exact_quantiles(ds, col: str, q_pcts=(25, 50, 90, 99)):
         out_v.append(int(vals[np.searchsorted(cum, rank + 1)]))
     return pa.table({"q_pct": pa.array(out_q, pa.int64()),
                      "value": pa.array(out_v, pa.int64())})
+
+
+def group_quantiles(ds, group_col: str, col: str,
+                    q_pcts=(25, 50, 90, 99)):
+    """Per-group exact order statistics — :func:`exact_quantiles` with
+    the selection DISTRIBUTED: one ``groupby([group, col]).count()``
+    collapses the corpus to per-group distinct-value histograms
+    (bounded by groups x metric cardinality, not rows), then each
+    group's cumsum + rank pick runs inside ``map_groups`` — nothing is
+    ever driver-resident, so 10^6 groups cost the same driver memory
+    as one.  Rank = ``(n-1) * q // 100`` (0-based lower statistic),
+    identical to the global variant and the SQL window mirror.
+
+    Returns rows ``(group, q_pct, value)``."""
+    from ray.data.aggregate import Count
+
+    hist = ds.groupby([group_col, col]).aggregate(Count(alias_name="cnt"))
+    qarr = np.array(sorted({int(q) for q in q_pcts}), dtype=np.int64)
+
+    def per_group(t: pa.Table) -> pa.Table:
+        vals = t.column(col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        cnts = t.column("cnt").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        order = np.argsort(vals)
+        vals = vals[order]
+        cum = np.cumsum(cnts[order])
+        n = int(cum[-1])
+        ranks = (n - 1) * qarr // 100
+        sel = vals[np.searchsorted(cum, ranks + 1)]
+        return pa.table({
+            group_col: pa.array([t.column(group_col)[0].as_py()]
+                                * len(qarr)),
+            "q_pct": pa.array(qarr, pa.int64()),
+            "value": pa.array(sel, pa.int64())})
+
+    return hist.groupby(group_col).map_groups(per_group,
+                                              batch_format="pyarrow")

@@ -269,3 +269,47 @@ def group_topk(ds, k: int = 10, *, group_col: str = "lang",
     part = ds.map_batches(partial, batch_format="pyarrow",
                           zero_copy_batch=True)
     return part.groupby(group_col).map_groups(final, batch_format="pyarrow")
+
+
+def hopping_window_agg(events_ds, *, size_us: int = 3_600_000_000,
+                       hop_us: int = 900_000_000, ts_col: str = "ts",
+                       value_col: str = "value"):
+    """Hopping (sliding) window aggregate: ``(win_id, n, sum_cents)``
+    where window ``w`` covers ``[w*hop, w*hop + size)`` — every event
+    lands in exactly ``size/hop`` consecutive windows.
+
+    The one windowed shape tumbling groupbys can't express: per batch a
+    vectorized ``np.repeat``/tile expands each event into its
+    ``size/hop`` window ids and PRE-AGGREGATES within the batch, so the
+    shuffle moves one row per (block, window), never ``size/hop`` rows
+    per event.  ``hop_us`` must divide ``size_us`` (windows stay
+    aligned; same integer-microsecond parity rule as
+    relops.events_hourly_user)."""
+    import pyarrow.compute as pc
+
+    if size_us % hop_us:
+        raise ValueError("hop_us must divide size_us")
+    ratio = size_us // hop_us
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = _epoch_us(t.column(ts_col))
+        cents = pc.cast(pc.floor(pc.multiply(
+            t.column(value_col), pa.scalar(100.0))), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        base = ts // hop_us
+        wins = (np.repeat(base, ratio)
+                - np.tile(np.arange(ratio, dtype=np.int64), len(base)))
+        c = np.repeat(cents, ratio)
+        u, inv = np.unique(wins, return_inverse=True)
+        return pa.table({
+            "win_id": pa.array(u, pa.int64()),
+            "n": pa.array(np.bincount(inv).astype(np.int64), pa.int64()),
+            "sum_cents": pa.array(
+                np.bincount(inv, weights=c).astype(np.int64), pa.int64())})
+
+    from ray.data.aggregate import Sum
+    return events_ds.map_batches(partial, batch_format="pyarrow",
+                                 zero_copy_batch=True) \
+        .groupby("win_id").aggregate(Sum(on="n", alias_name="n"),
+                                     Sum(on="sum_cents",
+                                         alias_name="sum_cents"))

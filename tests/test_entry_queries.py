@@ -18,8 +18,10 @@ SQL_CHECKED = ["exact_dedup_docs", "token_count", "token_stats", "doc_stats",
                "ann_topk", "ann_ivf_topk", "ann_ivf_persisted",
                "embedding_pairs", "embedding_dedup", "corpus_funnel",
                "incremental_dedup", "hash_sample", "stratified_sample",
-               "decontaminate", "vocab_topk", "pii_scrub", "sessionize",
+               "decontaminate", "bloom_decontaminate", "vocab_topk",
+               "pii_scrub", "sessionize", "hopping_window",
                "asof_join", "range_join", "doc_len_quantiles",
+               "group_quantiles",
                "repetition_score", "shingle_hll", "token_cms",
                "pack_sequences",
                "select_representatives", "corpus_diff",

@@ -229,3 +229,20 @@ def test_expand_ident_pairs_arms_agree(ray_session):
     # expansion size: sum over pairs of |A| x |B|
     sizes = {int(i): int(i) % 4 + 1 for i in idents}
     assert len(bc_rows) == sum(sizes[a] * sizes[b] for a, b in pair_idx)
+
+
+def test_group_quantiles_matches_numpy(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from kmcp_ray import relops
+    rng = np.random.RandomState(7)
+    g = rng.choice(["a", "b", "c"], size=300)
+    v = rng.randint(0, 50, size=300)
+    ds = ray.data.from_arrow(pa.table({"g": pa.array(g), "v": pa.array(v)}))
+    out = relops.group_quantiles(ds, "g", "v").to_pandas() \
+        .set_index(["g", "q_pct"])["value"]
+    for grp in "abc":
+        s = np.sort(v[g == grp])
+        for q in (25, 50, 90, 99):
+            assert out[(grp, q)] == s[(len(s) - 1) * q // 100], (grp, q)

@@ -104,3 +104,23 @@ def test_asof_join_exact_timestamp_inclusive(ray_session):
     out = windows.asof_join(ray.data.from_arrow(ev),
                             ray.data.from_arrow(od)).take_all()
     assert out[0]["o_orderkey"] == 7           # <= is inclusive
+
+
+def test_hopping_window_membership_invariant(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from kmcp_ray import windows
+    n = 200
+    ts = pa.array((np.arange(n, dtype=np.int64) * 137_000_000 + 5),
+                  pa.timestamp("us"))
+    val = pa.array(np.ones(n), pa.float64())
+    ds = ray.data.from_arrow(pa.table({"ts": ts, "value": val}))
+    out = windows.hopping_window_agg(ds).to_pandas()
+    # every event lands in exactly size/hop = 4 windows
+    assert out["n"].sum() == 4 * n
+    assert out["sum_cents"].sum() == 4 * n * 100
+    # each event's 4 window ids are consecutive and cover its timestamp
+    base = (np.arange(n, dtype=np.int64) * 137_000_000 + 5) // 900_000_000
+    want = np.unique(np.concatenate([base - k for k in range(4)]))
+    assert np.array_equal(np.sort(out["win_id"].to_numpy()), want)
