@@ -16,17 +16,29 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
 def _init(args) -> bool:
-    """→ True iff this call started the Ray session (and so owns it)."""
+    """→ True iff this call started the Ray session (and so owns it).
+
+    ``--ray-address local`` (the default when $RAY_ADDRESS is unset or
+    ``local``) starts a single-node session sized by ``--num-cpus``;
+    any other address ATTACHES to that running cluster — the mode a
+    ``ray job submit`` driver runs in (the job runtime exports
+    RAY_ADDRESS, so submitted jobs attach with no extra flags; see
+    jobs/submit_dedup.sh).  An attached session never passes num_cpus —
+    the cluster's resources are the cluster's."""
     import ray
     import ray.data
     started = not ray.is_initialized()
     if started:
-        ray.init(address="local", num_cpus=args.num_cpus,
-                 include_dashboard=False, logging_level="ERROR")
+        if args.ray_address == "local":
+            ray.init(address="local", num_cpus=args.num_cpus,
+                     include_dashboard=False, logging_level="ERROR")
+        else:
+            ray.init(address=args.ray_address, logging_level="ERROR")
     ray.data.DataContext.get_current().enable_progress_bars = False
     return started
 
@@ -34,6 +46,11 @@ def _init(args) -> bool:
 def main(argv=None):
     p = argparse.ArgumentParser(prog="kmcp_ray")
     p.add_argument("--num-cpus", type=int, default=32)
+    p.add_argument("--ray-address",
+                   default=os.environ.get("RAY_ADDRESS") or "local",
+                   help='"local" = own single-node session; anything '
+                        "else = attach to that cluster (ray job submit "
+                        "drivers inherit $RAY_ADDRESS)")
     sub = p.add_subparsers(dest="cmd", required=True)
 
     d = sub.add_parser("dedup", help="near-dup detection + clustering")

@@ -126,3 +126,21 @@ def test_search_tsv_golden(ray_session, tmp_path):
     assert trailer == ["# input queries: 2",
                       "# matched queries: 1",
                       "# matched percentage: 50.0000%"]
+
+
+def test_ray_address_flag_attach_mode(ray_session, monkeypatch):
+    """Non-local --ray-address ATTACHES (no num_cpus forced on the
+    cluster) — the ray-job-submit driver mode (jobs/submit_dedup.sh)."""
+    import ray
+    from kmcp_ray import __main__ as cli
+    calls = []
+    monkeypatch.setattr(ray, "is_initialized", lambda: False)
+    monkeypatch.setattr(ray, "init", lambda *a, **k: calls.append(k))
+    ns = type("A", (), {"ray_address": "ray://head:10001", "num_cpus": 32})
+    assert cli._init(ns) is True
+    assert calls == [{"address": "ray://head:10001",
+                      "logging_level": "ERROR"}]
+    calls.clear()
+    ns.ray_address = "local"
+    cli._init(ns)
+    assert calls[0]["num_cpus"] == 32 and calls[0]["address"] == "local"
