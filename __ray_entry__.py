@@ -810,6 +810,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
                   columns=["event_id", "ts", "user_id", "value"]),
             gap_minutes=30).sort(["user_id", "session_id"])
 
+    def q_running_window(sf):
+        """Per-user running total + 3-row trailing sum, one row per
+        event — the SQL windowed-frame pair (UNBOUNDED PRECEDING and
+        ROWS 2 PRECEDING) as one groupby(user) shuffle + two cumsum
+        lines per group; integer cents for bit parity."""
+        from kmcp_ray import windows
+        return windows.running_window(
+            _read(sf, "events",
+                  columns=["event_id", "ts", "user_id", "value"]),
+            window_rows=3).sort(["user_id", "ts_us", "event_id"])
+
+    def q_order_revenue(sf):
+        """3-table star join (customer ⨝ orders ⨝ lineitem), TPC-H-Q3
+        shape: lineitem pre-aggregated map-side, packed-exchange
+        semi-join on custkey, packed inner join on orderkey,
+        partial-then-global top-10 by exact integer revenue."""
+        cust = _read(sf, "customer", columns=["c_custkey", "c_mktsegment"])
+        orders = _read(sf, "orders",
+                       columns=["o_orderkey", "o_custkey", "o_orderdate"])
+        li = _read(sf, "lineitem",
+                   columns=["l_orderkey", "l_extendedprice", "l_discount",
+                            "l_shipdate"])
+        return relops.order_revenue_topk(cust, orders, li,
+                                         segment="BUILDING",
+                                         cutoff="1998-06-01", k=10)
+
     def q_asof_join(sf):
         """As-of join: each event picks the latest order of the same
         key at-or-before its timestamp — tag/union/groupby + one
@@ -1083,6 +1109,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scrub": q_pii_scrub,
         "sessionize": q_sessionize,
         "hopping_window": q_hopping_window,
+        "running_window": q_running_window,
+        "order_revenue": q_order_revenue,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "doc_len_quantiles": q_doc_len_quantiles,
@@ -2246,6 +2274,44 @@ def oracle_sql() -> dict[str, str]:
                    min(tus) AS t_start_us, max(tus) AS t_end_us,
                    CAST(sum(cents) AS BIGINT) AS sum_cents
             FROM s GROUP BY 1, 2 ORDER BY user_id, session_id
+        """,
+        "running_window": """
+            WITH e AS (
+                SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                       CAST(round(value * 100) AS BIGINT) AS cents
+                FROM events
+            )
+            SELECT event_id, user_id, ts_us,
+                   CAST(row_number() OVER w AS BIGINT) AS rn,
+                   CAST(sum(cents) OVER (w ROWS UNBOUNDED PRECEDING)
+                        AS BIGINT) AS run_cents,
+                   CAST(sum(cents) OVER (w ROWS BETWEEN 2 PRECEDING
+                                         AND CURRENT ROW)
+                        AS BIGINT) AS roll_cents
+            FROM e WINDOW w AS (PARTITION BY user_id
+                                ORDER BY ts_us, event_id)
+            ORDER BY user_id, ts_us, event_id
+        """,
+        "order_revenue": """
+            WITH li AS (
+                SELECT l_orderkey,
+                       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                                * (100 - CAST(round(l_discount * 100)
+                                              AS BIGINT))) AS BIGINT)
+                           AS rev_c4
+                FROM lineitem
+                WHERE l_shipdate > TIMESTAMP '1998-06-01'
+                GROUP BY l_orderkey
+            )
+            SELECT li.l_orderkey, li.rev_c4,
+                   epoch_us(o.o_orderdate) AS o_orderdate_us
+            FROM li
+            JOIN orders o ON o.o_orderkey = li.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            WHERE o.o_orderdate < TIMESTAMP '1998-06-01'
+              AND c.c_mktsegment = 'BUILDING'
+            ORDER BY li.rev_c4 DESC, li.l_orderkey
+            LIMIT 10
         """,
         "asof_join": """
             WITH o AS (

@@ -242,3 +242,162 @@ def group_quantiles(ds, group_col: str, col: str,
 
     return hist.groupby(group_col).map_groups(per_group,
                                               batch_format="pyarrow")
+
+
+def order_revenue_topk(customer_ds, orders_ds, lineitem_ds, *,
+                       segment: str = "BUILDING",
+                       cutoff: str = "1998-06-01", k: int = 10,
+                       num_partitions: int = 64):
+    """Top-k orders by post-cutoff revenue within a market segment —
+    the canonical 3-table star join (customer ⨝ orders ⨝ lineitem),
+    TPC-H Q3's shape, composed scale-first:
+
+    * lineitem (the big side) never joins raw: rows are filtered and
+      PRE-AGGREGATED map-side to one ``(orderkey, rev_c4)`` partial per
+      batch, so the only wide lineitem operation is a groupby over
+      order-level rows.  Revenue is exact integer arithmetic —
+      ``round(price*100) * (100 - round(disc*100))`` — so engine and
+      SQL agree bitwise.
+    * customer ⨝ orders is a packed-exchange semi-join on custkey
+      (exchange.Exchange): both sides hash-partition once, each
+      partition keeps orders whose custkey appears in its customer
+      slice via sorted ``np.isin`` — no broadcast, either side may be
+      huge.
+    * order-revenue ⨝ filtered-orders is a second packed exchange on
+      orderkey (inner, searchsorted).
+    * global top-k: per-block partial top-k, then one tiny sort+limit
+      over ≤ k×blocks survivors.
+
+    Returns ``(l_orderkey, rev_c4, o_orderdate_us)``, revenue
+    descending, orderkey ascending on ties."""
+    from kmcp_ray.exchange import Exchange, u64_part_fn
+
+    P = int(num_partitions)
+    cutoff_us = int(np.datetime64(cutoff, "us").astype(np.int64))
+
+    # ---- lineitem: filter + map-side combine → groupby(orderkey).sum
+    def li_partial(t: pa.Table) -> pa.Table:
+        ship = pc.cast(t.column("l_shipdate"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        m = ship > cutoff_us
+        ok = t.column("l_orderkey").to_numpy(zero_copy_only=False)[m]
+        price = np.rint(t.column("l_extendedprice")
+                        .to_numpy(zero_copy_only=False)[m] * 100.0) \
+            .astype(np.int64)
+        disc = np.rint(t.column("l_discount")
+                       .to_numpy(zero_copy_only=False)[m] * 100.0) \
+            .astype(np.int64)
+        rev = price * (100 - disc)
+        u, inv = np.unique(ok, return_inverse=True)
+        return pa.table({
+            "l_orderkey": pa.array(u, pa.int64()),
+            "rev_c4": pa.array(np.bincount(inv, weights=rev)
+                               .astype(np.int64), pa.int64())})
+
+    rev = lineitem_ds.map_batches(li_partial, batch_format="pyarrow",
+                                  zero_copy_batch=True) \
+        .groupby("l_orderkey").aggregate(Sum("rev_c4", alias_name="rev_c4"))
+
+    # ---- customer ⨝ orders: packed semi-join on custkey
+    ex1 = Exchange([("side", pa.int8()), ("ck", pa.int64()),
+                    ("okey", pa.int64()), ("od", pa.int64())], P)
+    pack1 = ex1.make_pack_fn(u64_part_fn("ck", P=P))
+
+    def tag_cust(t: pa.Table) -> pa.Table:
+        keep = pc.equal(t.column("c_mktsegment"), pa.scalar(segment))
+        ck = t.filter(keep).column("c_custkey")
+        n = len(ck)
+        return pa.table({"side": pa.array(np.zeros(n, np.int8), pa.int8()),
+                         "ck": ck.cast(pa.int64()),
+                         "okey": pa.array(np.zeros(n, np.int64), pa.int64()),
+                         "od": pa.array(np.zeros(n, np.int64), pa.int64())})
+
+    def tag_orders(t: pa.Table) -> pa.Table:
+        od = pc.cast(t.column("o_orderdate"), pa.int64())
+        t = t.filter(pc.less(od, pa.scalar(cutoff_us, pa.int64())))
+        n = t.num_rows
+        return pa.table({"side": pa.array(np.ones(n, np.int8), pa.int8()),
+                         "ck": t.column("o_custkey").cast(pa.int64()),
+                         "okey": t.column("o_orderkey").cast(pa.int64()),
+                         "od": pc.cast(t.column("o_orderdate"), pa.int64())})
+
+    def semi(group: pa.Table) -> pa.Table:
+        u = ex1.unpack(group)
+        side = u["side"].to_numpy(zero_copy_only=False)
+        ck = u["ck"].to_numpy(zero_copy_only=False)
+        cust = np.unique(ck[side == 0])
+        m = side == 1
+        keep = np.isin(ck[m], cust, assume_unique=False)
+        return pa.table({
+            "okey": pa.array(u["okey"].to_numpy(
+                zero_copy_only=False)[m][keep], pa.int64()),
+            "od": pa.array(u["od"].to_numpy(
+                zero_copy_only=False)[m][keep], pa.int64())})
+
+    sel_orders = customer_ds.map_batches(tag_cust, batch_format="pyarrow",
+                                         zero_copy_batch=True) \
+        .union(orders_ds.map_batches(tag_orders, batch_format="pyarrow",
+                                     zero_copy_batch=True)) \
+        .map_batches(pack1, batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby("part").map_groups(semi, batch_format="pyarrow")
+
+    # ---- revenue ⨝ selected orders: packed inner join on orderkey
+    ex2 = Exchange([("side", pa.int8()), ("okey", pa.int64()),
+                    ("a", pa.int64())], P)
+    pack2 = ex2.make_pack_fn(u64_part_fn("okey", P=P))
+
+    def tag_rev(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({"side": pa.array(np.zeros(n, np.int8), pa.int8()),
+                         "okey": t.column("l_orderkey"),
+                         "a": t.column("rev_c4")})
+
+    def tag_sel(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({"side": pa.array(np.ones(n, np.int8), pa.int8()),
+                         "okey": t.column("okey"),
+                         "a": t.column("od")})
+
+    def inner(group: pa.Table) -> pa.Table:
+        u = ex2.unpack(group)
+        side = u["side"].to_numpy(zero_copy_only=False)
+        okey = u["okey"].to_numpy(zero_copy_only=False)
+        a = u["a"].to_numpy(zero_copy_only=False)
+        sel = side == 1
+        so, sod = okey[sel], a[sel]
+        order = np.argsort(so)
+        so, sod = so[order], sod[order]
+        ro, rrev = okey[~sel], a[~sel]
+        if len(so) == 0 or len(ro) == 0:
+            return pa.table({
+                "l_orderkey": pa.array([], pa.int64()),
+                "rev_c4": pa.array([], pa.int64()),
+                "o_orderdate_us": pa.array([], pa.int64())})
+        pos = np.searchsorted(so, ro)
+        pos_c = np.clip(pos, 0, len(so) - 1)
+        hit = (pos < len(so)) & (so[pos_c] == ro)
+        return pa.table({
+            "l_orderkey": pa.array(ro[hit], pa.int64()),
+            "rev_c4": pa.array(rrev[hit], pa.int64()),
+            "o_orderdate_us": pa.array(sod[pos_c][hit], pa.int64())})
+
+    joined = rev.map_batches(tag_rev, batch_format="pyarrow",
+                             zero_copy_batch=True) \
+        .union(sel_orders.map_batches(tag_sel, batch_format="pyarrow",
+                                      zero_copy_batch=True)) \
+        .map_batches(pack2, batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby("part").map_groups(inner, batch_format="pyarrow")
+
+    # ---- global top-k: block-local partial, then tiny global sort
+    def partial_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows <= k:
+            return t
+        rev_np = t.column("rev_c4").to_numpy(zero_copy_only=False)
+        ok_np = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ok_np, -rev_np))[:k]
+        return t.take(pa.array(np.sort(order), pa.int64()))
+
+    return joined.map_batches(partial_topk, batch_format="pyarrow",
+                              zero_copy_batch=True) \
+        .sort(["rev_c4", "l_orderkey"], descending=[True, False]) \
+        .limit(k)

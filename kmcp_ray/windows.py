@@ -313,3 +313,46 @@ def hopping_window_agg(events_ds, *, size_us: int = 3_600_000_000,
         .groupby("win_id").aggregate(Sum(on="n", alias_name="n"),
                                      Sum(on="sum_cents",
                                          alias_name="sum_cents"))
+
+
+def running_window(events_ds, window_rows: int = 3, *, user_col="user_id",
+                   ts_col="ts", id_col="event_id", value_col="value"):
+    """Per-key cumulative AND last-N-rows rolling aggregates — the SQL
+    ``sum() OVER (PARTITION BY key ORDER BY ts ROWS ...)`` pair, one
+    output row per event: ``(event_id, user_id, ts_us, rn, run_cents,
+    roll_cents)`` where ``rn`` is the 1-based rank inside the user,
+    ``run_cents`` the unbounded-preceding running total and
+    ``roll_cents`` the ``window_rows``-row trailing sum (both integer
+    cents, same derivation as :func:`sessionize` so engine and SQL are
+    bit-exact).
+
+    Shape: one ``groupby(user)`` shuffle; inside a group the whole
+    window family is two ``np.cumsum`` lines — per-key history never
+    leaves its partition, and group size is bounded by the busiest
+    key, not the corpus."""
+    W = int(window_rows)
+
+    def per_user(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        uid = group.column(user_col)[0].as_py()
+        ts = _epoch_us(group.column(ts_col))
+        eid = group.column(id_col).to_numpy(zero_copy_only=False)
+        val = group.column(value_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts))
+        ts, eid = ts[order], eid[order]
+        cents = np.rint(val[order] * 100.0).astype(np.int64)
+        cum = np.cumsum(cents)
+        roll = cum.copy()
+        if n > W:
+            roll[W:] = cum[W:] - cum[:-W]
+        return pa.table({
+            "event_id": pa.array(eid, pa.int64()),
+            "user_id": pa.array(np.full(n, uid), pa.int64()),
+            "ts_us": pa.array(ts, pa.int64()),
+            "rn": pa.array(np.arange(1, n + 1, dtype=np.int64), pa.int64()),
+            "run_cents": pa.array(cum, pa.int64()),
+            "roll_cents": pa.array(roll, pa.int64()),
+        })
+
+    return events_ds.groupby(user_col).map_groups(per_user,
+                                                  batch_format="pyarrow")

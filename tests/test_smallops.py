@@ -246,3 +246,35 @@ def test_group_quantiles_matches_numpy(ray_session):
         s = np.sort(v[g == grp])
         for q in (25, 50, 90, 99):
             assert out[(grp, q)] == s[(len(s) - 1) * q // 100], (grp, q)
+
+
+def test_order_revenue_topk_vs_duckdb(ray_session):
+    import duckdb
+    import ray.data
+    from kmcp_ray import relops
+    sf = "/root/testdata/sf0.001"
+    got = relops.order_revenue_topk(
+        ray.data.read_parquet(f"{sf}/customer.parquet"),
+        ray.data.read_parquet(f"{sf}/orders.parquet"),
+        ray.data.read_parquet(f"{sf}/lineitem.parquet"),
+        segment="MACHINERY", cutoff="1997-01-01", k=5,
+        num_partitions=8).to_pandas()
+    want = duckdb.sql(f"""
+        WITH li AS (
+            SELECT l_orderkey, CAST(sum(
+                CAST(round(l_extendedprice*100) AS BIGINT)
+                * (100 - CAST(round(l_discount*100) AS BIGINT)))
+                AS BIGINT) AS rev_c4
+            FROM '{sf}/lineitem.parquet'
+            WHERE l_shipdate > TIMESTAMP '1997-01-01' GROUP BY 1)
+        SELECT li.l_orderkey, li.rev_c4,
+               epoch_us(o.o_orderdate) AS o_orderdate_us
+        FROM li JOIN '{sf}/orders.parquet' o ON o.o_orderkey = li.l_orderkey
+        JOIN '{sf}/customer.parquet' c ON c.c_custkey = o.o_custkey
+        WHERE o.o_orderdate < TIMESTAMP '1997-01-01'
+          AND c.c_mktsegment = 'MACHINERY'
+        ORDER BY li.rev_c4 DESC, li.l_orderkey LIMIT 5
+    """).df()
+    assert got["l_orderkey"].tolist() == want["l_orderkey"].tolist()
+    assert got["rev_c4"].tolist() == want["rev_c4"].tolist()
+    assert got["o_orderdate_us"].tolist() == want["o_orderdate_us"].tolist()

@@ -124,3 +124,29 @@ def test_hopping_window_membership_invariant(ray_session):
     base = (np.arange(n, dtype=np.int64) * 137_000_000 + 5) // 900_000_000
     want = np.unique(np.concatenate([base - k for k in range(4)]))
     assert np.array_equal(np.sort(out["win_id"].to_numpy()), want)
+
+
+def test_running_window_invariants(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from kmcp_ray import windows
+    n = 60
+    rng = np.random.RandomState(3)
+    t = pa.table({
+        "event_id": pa.array(np.arange(n), pa.int64()),
+        "user_id": pa.array(rng.randint(0, 4, n), pa.int64()),
+        "ts": pa.array(rng.randint(0, 10**9, n).astype("datetime64[us]"),
+                       pa.timestamp("us")),
+        "value": pa.array(rng.uniform(0, 50, n), pa.float64())})
+    out = windows.running_window(ray.data.from_arrow(t), window_rows=3) \
+        .to_pandas().sort_values(["user_id", "rn"])
+    for uid, g in out.groupby("user_id"):
+        # running total is the cumsum of per-row deltas
+        deltas = g["run_cents"].diff().fillna(g["run_cents"].iloc[0])
+        assert (np.cumsum(deltas) == g["run_cents"]).all()
+        # rolling equals running for the first W rows, window-sum after
+        w = 3
+        rc, rl = g["run_cents"].to_numpy(), g["roll_cents"].to_numpy()
+        assert (rl[:w] == rc[:w]).all()
+        assert (rl[w:] == rc[w:] - rc[:-w]).all()
