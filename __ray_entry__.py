@@ -836,6 +836,94 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                          segment="BUILDING",
                                          cutoff="1998-06-01", k=10)
 
+    def q_brand_revenue(sf):
+        """Generic distributed inner join (joins.hash_join): lineitem
+        pre-aggregated per partkey map-side, joined to part on the
+        packed exchange, then a brand-sized groupby — fact table never
+        moves raw rows."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from ray.data.aggregate import Count, Sum
+
+        from kmcp_ray.joins import hash_join
+
+        def li_partial(t: "pa.Table") -> "pa.Table":
+            pk = t.column("l_partkey").to_numpy(zero_copy_only=False)
+            price = np.rint(t.column("l_extendedprice")
+                            .to_numpy(zero_copy_only=False) * 100.0) \
+                .astype(np.int64)
+            disc = np.rint(t.column("l_discount")
+                           .to_numpy(zero_copy_only=False) * 100.0) \
+                .astype(np.int64)
+            rev = price * (100 - disc)
+            u, inv = np.unique(pk, return_inverse=True)
+            return pa.table({
+                "l_partkey": pa.array(u, pa.int64()),
+                "rev_c4": pa.array(np.bincount(inv, weights=rev)
+                                   .astype(np.int64), pa.int64())})
+
+        li = _read(sf, "lineitem", columns=["l_partkey", "l_extendedprice",
+                                            "l_discount"]) \
+            .map_batches(li_partial, batch_format="pyarrow",
+                         zero_copy_batch=True) \
+            .groupby("l_partkey") \
+            .aggregate(Sum("rev_c4", alias_name="rev_c4"))
+        part = _read(sf, "part", columns=["p_partkey", "p_brand"])
+        joined = hash_join(li, part, key="l_partkey", right_key="p_partkey",
+                           how="inner", left_cols=[("rev_c4", pa.int64())],
+                           right_cols=[("p_brand", pa.string())], P=32)
+        return joined.groupby("p_brand").aggregate(
+            Count(alias_name="n_parts"),
+            Sum("rev_c4", alias_name="rev_c4")).sort("p_brand")
+
+    def q_customers_no_urgent(sf):
+        """Distributed ANTI join (joins.hash_join how='anti'):
+        customers with no 1-URGENT order — NOT EXISTS at scale, both
+        sides partitioned, nothing broadcast."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from kmcp_ray.joins import hash_join
+
+        cust = _read(sf, "customer", columns=["c_custkey", "c_mktsegment"])
+        urgent = _read(sf, "orders",
+                       columns=["o_custkey", "o_orderpriority"]) \
+            .map_batches(lambda t: t.filter(
+                pc.equal(t.column("o_orderpriority"),
+                         pa.scalar("1-URGENT"))).select(["o_custkey"]),
+                batch_format="pyarrow", zero_copy_batch=True)
+        return hash_join(cust, urgent, key="c_custkey",
+                         right_key="o_custkey", how="anti",
+                         left_cols=[("c_mktsegment", pa.string())],
+                         P=32).sort("c_custkey")
+
+    def q_cohort_retention(sf):
+        """Cohort-retention matrix over events: first-active-day cohort
+        × day offset → distinct active users; map-side (user, day)
+        dedup, one groupby(user), one cell-sized count."""
+        from kmcp_ray import windows
+        return windows.cohort_retention(
+            _read(sf, "events", columns=["user_id", "ts"])) \
+            .sort(["cohort_day", "day_offset"])
+
+    def q_source_balance(sf):
+        """Temperature-style source balancing: cap each source at ~40
+        docs in expectation via integer ppm rates + the SQL-mirrorable
+        id hash — one source-sized count, broadcast rates, stateless
+        filter (corpus never shuffles)."""
+        from kmcp_ray import curate
+        return curate.source_balance(
+            _read(sf, "documents", columns=["doc_id", "source"]),
+            cap=40).select_columns(["doc_id", "source"]).sort("doc_id")
+
+    def q_rollup_agg(sf):
+        """Grouping-sets ROLLUP (lang, source) in one shuffle: map-side
+        partials expanded to all three granularities with an '<all>'
+        sentinel, then a single groupby.sum."""
+        return relops.rollup_agg(
+            _read(sf, "documents", columns=["lang", "source", "n_chars"])) \
+            .sort(["lang", "source"])
+
     def q_asof_join(sf):
         """As-of join: each event picks the latest order of the same
         key at-or-before its timestamp — tag/union/groupby + one
@@ -1111,6 +1199,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hopping_window": q_hopping_window,
         "running_window": q_running_window,
         "order_revenue": q_order_revenue,
+        "brand_revenue": q_brand_revenue,
+        "customers_no_urgent": q_customers_no_urgent,
+        "cohort_retention": q_cohort_retention,
+        "source_balance": q_source_balance,
+        "rollup_agg": q_rollup_agg,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "doc_len_quantiles": q_doc_len_quantiles,
@@ -2312,6 +2405,60 @@ def oracle_sql() -> dict[str, str]:
               AND c.c_mktsegment = 'BUILDING'
             ORDER BY li.rev_c4 DESC, li.l_orderkey
             LIMIT 10
+        """,
+        "brand_revenue": """
+            WITH li AS (
+                SELECT l_partkey,
+                       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                                * (100 - CAST(round(l_discount * 100)
+                                              AS BIGINT))) AS BIGINT)
+                           AS rev_c4
+                FROM lineitem GROUP BY l_partkey
+            )
+            SELECT p.p_brand,
+                   CAST(count(*) AS BIGINT) AS n_parts,
+                   CAST(sum(li.rev_c4) AS BIGINT) AS rev_c4
+            FROM li JOIN part p ON p.p_partkey = li.l_partkey
+            GROUP BY 1 ORDER BY p_brand
+        """,
+        "customers_no_urgent": """
+            SELECT c_custkey, c_mktsegment FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_orderpriority = '1-URGENT')
+            ORDER BY c_custkey
+        """,
+        "cohort_retention": """
+            WITH d AS (
+                SELECT DISTINCT user_id,
+                       epoch_us(ts) // 86400000000 AS day
+                FROM events
+            ), c AS (
+                SELECT user_id, day,
+                       min(day) OVER (PARTITION BY user_id) AS cohort
+                FROM d
+            )
+            SELECT cohort AS cohort_day, day - cohort AS day_offset,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM c GROUP BY 1, 2 ORDER BY cohort_day, day_offset
+        """,
+        "source_balance": f"""
+            WITH c AS (
+                SELECT source, count(*) AS n FROM documents GROUP BY 1
+            )
+            SELECT d.doc_id, d.source
+            FROM documents d JOIN c ON c.source = d.source
+            WHERE ({_h32}) % 1000000 < least(1000000, 1000000 * 40 // c.n)
+            ORDER BY doc_id
+        """,
+        "rollup_agg": """
+            SELECT coalesce(lang, '<all>') AS lang,
+                   coalesce(source, '<all>') AS source,
+                   CAST(count(n_chars) AS BIGINT) AS n_rows,
+                   CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS sum_val
+            FROM documents
+            GROUP BY ROLLUP (lang, source)
+            ORDER BY lang, source
         """,
         "asof_join": """
             WITH o AS (

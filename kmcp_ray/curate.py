@@ -627,3 +627,45 @@ def _pick_per_doc(doc: np.ndarray, tf: np.ndarray, df: np.ndarray,
     d_s = doc[order]
     first = np.concatenate(([True], d_s[1:] != d_s[:-1]))
     return order[first], None
+
+
+# --------------------------------------------------------- source balance
+
+def source_balance(ds, cap: int = 50, source_col: str = "source",
+                   id_col: str = "doc_id"):
+    """Downsample over-represented sources to ~``cap`` docs each (in
+    expectation) — the domain-balancing step of a training-data mix.
+
+    Per-source keep rates are pure integer arithmetic,
+    ``rate_ppm = min(10^6, 10^6 * cap // n_source)``, and the keep
+    decision reuses the SQL-mirrorable :func:`sample_hash32`, so the
+    sampled corpus is deterministic, reproducible across cluster
+    sizes, and driver-oracle-checkable.
+
+    Shape: one source-sized ``groupby(source).count`` collected to the
+    driver (one row per source/domain — bounded by Heaps-law domain
+    counts, not corpus size; gate at ``len > 2M`` and switch the attach
+    to exchange.join_lookup if a corpus ever exceeds it), broadcast as
+    a sorted hash→rate probe, then ONE stateless filter pass — the
+    corpus itself never shuffles, unlike :func:`stratified_sample`'s
+    exact-quota groupby."""
+    counts = ds.groupby(source_col).count().to_pandas()
+    src = counts[source_col].to_numpy().astype(object)
+    n = counts["count()"].to_numpy().astype(np.int64)
+    rate = np.minimum(1_000_000, 1_000_000 * int(cap) // n)
+    sh = hashing.hash_strings(src)
+    order = np.argsort(sh)
+    ref = ray.put((sh[order], rate[order]))
+
+    def fn(t: pa.Table) -> pa.Table:
+        keys, rates = ray.get(ref)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        s = hashing.hash_strings(
+            t.column(source_col).to_numpy(zero_copy_only=False))
+        pos = np.clip(np.searchsorted(keys, s), 0, len(keys) - 1)
+        r = rates[pos]
+        keep = (sample_hash32(ids) % np.uint64(1_000_000)) \
+            < r.astype(np.uint64)
+        return t.filter(pa.array(keep))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

@@ -1,0 +1,153 @@
+"""Generic distributed equi-join — one operator, four modes.
+
+The engine's joins so far were bespoke compositions (search's
+count-based similarity join, exchange.join_lookup's string kv-attach,
+relops.order_revenue_topk's inline semi+inner pair).  This module
+factors the common shape into ONE reusable primitive::
+
+    hash_join(left, right, key="k", how="inner|left|semi|anti",
+              left_cols=[("a", pa.int64())], right_cols=[...], P=64)
+
+built on the packed exchange (exchange.Exchange): both sides
+hash-partition ONCE on the key, each partition sorts its build (right)
+side and resolves every probe row with two ``searchsorted`` calls —
+one-to-many matches expand through a vectorized segment gather, never
+a Python loop.  Either side may be arbitrarily large; nothing is
+broadcast and nothing lands on the driver.  This is the partitioned
+arm of kmcp's load-whole-index vs low-memory mode switch
+(reference: kmcp/cmd/search.go:66-83, semantics re-derived); the
+broadcast arm for small build sides remains exchange.join_lookup.
+
+Payload columns are declared as ``(name, pyarrow type)`` pairs;
+int/float/string all ride the same packed rows.  Output columns:
+``key`` + left payloads + right payloads (inner/left; right payloads
+null on left-misses) or ``key`` + left payloads (semi/anti).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from kmcp_ray.exchange import Exchange, u64_part_fn
+
+
+def _np(col):
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return col.to_numpy(zero_copy_only=False)
+
+
+def hash_join(left_ds, right_ds, *, key: str, how: str = "inner",
+              left_cols=(), right_cols=(), P: int = 64,
+              key_type=pa.int64(), right_key: str = None):
+    """Distributed equi-join of two Datasets on an integer key.
+
+    ``how``: ``inner`` | ``left`` | ``semi`` | ``anti``.  ``semi`` keeps
+    each left row at most once if ANY right match exists; ``anti`` keeps
+    rows with NO match; ``left`` emits every left row, right payloads
+    null where unmatched; ``inner`` expands one-to-many.  Duplicate keys
+    on both sides are supported (inner/left produce the cross product
+    per key, exactly like SQL).
+
+    ``right_key`` lets the two sides name the key differently; the
+    output uses the LEFT name."""
+    if how not in ("inner", "left", "semi", "anti"):
+        raise ValueError(f"unknown join mode {how!r}")
+    left_cols = list(left_cols)
+    right_cols = list(right_cols)
+    rkey = right_key or key
+    emit_right = how in ("inner", "left")
+
+    schema = [("side", pa.int8()), ("k", key_type)]
+    schema += [(f"l_{n}", t) for n, t in left_cols]
+    if emit_right:
+        schema += [(f"r_{n}", t) for n, t in right_cols]
+    ex = Exchange(schema, P)
+    pack = ex.make_pack_fn(u64_part_fn("k", P=P))
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        cols = {"side": pa.array(np.ones(n, np.int8), pa.int8()),
+                "k": t.column(key).cast(key_type)}
+        for nm, typ in left_cols:
+            cols[f"l_{nm}"] = t.column(nm).cast(typ)
+        if emit_right:
+            for nm, typ in right_cols:
+                cols[f"r_{nm}"] = pa.nulls(n, typ)
+        return pa.table(cols)
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        cols = {"side": pa.array(np.zeros(n, np.int8), pa.int8()),
+                "k": t.column(rkey).cast(key_type)}
+        for nm, typ in left_cols:
+            cols[f"l_{nm}"] = pa.nulls(n, typ)
+        if emit_right:
+            for nm, typ in right_cols:
+                cols[f"r_{nm}"] = t.column(nm).cast(typ)
+        return pa.table(cols)
+
+    out_schema = [(key, key_type)] + \
+        [(n, t) for n, t in left_cols] + \
+        ([(n, t) for n, t in right_cols] if emit_right else [])
+
+    def _empty() -> pa.Table:
+        return pa.table({n: pa.array([], t) for n, t in out_schema})
+
+    def join_group(group: pa.Table) -> pa.Table:
+        u = ex.unpack(group)
+        side = _np(u["side"])
+        k = _np(u["k"])
+        probe = np.nonzero(side == 1)[0]
+        build = np.nonzero(side == 0)[0]
+        if len(probe) == 0:
+            return _empty()
+        bk = k[build]
+        osort = np.argsort(bk, kind="stable")
+        bk = bk[osort]
+        pk = k[probe]
+        lo = np.searchsorted(bk, pk, side="left")
+        hi = np.searchsorted(bk, pk, side="right")
+        counts = hi - lo
+
+        if how == "semi" or how == "anti":
+            keep = counts > 0 if how == "semi" else counts == 0
+            sel = probe[keep]
+            cols = {key: pa.array(k[sel], key_type)}
+            for nm, typ in left_cols:
+                cols[nm] = pa.array(_np(u[f"l_{nm}"])[sel], typ)
+            return pa.table(cols)
+
+        from kmcp_ray.bands import _segment_gather
+        # matched expansion: one output row per (probe, build-match)
+        rep = np.repeat(probe, counts)                  # probe row index
+        gather = build[osort[_segment_gather(lo, counts)]] \
+            if counts.sum() else np.empty(0, np.int64)  # build row index
+        if how == "left":
+            miss = probe[counts == 0]
+        else:
+            miss = np.empty(0, np.int64)
+        cols = {key: pa.array(np.concatenate((k[rep], k[miss])), key_type)}
+        for nm, typ in left_cols:
+            v = _np(u[f"l_{nm}"])
+            cols[nm] = pa.array(np.concatenate((v[rep], v[miss])), typ)
+        for nm, typ in right_cols:
+            v = _np(u[f"r_{nm}"])
+            matched = v[gather]
+            if len(miss):
+                nulls = np.full(len(miss), None, dtype=object)
+                cols[nm] = pa.array(
+                    np.concatenate((matched.astype(object), nulls)), typ)
+            else:
+                cols[nm] = pa.array(matched, typ)
+        return pa.table(cols)
+
+    packed_l = left_ds.map_batches(tag_left, batch_format="pyarrow",
+                                   zero_copy_batch=True) \
+        .map_batches(pack, batch_format="pyarrow", zero_copy_batch=True)
+    packed_r = right_ds.map_batches(tag_right, batch_format="pyarrow",
+                                    zero_copy_batch=True) \
+        .map_batches(pack, batch_format="pyarrow", zero_copy_batch=True)
+    return packed_l.union(packed_r).groupby("part").map_groups(
+        join_group, batch_format="pyarrow")

@@ -401,3 +401,52 @@ def order_revenue_topk(customer_ds, orders_ds, lineitem_ds, *,
                               zero_copy_batch=True) \
         .sort(["rev_c4", "l_orderkey"], descending=[True, False]) \
         .limit(k)
+
+
+def rollup_agg(docs_ds, *, g1: str = "lang", g2: str = "source",
+               val_col: str = "n_chars", all_token: str = "<all>"):
+    """ROLLUP-style grouping-sets aggregate in ONE shuffle: per-
+    ``(g1, g2)``, per-``g1`` subtotal and grand-total rows, with
+    ``all_token`` standing in for the rolled-up level.
+
+    SQL needs ``GROUP BY ROLLUP (g1, g2)``; Ray Data has no grouping
+    sets, so each batch expands its rows into the three granularities
+    MAP-SIDE after first collapsing to distinct (g1, g2) partials —
+    the shuffle then carries ≤ 3 rows per distinct group per block
+    (never 3× the corpus) into one ``groupby.sum``.  Emits
+    ``(g1, g2, n_rows, sum_val)``."""
+    def expand(t: pa.Table) -> pa.Table:
+        a = t.column(g1).to_numpy(zero_copy_only=False)
+        b = t.column(g2).to_numpy(zero_copy_only=False)
+        v = t.column(val_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        if t.num_rows == 0:   # grand-total row only (SQL ROLLUP () set)
+            return pa.table({g1: pa.array([all_token], pa.string()),
+                             g2: pa.array([all_token], pa.string()),
+                             "n_rows": pa.array([0], pa.int64()),
+                             "sum_val": pa.array([0], pa.int64())})
+        ua, ca = np.unique(a, return_inverse=True)
+        ub, cb = np.unique(b, return_inverse=True)
+        code = ca.astype(np.int64) * len(ub) + cb
+        uc, inv = np.unique(code, return_inverse=True)
+        n = np.bincount(inv).astype(np.int64)
+        s = np.bincount(inv, weights=v).astype(np.int64)
+        ga, gb = ua[uc // len(ub)], ub[uc % len(ub)]
+        # subtotal per g1 and grand total, derived from the partials
+        us, si = np.unique(ga, return_inverse=True)
+        n1 = np.bincount(si, weights=n).astype(np.int64)
+        s1 = np.bincount(si, weights=s).astype(np.int64)
+        out_a = np.concatenate((ga, us, [all_token]))
+        out_b = np.concatenate((gb, np.full(len(us), all_token,
+                                            dtype=object), [all_token]))
+        out_n = np.concatenate((n, n1, [n.sum()]))
+        out_s = np.concatenate((s, s1, [s.sum()]))
+        return pa.table({g1: pa.array(out_a, pa.string()),
+                         g2: pa.array(out_b, pa.string()),
+                         "n_rows": pa.array(out_n, pa.int64()),
+                         "sum_val": pa.array(out_s, pa.int64())})
+
+    return docs_ds.map_batches(expand, batch_format="pyarrow",
+                               zero_copy_batch=True) \
+        .groupby([g1, g2]).aggregate(Sum("n_rows", alias_name="n_rows"),
+                                     Sum("sum_val", alias_name="sum_val"))

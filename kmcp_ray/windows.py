@@ -356,3 +356,46 @@ def running_window(events_ds, window_rows: int = 3, *, user_col="user_id",
 
     return events_ds.groupby(user_col).map_groups(per_user,
                                                   batch_format="pyarrow")
+
+
+def cohort_retention(events_ds, *, user_col="user_id", ts_col="ts"):
+    """Cohort-retention matrix: users bucketed by their FIRST active
+    day (the cohort), counted per ``(cohort_day, day_offset)`` cell —
+    the standard activity-retention analytics query, here as a
+    two-stage streaming aggregation:
+
+    1. map-side distinct ``(user, day)`` per batch (one lexsort) — the
+       shuffle moves one row per user-day per block, never one per
+       event;
+    2. ``groupby(user)``: the user's whole day set lands in one group,
+       ``cohort = min(day)``, one output row per distinct day;
+    3. a cell-sized ``groupby((cohort, offset)).count`` — rows are
+       already distinct per user, so ``count == distinct users``.
+
+    Day = ``epoch_us // 86_400_000_000`` (integer UTC bucketing, the
+    same frozen arithmetic as the SQL oracle)."""
+    DAY = 86_400_000_000
+
+    def slim(t: pa.Table) -> pa.Table:
+        uid = t.column(user_col).to_numpy(zero_copy_only=False)
+        day = _epoch_us(t.column(ts_col)) // DAY
+        order = np.lexsort((day, uid))
+        u_s, d_s = uid[order], day[order]
+        first = np.ones(len(u_s), dtype=bool)
+        first[1:] = (u_s[1:] != u_s[:-1]) | (d_s[1:] != d_s[:-1])
+        return pa.table({"user_id": pa.array(u_s[first], pa.int64()),
+                         "day": pa.array(d_s[first], pa.int64())})
+
+    def per_user(group: pa.Table) -> pa.Table:
+        days = np.unique(group.column("day").to_numpy(zero_copy_only=False))
+        cohort = days[0]
+        return pa.table({
+            "cohort_day": pa.array(np.full(len(days), cohort), pa.int64()),
+            "day_offset": pa.array(days - cohort, pa.int64())})
+
+    from ray.data.aggregate import Count
+    return events_ds.map_batches(slim, batch_format="pyarrow",
+                                 zero_copy_batch=True) \
+        .groupby("user_id").map_groups(per_user, batch_format="pyarrow") \
+        .groupby(["cohort_day", "day_offset"]) \
+        .aggregate(Count(alias_name="n_users"))

@@ -20,7 +20,9 @@ SQL_CHECKED = ["exact_dedup_docs", "token_count", "token_stats", "doc_stats",
                "incremental_dedup", "hash_sample", "stratified_sample",
                "decontaminate", "bloom_decontaminate", "vocab_topk",
                "pii_scrub", "sessionize", "hopping_window",
-               "running_window", "order_revenue",
+               "running_window", "order_revenue", "brand_revenue",
+               "customers_no_urgent", "cohort_retention",
+               "source_balance", "rollup_agg",
                "asof_join", "range_join", "doc_len_quantiles",
                "group_quantiles",
                "repetition_score", "shingle_hll", "token_cms",

@@ -1,0 +1,66 @@
+"""joins.hash_join: all four modes vs DuckDB on duplicate-key data."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+MODES = [
+    ("inner", "SELECT L.k, lv, ls, rv FROM L JOIN R ON L.k = R.k"),
+    ("left", "SELECT L.k, lv, ls, rv FROM L LEFT JOIN R ON L.k = R.k"),
+    ("semi", "SELECT k, lv, ls FROM L "
+             "WHERE EXISTS (SELECT 1 FROM R WHERE R.k = L.k)"),
+    ("anti", "SELECT k, lv, ls FROM L "
+             "WHERE NOT EXISTS (SELECT 1 FROM R WHERE R.k = L.k)"),
+]
+
+
+@pytest.fixture(scope="module")
+def sides():
+    rng = np.random.RandomState(7)
+    left = pa.table({
+        "k": pa.array(rng.randint(0, 30, 200), pa.int64()),
+        "lv": pa.array(rng.randint(0, 1000, 200), pa.int64()),
+        "ls": pa.array([f"s{i % 5}" for i in range(200)], pa.string())})
+    right = pa.table({
+        "k": pa.array(rng.randint(10, 40, 120), pa.int64()),
+        "rv": pa.array(rng.uniform(0, 1, 120), pa.float64())})
+    con = duckdb.connect()
+    con.register("L", left.to_pandas())
+    con.register("R", right.to_pandas())
+    return left, right, con
+
+
+@pytest.mark.parametrize("how,sql", MODES)
+def test_hash_join_matches_duckdb(ray_session, sides, how, sql):
+    import ray.data
+    from kmcp_ray.joins import hash_join
+    left, right, con = sides
+    got = hash_join(ray.data.from_arrow(left), ray.data.from_arrow(right),
+                    key="k", how=how,
+                    left_cols=[("lv", pa.int64()), ("ls", pa.string())],
+                    right_cols=[("rv", pa.float64())], P=8).to_pandas()
+    want = con.sql(sql).df()
+
+    def canon(df):
+        return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(canon(got), canon(want),
+                                  check_dtype=False)
+
+
+def test_hash_join_empty_sides(ray_session):
+    import ray.data
+    from kmcp_ray.joins import hash_join
+    left = pa.table({"k": pa.array([1, 2], pa.int64()),
+                     "lv": pa.array([10, 20], pa.int64())})
+    empty = pa.table({"k": pa.array([], pa.int64())})
+    out = hash_join(ray.data.from_arrow(left), ray.data.from_arrow(empty),
+                    key="k", how="left",
+                    left_cols=[("lv", pa.int64())], P=4).to_pandas()
+    assert sorted(out["k"].tolist()) == [1, 2]
+    anti = hash_join(ray.data.from_arrow(left), ray.data.from_arrow(empty),
+                     key="k", how="anti",
+                     left_cols=[("lv", pa.int64())], P=4).to_pandas()
+    assert len(anti) == 2
