@@ -156,7 +156,9 @@ def run_bench() -> dict:
                      "doc_fingerprint", "profile_em", "merge_regions",
                      "search_indexed_docs", "hash_sample", "decontaminate",
                      "vocab_topk", "pii_scrub", "sessionize",
-                     "pack_sequences"]:
+                     "pack_sequences", "order_revenue", "brand_revenue",
+                     "cohort_retention", "running_window",
+                     "source_balance"]:
             timed(name, lambda n=name: consume(qs[n](SF_DIR)))
 
     if not skip_queries:

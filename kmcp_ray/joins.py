@@ -15,8 +15,9 @@ one-to-many matches expand through a vectorized segment gather, never
 a Python loop.  Either side may be arbitrarily large; nothing is
 broadcast and nothing lands on the driver.  This is the partitioned
 arm of kmcp's load-whole-index vs low-memory mode switch
-(reference: kmcp/cmd/search.go:66-83, semantics re-derived); the
-broadcast arm for small build sides remains exchange.join_lookup.
+(reference: kmcp/cmd/search.go:66-83, semantics re-derived);
+:func:`broadcast_hash_join` is the load-whole arm for small build
+sides (zero shuffle, row-gated), sharing the same probe kernel.
 
 Payload columns are declared as ``(name, pyarrow type)`` pairs;
 int/float/string all ride the same packed rows.  Output columns:
@@ -36,6 +37,26 @@ def _np(col):
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     return col.to_numpy(zero_copy_only=False)
+
+
+def _probe_kernel(bk_sorted: np.ndarray, pk: np.ndarray, how: str):
+    """Shared join-resolution kernel (both arms): probe keys against a
+    SORTED build-key array.  Returns ``(rep, gather, miss)`` — probe
+    row indices repeated per match, positions into the sorted build
+    arrays, and unmatched probe rows (left/anti)."""
+    lo = np.searchsorted(bk_sorted, pk, side="left")
+    hi = np.searchsorted(bk_sorted, pk, side="right")
+    counts = hi - lo
+    if how in ("semi", "anti"):
+        keep = counts > 0 if how == "semi" else counts == 0
+        return np.nonzero(keep)[0], None, None
+    from kmcp_ray.bands import _segment_gather
+    rep = np.repeat(np.arange(len(pk)), counts)
+    gather = _segment_gather(lo, counts) if counts.sum() \
+        else np.empty(0, np.int64)
+    miss = np.nonzero(counts == 0)[0] if how == "left" \
+        else np.empty(0, np.int64)
+    return rep, gather, miss
 
 
 def hash_join(left_ds, right_ds, *, key: str, how: str = "inner",
@@ -105,29 +126,20 @@ def hash_join(left_ds, right_ds, *, key: str, how: str = "inner",
             return _empty()
         bk = k[build]
         osort = np.argsort(bk, kind="stable")
-        bk = bk[osort]
         pk = k[probe]
-        lo = np.searchsorted(bk, pk, side="left")
-        hi = np.searchsorted(bk, pk, side="right")
-        counts = hi - lo
+        rep, gather, miss = _probe_kernel(bk[osort], pk, how)
 
         if how == "semi" or how == "anti":
-            keep = counts > 0 if how == "semi" else counts == 0
-            sel = probe[keep]
+            sel = probe[rep]
             cols = {key: pa.array(k[sel], key_type)}
             for nm, typ in left_cols:
                 cols[nm] = pa.array(_np(u[f"l_{nm}"])[sel], typ)
             return pa.table(cols)
 
-        from kmcp_ray.bands import _segment_gather
         # matched expansion: one output row per (probe, build-match)
-        rep = np.repeat(probe, counts)                  # probe row index
-        gather = build[osort[_segment_gather(lo, counts)]] \
-            if counts.sum() else np.empty(0, np.int64)  # build row index
-        if how == "left":
-            miss = probe[counts == 0]
-        else:
-            miss = np.empty(0, np.int64)
+        rep = probe[rep]                # group row index per output
+        gather = build[osort[gather]]   # group row index of the match
+        miss = probe[miss]
         cols = {key: pa.array(np.concatenate((k[rep], k[miss])), key_type)}
         for nm, typ in left_cols:
             v = _np(u[f"l_{nm}"])
@@ -151,3 +163,79 @@ def hash_join(left_ds, right_ds, *, key: str, how: str = "inner",
         .map_batches(pack, batch_format="pyarrow", zero_copy_batch=True)
     return packed_l.union(packed_r).groupby("part").map_groups(
         join_group, batch_format="pyarrow")
+
+
+def broadcast_hash_join(left_ds, right_ds, *, key: str, how: str = "inner",
+                        left_cols=(), right_cols=(), key_type=pa.int64(),
+                        right_key: str = None,
+                        max_broadcast_rows: int = 5_000_000):
+    """Broadcast arm of :func:`hash_join` — the load-whole-index mode
+    (kmcp/cmd/search.go:66-83 analogue): the RIGHT side is collected
+    once into sorted numpy arrays, ``ray.put`` once, and every left
+    batch resolves with two ``searchsorted`` calls — ZERO shuffle, the
+    left side streams at read speed.  Right side must fit a worker:
+    the ``max_broadcast_rows`` gate raises rather than silently
+    collecting an unbounded table (same guard as ann.cosine_pairs /
+    search.search_indexed); switch to :func:`hash_join` past it.
+
+    Same output contract as :func:`hash_join`."""
+    import ray
+
+    if how not in ("inner", "left", "semi", "anti"):
+        raise ValueError(f"unknown join mode {how!r}")
+    left_cols = list(left_cols)
+    right_cols = list(right_cols)
+    rkey = right_key or key
+    emit_right = how in ("inner", "left")
+
+    key_chunks, payload_chunks = [], {n: [] for n, _t in right_cols}
+    n_rows = 0
+    cols_needed = [rkey] + ([n for n, _t in right_cols] if emit_right
+                            else [])
+    for b in right_ds.select_columns(cols_needed).iter_batches(
+            batch_size=1 << 18, batch_format="pyarrow"):
+        n_rows += b.num_rows
+        if n_rows > max_broadcast_rows:
+            raise ValueError(
+                f"broadcast_hash_join: right side exceeds "
+                f"{max_broadcast_rows} rows — use hash_join (the "
+                f"partitioned arm) instead")
+        key_chunks.append(_np(b.column(rkey)).astype(np.int64))
+        if emit_right:
+            for nm, _t in right_cols:
+                payload_chunks[nm].append(_np(b.column(nm)))
+    bk = np.concatenate(key_chunks) if key_chunks \
+        else np.empty(0, np.int64)
+    osort = np.argsort(bk, kind="stable")
+    bk = bk[osort]
+    payload = {nm: np.concatenate(payload_chunks[nm])[osort]
+               for nm, _t in (right_cols if emit_right else [])
+               if payload_chunks[nm]} if emit_right else {}
+    ref = ray.put((bk, payload))
+
+    def probe(t: pa.Table) -> pa.Table:
+        bk_l, payload_l = ray.get(ref)
+        pk = _np(t.column(key)).astype(np.int64)
+        rep, gather, miss = _probe_kernel(bk_l, pk, how)
+        if how in ("semi", "anti"):
+            return t.select([key] + [n for n, _t in left_cols]) \
+                .take(pa.array(rep, pa.int64()))
+        cols = {key: pa.array(np.concatenate((pk[rep], pk[miss])),
+                              key_type)}
+        for nm, typ in left_cols:
+            v = _np(t.column(nm))
+            cols[nm] = pa.array(np.concatenate((v[rep], v[miss])), typ)
+        for nm, typ in right_cols:
+            v = payload_l.get(nm, np.empty(0, object))
+            matched = v[gather] if len(v) else np.empty(0, object)
+            if len(miss):
+                nulls = np.full(len(miss), None, dtype=object)
+                cols[nm] = pa.array(
+                    np.concatenate((np.asarray(matched, object), nulls)),
+                    typ)
+            else:
+                cols[nm] = pa.array(matched, typ)
+        return pa.table(cols)
+
+    return left_ds.map_batches(probe, batch_format="pyarrow",
+                               zero_copy_batch=True)

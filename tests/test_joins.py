@@ -64,3 +64,32 @@ def test_hash_join_empty_sides(ray_session):
                      key="k", how="anti",
                      left_cols=[("lv", pa.int64())], P=4).to_pandas()
     assert len(anti) == 2
+
+
+@pytest.mark.parametrize("how,sql", MODES)
+def test_broadcast_join_matches_duckdb(ray_session, sides, how, sql):
+    import ray.data
+    from kmcp_ray.joins import broadcast_hash_join
+    left, right, con = sides
+    got = broadcast_hash_join(
+        ray.data.from_arrow(left), ray.data.from_arrow(right),
+        key="k", how=how,
+        left_cols=[("lv", pa.int64()), ("ls", pa.string())],
+        right_cols=[("rv", pa.float64())]).to_pandas()
+    want = con.sql(sql).df()
+
+    def canon(df):
+        return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(canon(got), canon(want),
+                                  check_dtype=False)
+
+
+def test_broadcast_join_row_gate(ray_session, sides):
+    import ray.data
+    from kmcp_ray.joins import broadcast_hash_join
+    left, right, _con = sides
+    with pytest.raises(ValueError, match="exceeds"):
+        broadcast_hash_join(ray.data.from_arrow(left),
+                            ray.data.from_arrow(right), key="k",
+                            max_broadcast_rows=10)
