@@ -924,6 +924,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf, "documents", columns=["lang", "source", "n_chars"])) \
             .sort(["lang", "source"])
 
+    def q_label_outliers(sf):
+        """Per-label centroid outliers: the 5 vectors farthest (cosine)
+        from their own label's mean — broadcast centroids, map-side
+        k-worst combine, label-sized finish; rank-only output so engine
+        and SQL agree without float columns."""
+        from kmcp_ray import ann
+        return ann.label_outliers(
+            _read(sf, "embeddings",
+                  columns=["vec_id", "label", "embedding"]),
+            k=5).sort(["label", "rank"])
+
     def q_asof_join(sf):
         """As-of join: each event picks the latest order of the same
         key at-or-before its timestamp — tag/union/groupby + one
@@ -1202,6 +1213,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "brand_revenue": q_brand_revenue,
         "customers_no_urgent": q_customers_no_urgent,
         "cohort_retention": q_cohort_retention,
+        "label_outliers": q_label_outliers,
         "source_balance": q_source_balance,
         "rollup_agg": q_rollup_agg,
         "asof_join": q_asof_join,
@@ -2450,6 +2462,31 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d JOIN c ON c.source = d.source
             WHERE ({_h32}) % 1000000 < least(1000000, 1000000 * 40 // c.n)
             ORDER BY doc_id
+        """,
+        "label_outliers": """
+            WITH u AS (
+                SELECT label, i, avg(v) AS m
+                FROM (SELECT label,
+                             unnest(CAST(embedding AS DOUBLE[])) AS v,
+                             generate_subscripts(embedding, 1) AS i
+                      FROM embeddings)
+                GROUP BY label, i
+            ), c AS (
+                SELECT label, list(m ORDER BY i) AS centroid
+                FROM u GROUP BY label
+            ), s AS (
+                SELECT e.label, e.vec_id,
+                       row_number() OVER (
+                           PARTITION BY e.label
+                           ORDER BY list_cosine_similarity(
+                                        CAST(e.embedding AS DOUBLE[]),
+                                        c.centroid) ASC,
+                                    e.vec_id ASC) AS rank
+                FROM embeddings e JOIN c ON c.label = e.label
+            )
+            SELECT CAST(label AS BIGINT) AS label, vec_id,
+                   CAST(rank AS BIGINT) AS rank
+            FROM s WHERE rank <= 5 ORDER BY label, rank
         """,
         "rollup_agg": """
             SELECT coalesce(lang, '<all>') AS lang,

@@ -580,3 +580,103 @@ def embedding_dedup(ds, threshold: float, cfg: DedupConfig = None,
             "cluster_id": pa.array([int(s[1:]) for s in cl], pa.int64())})
 
     return assignments.map_batches(to_int, batch_format="pyarrow")
+
+
+def label_centroids(ds, label_col: str = "label",
+                    emb_col: str = "embedding"):
+    """Per-label mean vector (float64): map-side partial sums — one
+    ``(label, sum_vec, n)`` row per label per block — streamed to the
+    driver and reduced with one bincount-style add.  The result is
+    class-cardinality-sized (labels, not rows), the corpus itself
+    never shuffles.  Returns ``(labels int64[], centroids float64
+    [L, dim])`` sorted by label."""
+    def partial(t: pa.Table) -> pa.Table:
+        lab = t.column(label_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        m = _emb_matrix(t, emb_col).astype(np.float64)
+        u, inv = np.unique(lab, return_inverse=True)
+        sums = np.zeros((len(u), m.shape[1]))
+        np.add.at(sums, inv, m)
+        return pa.table({
+            "label": pa.array(u, pa.int64()),
+            "psum": pa.array(list(sums), pa.list_(pa.float64())),
+            "n": pa.array(np.bincount(inv).astype(np.int64), pa.int64())})
+
+    acc: dict[int, tuple[np.ndarray, int]] = {}
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    for b in parts.iter_batches(batch_size=1 << 14,
+                                batch_format="pyarrow"):
+        labs = b.column("label").to_numpy(zero_copy_only=False)
+        ns = b.column("n").to_numpy(zero_copy_only=False)
+        vecs = b.column("psum")
+        if isinstance(vecs, pa.ChunkedArray):
+            vecs = vecs.combine_chunks()
+        flat = vecs.flatten().to_numpy(zero_copy_only=False)
+        dim = len(flat) // max(len(labs), 1)
+        mat = flat.reshape(len(labs), dim)
+        for i, lb in enumerate(labs):
+            s, n = acc.get(int(lb), (0.0, 0))
+            acc[int(lb)] = (s + mat[i], n + int(ns[i]))
+    labels = np.array(sorted(acc), dtype=np.int64)
+    cents = np.stack([acc[int(lb)][0] / acc[int(lb)][1]
+                      for lb in labels]) if len(labels) \
+        else np.empty((0, 0))
+    return labels, cents
+
+
+def label_outliers(ds, k: int = 5, label_col: str = "label",
+                   id_col: str = "vec_id", emb_col: str = "embedding"):
+    """The ``k`` vectors FARTHEST from their own label's centroid, per
+    label — the semantic-quality outlier flagging step of an
+    embedding-curated corpus (mislabeled / off-topic candidates).
+
+    Rank-only output ``(label, vec_id, rank)`` with rank 1 = farthest,
+    ties by vec_id — no float column, so engine and SQL agree exactly
+    (same contract as topk_cosine).  Shape: centroids broadcast once
+    (``ray.put``), each batch computes one matmul-free row-wise cosine
+    and keeps its k worst per label (map-side combine), then one
+    label-sized ``groupby`` finishes — the corpus streams once."""
+    labels, cents = label_centroids(ds, label_col, emb_col)
+    norm_c = cents / np.maximum(
+        np.linalg.norm(cents, axis=1, keepdims=True), 1e-30)
+    ref = ray.put((labels, norm_c))
+
+    def partial_worst(t: pa.Table) -> pa.Table:
+        labs_all, nc = ray.get(ref)
+        lab = t.column(label_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        vid = t.column(id_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        m = _emb_matrix(t, emb_col).astype(np.float64)
+        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True),
+                            1e-30)
+        li = np.searchsorted(labs_all, lab)
+        cos = np.einsum("ij,ij->i", mn, nc[li])
+        # keep k worst per label in this batch
+        order = np.lexsort((vid, cos, lab))
+        lab_s = lab[order]
+        new = np.concatenate(([True], lab_s[1:] != lab_s[:-1]))
+        seg = np.cumsum(new) - 1
+        starts = np.nonzero(new)[0]
+        rank_in = np.arange(len(lab_s)) - starts[seg]
+        keep = order[rank_in < k]
+        return pa.table({
+            "label": pa.array(lab[keep], pa.int64()),
+            "vec_id": pa.array(vid[keep], pa.int64()),
+            "cos": pa.array(cos[keep], pa.float64())})
+
+    def finish(group: pa.Table) -> pa.Table:
+        lab = group.column("label").to_numpy(zero_copy_only=False)
+        vid = group.column("vec_id").to_numpy(zero_copy_only=False)
+        cos = group.column("cos").to_numpy(zero_copy_only=False)
+        order = np.lexsort((vid, cos))[:k]
+        return pa.table({
+            "label": pa.array(lab[order], pa.int64()),
+            "vec_id": pa.array(vid[order], pa.int64()),
+            "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64),
+                             pa.int64())})
+
+    return ds.map_batches(partial_worst, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .groupby("label").map_groups(finish, batch_format="pyarrow")

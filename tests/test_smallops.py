@@ -278,3 +278,23 @@ def test_order_revenue_topk_vs_duckdb(ray_session):
     assert got["l_orderkey"].tolist() == want["l_orderkey"].tolist()
     assert got["rev_c4"].tolist() == want["rev_c4"].tolist()
     assert got["o_orderdate_us"].tolist() == want["o_orderdate_us"].tolist()
+
+
+def test_label_centroids_match_numpy(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from kmcp_ray import ann
+    rng = np.random.RandomState(5)
+    n, dim = 300, 8
+    lab = rng.randint(0, 4, n)
+    m = rng.uniform(-1, 1, (n, dim)).astype(np.float32)
+    t = pa.table({"vec_id": pa.array(np.arange(n), pa.int64()),
+                  "label": pa.array(lab, pa.int32()),
+                  "embedding": pa.array(list(m.astype(np.float32)),
+                                        pa.list_(pa.float32()))})
+    labels, cents = ann.label_centroids(ray.data.from_arrow(t))
+    assert labels.tolist() == [0, 1, 2, 3]
+    for i, lb in enumerate(labels):
+        want = m[lab == lb].astype(np.float64).mean(axis=0)
+        assert np.allclose(cents[i], want, atol=1e-12)
