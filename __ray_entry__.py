@@ -924,6 +924,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf, "documents", columns=["lang", "source", "n_chars"])) \
             .sort(["lang", "source"])
 
+    def q_fuzzy_decontaminate(sf):
+        """NEAR-dup benchmark decontamination: docs (doc_id % 20 == 0)
+        form the eval set; corpus docs with distinct-shingle Jaccard
+        >= 0.5 against ANY eval doc are dropped — broadcast postings,
+        one stateless corpus pass, zero shuffle."""
+        import pyarrow as pa
+        from kmcp_ray import curate
+        docs = _read(sf, "documents", columns=["doc_id", "text", "lang"])
+
+        def split(keep_eval):
+            def fn(t: "pa.Table") -> "pa.Table":
+                ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+                m = (ids % 20) == 0
+                return t.filter(pa.array(m if keep_eval else ~m))
+            return fn
+
+        eval_ds = docs.map_batches(split(True), batch_format="pyarrow",
+                                   zero_copy_batch=True)
+        corpus = docs.map_batches(split(False), batch_format="pyarrow",
+                                  zero_copy_batch=True)
+        out = curate.fuzzy_decontaminate(corpus, eval_ds, k=3,
+                                         min_jacc_u=500_000)
+        return out.select_columns(["doc_id", "lang"]).sort("doc_id")
+
     def q_label_outliers(sf):
         """Per-label centroid outliers: the 5 vectors farthest (cosine)
         from their own label's mean — broadcast centroids, map-side
@@ -1214,6 +1238,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_no_urgent": q_customers_no_urgent,
         "cohort_retention": q_cohort_retention,
         "label_outliers": q_label_outliers,
+        "fuzzy_decontaminate": q_fuzzy_decontaminate,
         "source_balance": q_source_balance,
         "rollup_agg": q_rollup_agg,
         "asof_join": q_asof_join,
@@ -2461,6 +2486,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, d.source
             FROM documents d JOIN c ON c.source = d.source
             WHERE ({_h32}) % 1000000 < least(1000000, 1000000 * 40 // c.n)
+            ORDER BY doc_id
+        """,
+        "fuzzy_decontaminate": """
+            WITH t AS (
+                SELECT doc_id AS did,
+                       regexp_extract_all(lower(coalesce(text, '')),
+                                          '[a-z0-9]+') AS tk
+                FROM documents
+            ), sh AS (
+                SELECT did, unnest(
+                    CASE WHEN len(tk) >= 3 THEN list_transform(
+                              generate_series(1, len(tk) - 2),
+                              i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+                         WHEN len(tk) > 0 THEN [array_to_string(tk, ' ')]
+                         ELSE [] END) AS s
+                FROM t
+            ), d AS (
+                SELECT DISTINCT did, s FROM sh
+            ), sz AS (
+                SELECT did, count(*) AS n FROM d GROUP BY 1
+            ), hit AS (
+                SELECT c.did AS cid, e.did AS eid, count(*) AS c
+                FROM d c JOIN d e USING (s)
+                WHERE c.did % 20 <> 0 AND e.did % 20 = 0
+                GROUP BY 1, 2
+            ), bad AS (
+                SELECT DISTINCT cid FROM hit
+                JOIN sz cs ON cs.did = hit.cid
+                JOIN sz es ON es.did = hit.eid
+                WHERE 1000000.0 * c / (cs.n + es.n - c) >= 500000
+            )
+            SELECT doc_id, lang FROM documents
+            WHERE doc_id % 20 <> 0
+              AND doc_id NOT IN (SELECT cid FROM bad)
             ORDER BY doc_id
         """,
         "label_outliers": """

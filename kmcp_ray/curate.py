@@ -669,3 +669,104 @@ def source_balance(ds, cap: int = 50, source_col: str = "source",
         return t.filter(pa.array(keep))
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------- fuzzy decontamination
+
+def eval_shingle_postings(eval_ds, k: int = 3, id_col: str = "doc_id",
+                          text_col: str = "text"):
+    """Inverted shingle→eval-doc postings of an eval/benchmark set,
+    driver-reduced (eval-set-sized by definition, like
+    :func:`eval_shingle_blocklist`).  Returns ``(keys, starts, counts,
+    eval_ids, eval_sizes)``: sorted distinct shingle hashes with their
+    posting segments into ``eval_ids`` positions, plus each eval doc's
+    distinct-shingle count aligned with ``np.unique(eval_ids)``."""
+    def partial(t: pa.Table) -> pa.Table:
+        sh, rows, _n = textops.shingle_strings(t.column(text_col), k)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        h = hashing.hash_tokens(sh)
+        order = np.lexsort((h, rows))
+        hs, rs = h[order], rows[order]
+        first = np.ones(len(hs), dtype=bool)
+        first[1:] = (hs[1:] != hs[:-1]) | (rs[1:] != rs[:-1])
+        return pa.table({"h": pa.array(hs[first], pa.uint64()),
+                         "did": pa.array(ids[rs[first]], pa.int64())})
+
+    hs, ds_ = [np.empty(0, np.uint64)], [np.empty(0, np.int64)]
+    pairs = eval_ds.map_batches(partial, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    for b in pairs.iter_batches(batch_size=1 << 18,
+                                batch_format="pyarrow"):
+        hs.append(b.column("h").to_numpy(zero_copy_only=False))
+        ds_.append(b.column("did").to_numpy(zero_copy_only=False))
+    h = np.concatenate(hs)
+    did = np.concatenate(ds_)
+    eval_ids, eidx = np.unique(did, return_inverse=True)
+    eval_sizes = np.bincount(eidx, minlength=len(eval_ids)) \
+        .astype(np.int64)
+    order = np.argsort(h, kind="stable")
+    h, eidx = h[order], eidx[order]
+    first = np.concatenate(([True], h[1:] != h[:-1])) \
+        if len(h) else np.empty(0, bool)
+    keys = h[first]
+    starts = np.nonzero(first)[0]
+    counts = np.diff(np.append(starts, len(h))).astype(np.int64)
+    return keys, starts.astype(np.int64), counts, eidx, eval_ids, \
+        eval_sizes
+
+
+def fuzzy_decontaminate(ds, eval_ds, k: int = 3,
+                        min_jacc_u: int = 500_000,
+                        id_col: str = "doc_id", text_col: str = "text"):
+    """Drop corpus rows whose distinct-shingle Jaccard with ANY eval
+    doc reaches ``min_jacc_u`` (ppm) — NEAR-dup benchmark
+    decontamination, the fuzzy upgrade of :func:`decontaminate` (which
+    drops on a single shared shingle).
+
+    Shape: eval postings broadcast once (``ray.put``), then ONE
+    stateless corpus pass — per batch: distinct (row, shingle-hash),
+    searchsorted probe, vectorized posting expansion, one ``np.unique``
+    intersection count per (row, eval doc), exact Jaccard against the
+    in-batch corpus size and broadcast eval sizes.  Zero shuffle; the
+    corpus streams at read speed whatever its size.  ``jacc_u =
+    1e6 * c / (na + nb - c)`` in float64, the same expression the SQL
+    oracle evaluates, so boundary rows agree bit-wise."""
+    from kmcp_ray.bands import _segment_gather
+
+    keys, starts, counts, eidx, _eval_ids, eval_sizes = \
+        eval_shingle_postings(eval_ds, k=k, id_col=id_col,
+                              text_col=text_col)
+    ref = ray.put((keys, starts, counts, eidx, eval_sizes))
+    thr = float(min_jacc_u)
+
+    def fn(t: pa.Table) -> pa.Table:
+        keys_l, starts_l, counts_l, eidx_l, esz = ray.get(ref)
+        n = t.num_rows
+        sh, rows, _n = textops.shingle_strings(t.column(text_col), k)
+        h = hashing.hash_tokens(sh)
+        order = np.lexsort((h, rows))
+        hs, rs = h[order], rows[order]
+        first = np.ones(len(hs), dtype=bool)
+        first[1:] = (hs[1:] != hs[:-1]) | (rs[1:] != rs[:-1])
+        hd, rd = hs[first], rs[first]
+        csize = np.bincount(rd, minlength=n).astype(np.int64)
+        drop = np.zeros(n, dtype=bool)
+        if len(hd) and len(keys_l):
+            pos = np.searchsorted(keys_l, hd)
+            pos_c = np.minimum(pos, len(keys_l) - 1)
+            hit = (pos < len(keys_l)) & (keys_l[pos_c] == hd)
+            hrow, hpos = rd[hit], pos_c[hit]
+            reps = counts_l[hpos]
+            prow = np.repeat(hrow, reps)
+            pev = eidx_l[_segment_gather(starts_l[hpos], reps)]
+            if len(prow):
+                E = np.int64(len(esz))
+                key = prow.astype(np.int64) * E + pev
+                uk, c = np.unique(key, return_counts=True)
+                crow, cev = uk // E, uk % E
+                jacc = 1000000.0 * c / (csize[crow] + esz[cev] - c)
+                drop[crow[jacc >= thr]] = True
+        return t.filter(pa.array(~drop))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

@@ -298,3 +298,31 @@ def test_label_centroids_match_numpy(ray_session):
     for i, lb in enumerate(labels):
         want = m[lab == lb].astype(np.float64).mean(axis=0)
         assert np.allclose(cents[i], want, atol=1e-12)
+
+
+def test_fuzzy_decontaminate_drops_neardups_keeps_overlap(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from kmcp_ray import curate
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    corpus = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([
+            base + " extra",            # near-dup of eval doc
+            "totally different words here about other things entirely x",
+            # shares one 3-shingle with eval but jaccard << 0.5:
+            "alpha beta gamma " + " ".join(f"w{i}" for i in range(40)),
+        ], pa.string())})
+    eval_t = pa.table({"doc_id": pa.array([100], pa.int64()),
+                       "text": pa.array([base], pa.string())})
+    out = curate.fuzzy_decontaminate(
+        ray.data.from_arrow(corpus), ray.data.from_arrow(eval_t),
+        k=3, min_jacc_u=500_000).to_pandas()
+    # doc 1 dropped (near-dup); docs 2 and 3 kept (3 would be dropped
+    # by the exact any-shared-shingle decontaminate)
+    assert sorted(out["doc_id"].tolist()) == [2, 3]
+    exact = curate.decontaminate(
+        ray.data.from_arrow(corpus), ray.data.from_arrow(eval_t),
+        k=3).to_pandas()
+    assert sorted(exact["doc_id"].tolist()) == [2]
