@@ -924,6 +924,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf, "documents", columns=["lang", "source", "n_chars"])) \
             .sort(["lang", "source"])
 
+    def q_span_dedup(sf):
+        """C4-style duplicated-span removal: non-overlapping 5-token
+        windows, global first occurrence wins, docs re-emitted as the
+        surviving token stream — windows ride the one shuffle as 16 B
+        hash+packed rows, text never moves (curate.span_dedup)."""
+        from kmcp_ray import curate
+        return curate.span_dedup(
+            _read(sf, "documents", columns=["doc_id", "text"]),
+            w=5).sort("doc_id")
+
     def q_fuzzy_decontaminate(sf):
         """NEAR-dup benchmark decontamination: docs (doc_id % 20 == 0)
         form the eval set; corpus docs with distinct-shingle Jaccard
@@ -1239,6 +1249,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_retention": q_cohort_retention,
         "label_outliers": q_label_outliers,
         "fuzzy_decontaminate": q_fuzzy_decontaminate,
+        "span_dedup": q_span_dedup,
         "source_balance": q_source_balance,
         "rollup_agg": q_rollup_agg,
         "asof_join": q_asof_join,
@@ -2486,6 +2497,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, d.source
             FROM documents d JOIN c ON c.source = d.source
             WHERE ({_h32}) % 1000000 < least(1000000, 1000000 * 40 // c.n)
+            ORDER BY doc_id
+        """,
+        "span_dedup": """
+            WITH t AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(coalesce(text, '')),
+                                          '[a-z0-9]+') AS tk
+                FROM documents
+            ), w AS (
+                SELECT doc_id, i - 1 AS widx,
+                       array_to_string(tk[(i-1)*5+1 : (i-1)*5+5], ' ') AS s
+                FROM t, unnest(generate_series(1, len(tk) // 5)) AS g(i)
+            ), f AS (
+                SELECT s, min(doc_id * 1048576 + widx) AS first
+                FROM w GROUP BY 1
+            ), keepw AS (
+                SELECT w.doc_id, w.widx, w.s FROM w JOIN f ON w.s = f.s
+                WHERE w.doc_id * 1048576 + w.widx = f.first
+            ), tail AS (
+                SELECT doc_id, len(tk) // 5 AS widx,
+                       array_to_string(tk[len(tk)//5*5+1 : len(tk)], ' ') AS s
+                FROM t WHERE len(tk) % 5 > 0
+            ), parts AS (
+                SELECT * FROM keepw UNION ALL SELECT * FROM tail
+            ), agg AS (
+                SELECT doc_id,
+                       string_agg(s, ' ' ORDER BY widx) AS clean_text
+                FROM parts GROUP BY 1
+            ), kc AS (
+                SELECT doc_id, count(*) AS c FROM keepw GROUP BY 1
+            )
+            SELECT t.doc_id, coalesce(agg.clean_text, '') AS clean_text,
+                   len(t.tk) // 5 - coalesce(kc.c, 0) AS n_spans_removed
+            FROM t LEFT JOIN agg USING (doc_id) LEFT JOIN kc USING (doc_id)
             ORDER BY doc_id
         """,
         "fuzzy_decontaminate": """

@@ -158,7 +158,8 @@ def run_bench() -> dict:
                      "vocab_topk", "pii_scrub", "sessionize",
                      "pack_sequences", "order_revenue", "brand_revenue",
                      "cohort_retention", "running_window",
-                     "source_balance"]:
+                     "source_balance", "span_dedup",
+                     "fuzzy_decontaminate"]:
             timed(name, lambda n=name: consume(qs[n](SF_DIR)))
 
     if not skip_queries:

@@ -770,3 +770,193 @@ def fuzzy_decontaminate(ds, eval_ds, k: int = 3,
         return t.filter(pa.array(~drop))
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ------------------------------------------------------ span (line) dedup
+
+#: widx bits in the packed (doc_id, widx) key — docs are bounded at
+#: 2^20 windows (w * 1M tokens); doc_id keeps the high 43 bits.
+SPAN_WIDX_BITS = 20
+_WIDX_MASK = np.int64((1 << SPAN_WIDX_BITS) - 1)
+
+
+def _doc_windows(ids: np.ndarray, texts, w: int):
+    """Non-overlapping ``w``-token window decomposition of a batch.
+
+    Returns ``(flat_tokens, tok_rows, row_starts, win_hash, packed,
+    win_row)``: the tokenization (for rebuild), plus per full window its
+    u64 content hash (hash of the space-joined token string — the exact
+    string the SQL oracle builds with ``array_to_string(tk[a:b], ' ')``)
+    and the order-carrying packed key ``doc_id << 20 | widx``."""
+    flat, rows, n = text.tokenize(texts)
+    n_tok = np.bincount(rows, minlength=n).astype(np.int64) if len(rows) \
+        else np.zeros(n, np.int64)
+    row_starts = np.concatenate(([0], np.cumsum(n_tok)))
+    nw = n_tok // w
+    total = int(nw.sum())
+    if total == 0:
+        return (flat, rows, row_starts, np.empty(0, np.uint64),
+                np.empty(0, np.int64), np.empty(0, np.int64))
+    win_row = np.repeat(np.arange(n, dtype=np.int64), nw)
+    widx = np.arange(total, dtype=np.int64) \
+        - np.repeat(np.cumsum(nw) - nw, nw)
+    start = row_starts[win_row] + w * widx
+    s = flat[start].astype(object)
+    for d in range(1, w):
+        s = s + " "
+        s = s + flat[start + d]
+    h = hashing.hash_tokens(s)
+    packed = (ids[win_row] << SPAN_WIDX_BITS) | widx
+    return flat, rows, row_starts, h, packed, win_row
+
+
+def _rebuild_clean(ids: np.ndarray, texts, w: int, rdoc: np.ndarray,
+                   rwid: np.ndarray):
+    """Drop the removed windows (``rdoc``, ``rwid``) from each doc and
+    re-join the surviving tokens — the shared kernel of both emission
+    arms.  Returns (clean_text object array, n_spans_removed int64)."""
+    flat, rows, row_starts, _h, _p, _wr = _doc_windows(ids, texts, w)
+    n = len(ids)
+    keep_tok = np.ones(len(flat), dtype=bool)
+    removed_per_row = np.zeros(n, dtype=np.int64)
+    if len(rdoc):
+        order = np.argsort(ids, kind="stable")
+        pos = np.searchsorted(ids[order], rdoc)
+        row = order[np.minimum(pos, n - 1)]
+        ok = ids[row] == rdoc            # removed rows of OTHER batches
+        row, rwid = row[ok], rwid[ok]
+        if len(row):
+            kill = (row_starts[row] + w * rwid)[:, None] \
+                + np.arange(w, dtype=np.int64)[None, :]
+            keep_tok[kill.ravel()] = False
+            removed_per_row += np.bincount(row, minlength=n)
+    toks, trows = flat[keep_tok], rows[keep_tok]
+    bounds = np.searchsorted(trows, np.arange(n + 1))
+    clean = np.array([" ".join(toks[a:b])
+                      for a, b in zip(bounds[:-1], bounds[1:])],
+                     dtype=object)
+    return clean, removed_per_row
+
+
+def span_dedup(ds, w: int = 5, id_col: str = "doc_id",
+               text_col: str = "text", num_partitions: int = 64,
+               broadcast_removed_rows: int = 5_000_000):
+    """Cross-document duplicated-span removal (the C4 "remove any
+    three-sentence span occurring more than once" rule re-expressed
+    over token windows): the corpus is cut into non-overlapping
+    ``w``-token windows, the globally FIRST occurrence (min
+    ``(doc_id, widx)``) of each distinct window content survives, every
+    later occurrence is deleted from its document, and documents are
+    re-emitted as the space-joined surviving token stream
+    ``(doc_id, clean_text, n_spans_removed)``.  Trailing ``len % w``
+    tokens are always kept.  The kmcp analogue is the duplicated-k-mer
+    skip inside sketch dedup (reference: kmcp/cmd/compute.go:545-556),
+    lifted from within-document to corpus-global.
+
+    Shape: windows ride the ONE shuffle as 16 B rows (u64 content hash
+    + packed ``doc_id<<20|widx``) — text never moves; per-partition
+    segment-min picks winners vectorized (lexsort + first-of-segment).
+    The removed set (duplication-proportional, not corpus-proportional)
+    either broadcasts as one sorted i64 array (``ray.put``, exact
+    membership by packed key) or, past ``broadcast_removed_rows``,
+    rides a second hash-partitioned exchange keyed on ``doc_id``
+    alongside the doc rows.  Window equality is u64-hash-based (the
+    standard LSH-engine tradeoff; ~1e-7 false-merge odds at 10^9
+    distinct windows)."""
+    P = num_partitions
+
+    def windows(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        _f, _r, _s, h, packed, _wr = _doc_windows(ids, t.column(text_col), w)
+        return pa.table({
+            "part": pa.array((h % np.uint64(P)).astype(np.int32)),
+            "h": pa.array(h, pa.uint64()),
+            "packed": pa.array(packed, pa.int64())})
+
+    def removed_in_part(g: pa.Table) -> pa.Table:
+        h = g.column("h").to_numpy(zero_copy_only=False)
+        packed = g.column("packed").to_numpy(zero_copy_only=False)
+        order = np.lexsort((packed, h))
+        hs, ps = h[order], packed[order]
+        dup = np.zeros(len(hs), dtype=bool)
+        dup[1:] = hs[1:] == hs[:-1]      # all but the segment min
+        return pa.table({"packed": pa.array(ps[dup], pa.int64())})
+
+    removed = ds.select_columns([id_col, text_col]) \
+        .map_batches(windows, batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby("part").map_groups(removed_in_part, batch_format="pyarrow") \
+        .materialize()                   # removed set: pair-sized, small
+    n_removed = removed.count()
+
+    if n_removed <= broadcast_removed_rows:
+        chunks = [np.empty(0, np.int64)]
+        for b in removed.iter_batches(batch_size=1 << 18,
+                                      batch_format="pyarrow"):
+            chunks.append(b.column("packed").to_numpy(zero_copy_only=False))
+        rem = np.sort(np.concatenate(chunks))
+        rem_ref = ray.put(rem)
+
+        def rebuild(t: pa.Table) -> pa.Table:
+            rp = ray.get(rem_ref)
+            ids = t.column(id_col).to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            lo = np.searchsorted(rp, ids.min() << SPAN_WIDX_BITS) \
+                if len(ids) else 0
+            hi = np.searchsorted(rp, ((ids.max() + 1) << SPAN_WIDX_BITS)) \
+                if len(ids) else 0
+            sub = rp[lo:hi]
+            clean, nrem = _rebuild_clean(
+                ids, t.column(text_col), w,
+                sub >> SPAN_WIDX_BITS, sub & _WIDX_MASK)
+            return pa.table({id_col: pa.array(ids, pa.int64()),
+                             "clean_text": pa.array(clean, pa.string()),
+                             "n_spans_removed": pa.array(nrem, pa.int64())})
+
+        return ds.select_columns([id_col, text_col]) \
+            .map_batches(rebuild, batch_format="pyarrow",
+                         zero_copy_batch=True)
+
+    # exchange arm: docs + removed keys co-partitioned on hash(doc_id);
+    # text crosses the wire once (the join_lookup shape)
+    def tag_docs(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        part = (hashing.splitmix64(ids.astype(np.uint64))
+                % np.uint64(P)).astype(np.int32)
+        return pa.table({"part": pa.array(part),
+                         "doc_id": pa.array(ids, pa.int64()),
+                         "text": t.column(text_col).cast(pa.string()),
+                         "packed": pa.array(np.full(len(ids), -1, np.int64))})
+
+    def tag_removed(t: pa.Table) -> pa.Table:
+        packed = t.column("packed").to_numpy(zero_copy_only=False)
+        did = packed >> SPAN_WIDX_BITS
+        part = (hashing.splitmix64(did.astype(np.uint64))
+                % np.uint64(P)).astype(np.int32)
+        return pa.table({"part": pa.array(part),
+                         "doc_id": pa.array(did, pa.int64()),
+                         "text": pa.array([None] * len(did), pa.string()),
+                         "packed": pa.array(packed, pa.int64())})
+
+    both = ds.select_columns([id_col, text_col]) \
+        .map_batches(tag_docs, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .union(removed.map_batches(tag_removed, batch_format="pyarrow",
+                                   zero_copy_batch=True))
+
+    def rebuild_group(g: pa.Table) -> pa.Table:
+        packed = g.column("packed").to_numpy(zero_copy_only=False)
+        is_doc = packed < 0
+        docs = g.filter(pa.array(is_doc))
+        ids = docs.column("doc_id").to_numpy(zero_copy_only=False)
+        rp = packed[~is_doc]
+        clean, nrem = _rebuild_clean(
+            ids, docs.column("text"), w,
+            rp >> SPAN_WIDX_BITS, rp & _WIDX_MASK)
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "clean_text": pa.array(clean, pa.string()),
+                         "n_spans_removed": pa.array(nrem, pa.int64())})
+
+    return both.groupby("part").map_groups(rebuild_group,
+                                           batch_format="pyarrow")

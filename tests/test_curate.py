@@ -234,3 +234,45 @@ def test_dup_rate_by_source(ray_session):
     assert tuple(df.loc["a"]) == (3, 2, 2)   # docs, dup(x,x), distinct{x,y}
     assert tuple(df.loc["b"]) == (2, 2, 2)   # both x and z are dups
     assert tuple(df.loc["c"]) == (1, 1, 1)
+
+
+def test_span_dedup_first_occurrence_wins(ray_session):
+    import ray.data
+    from kmcp_ray import curate
+    span = "one two three four five"
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array([
+            span + " tail",                       # first occurrence + tail
+            span + " six seven eight nine ten",   # window 0 removed
+            "six seven eight nine ten " + span,   # window 1 removed
+            "unique words only here now",         # untouched
+        ], pa.string())})
+    out = curate.span_dedup(ray.data.from_arrow(t), w=5).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert out.clean_text.tolist() == [
+        span + " tail",                 # doc 1: winner (min doc_id), kept
+        "six seven eight nine ten",     # doc 2: span removed, widx 1 is
+        #                                 the FIRST 'six..ten' → kept
+        # doc 3: 'six..ten' lost to doc 2 widx 1 ((2<<20|1) < (3<<20|0))
+        # and span lost to doc 1 → both windows removed
+        "",
+        "unique words only here now",
+    ]
+    assert out.n_spans_removed.tolist() == [0, 1, 2, 0]
+
+
+def test_span_dedup_arms_and_within_doc(ray_session):
+    import ray.data
+    from kmcp_ray import curate
+    rep = "a b c d e"
+    t = pa.table({
+        "doc_id": pa.array([7], pa.int64()),
+        "text": pa.array([rep + " " + rep + " " + rep + " zz"],
+                         pa.string())})
+    for gate in (10**6, 0):   # broadcast arm, exchange arm
+        out = curate.span_dedup(ray.data.from_arrow(t), w=5,
+                                broadcast_removed_rows=gate).to_pandas()
+        # within-doc duplicates: first window survives, 2 removed
+        assert out.clean_text.tolist() == [rep + " zz"]
+        assert out.n_spans_removed.tolist() == [2]

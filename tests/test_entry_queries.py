@@ -19,7 +19,7 @@ SQL_CHECKED = ["exact_dedup_docs", "token_count", "token_stats", "doc_stats",
                "embedding_pairs", "embedding_dedup", "corpus_funnel",
                "incremental_dedup", "hash_sample", "stratified_sample",
                "decontaminate", "bloom_decontaminate",
-               "fuzzy_decontaminate", "vocab_topk",
+               "fuzzy_decontaminate", "span_dedup", "vocab_topk",
                "pii_scrub", "sessionize", "hopping_window",
                "running_window", "order_revenue", "brand_revenue",
                "customers_no_urgent", "cohort_retention", "label_outliers",
