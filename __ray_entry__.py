@@ -799,6 +799,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                    zero_copy_batch=True)
         return curate.pii_scrub(planted).sort("doc_id")
 
+    def q_event_funnel(sf):
+        """Ordered funnel signup→view→click→purchase: per-user greedy
+        earliest-completion chain with strictly increasing timestamps —
+        one hash exchange on user_id, vectorized per-partition sweep
+        (windows.event_funnel)."""
+        from kmcp_ray import windows
+        return windows.event_funnel(
+            _read(sf, "events", columns=["ts", "user_id", "event_type"]),
+            ["signup", "view", "click", "purchase"])
+
     def q_sessionize(sf):
         """Gap-based sessionization (30-min window) — the windowed
         aggregate Ray Data lacks, composed as groupby(user) + one
@@ -1247,6 +1257,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "brand_revenue": q_brand_revenue,
         "customers_no_urgent": q_customers_no_urgent,
         "cohort_retention": q_cohort_retention,
+        "event_funnel": q_event_funnel,
         "label_outliers": q_label_outliers,
         "fuzzy_decontaminate": q_fuzzy_decontaminate,
         "span_dedup": q_span_dedup,
@@ -2475,6 +2486,31 @@ def oracle_sql() -> dict[str, str]:
                               WHERE o.o_custkey = c.c_custkey
                                 AND o.o_orderpriority = '1-URGENT')
             ORDER BY c_custkey
+        """,
+        "event_funnel": """
+            WITH s1 AS (
+                SELECT user_id, min(ts) AS t FROM events
+                WHERE event_type = 'signup' GROUP BY 1
+            ), s2 AS (
+                SELECT e.user_id, min(e.ts) AS t
+                FROM events e JOIN s1 USING (user_id)
+                WHERE e.event_type = 'view' AND e.ts > s1.t GROUP BY 1
+            ), s3 AS (
+                SELECT e.user_id, min(e.ts) AS t
+                FROM events e JOIN s2 USING (user_id)
+                WHERE e.event_type = 'click' AND e.ts > s2.t GROUP BY 1
+            ), s4 AS (
+                SELECT e.user_id, min(e.ts) AS t
+                FROM events e JOIN s3 USING (user_id)
+                WHERE e.event_type = 'purchase' AND e.ts > s3.t GROUP BY 1
+            )
+            SELECT * FROM (
+                SELECT 1 AS step, 'signup' AS event_type,
+                       count(*)::BIGINT AS n_users FROM s1
+                UNION ALL SELECT 2, 'view', count(*)::BIGINT FROM s2
+                UNION ALL SELECT 3, 'click', count(*)::BIGINT FROM s3
+                UNION ALL SELECT 4, 'purchase', count(*)::BIGINT FROM s4
+            ) ORDER BY step
         """,
         "cohort_retention": """
             WITH d AS (

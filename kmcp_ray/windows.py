@@ -399,3 +399,87 @@ def cohort_retention(events_ds, *, user_col="user_id", ts_col="ts"):
         .groupby("user_id").map_groups(per_user, batch_format="pyarrow") \
         .groupby(["cohort_day", "day_offset"]) \
         .aggregate(Count(alias_name="n_users"))
+
+
+def event_funnel(events_ds, steps, *, user_col="user_id", ts_col="ts",
+                 type_col="event_type", num_partitions: int = 64):
+    """Ordered-funnel conversion: how many users completed step 1, then
+    step 2 STRICTLY later, then step 3 strictly later than that, ...
+    Each step's completion time is the user's EARLIEST qualifying event
+    (min ts with ``ts > t_prev``), so a user is counted for step i iff
+    the greedy earliest-completion chain reaches i — the standard
+    product-analytics funnel.
+
+    Shape: map-side filter to funnel-relevant event types (the shuffle
+    moves only those rows, as (part, uid, ts, step-code) — no strings),
+    ONE hash-partition exchange on ``user_id``, then a fully vectorized
+    per-partition sweep: one lexsort, then per step one mask +
+    first-occurrence ``np.unique`` across ALL users in the partition at
+    once — no per-user Python loop.  Per-partition step counts reduce
+    through a K-row ``groupby(step).sum``.
+
+    Returns ``(step, event_type, n_users)``, one row per step."""
+    import ray.data  # noqa: F401  (Dataset ops on events_ds)
+    from kmcp_ray import hashing
+
+    steps = list(steps)
+    K = len(steps)
+    P = num_partitions
+    code_of = {s: i for i, s in enumerate(steps)}
+    I64MIN = np.iinfo(np.int64).min
+
+    def slim(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        m = pc.is_in(t[type_col], value_set=pa.array(steps))
+        tt = t.filter(m)
+        uid = tt.column(user_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ts = _epoch_us(tt.column(ts_col))
+        typ = tt.column(type_col).to_numpy(zero_copy_only=False)
+        code = np.array([code_of[x] for x in typ], dtype=np.int8)
+        part = (hashing.splitmix64(uid.astype(np.uint64))
+                % np.uint64(P)).astype(np.int32)
+        return pa.table({"part": pa.array(part),
+                         "uid": pa.array(uid, pa.int64()),
+                         "ts": pa.array(ts, pa.int64()),
+                         "code": pa.array(code, pa.int8())})
+
+    def sweep(g: pa.Table) -> pa.Table:
+        uid = g.column("uid").to_numpy(zero_copy_only=False)
+        ts = g.column("ts").to_numpy(zero_copy_only=False)
+        code = g.column("code").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ts, uid))
+        uid, ts, code = uid[order], ts[order], code[order]
+        _uu, inv = np.unique(uid, return_inverse=True)
+        n_u = len(_uu)
+        tprev = np.full(n_u, I64MIN)
+        reach = np.ones(n_u, dtype=bool)
+        counts = np.zeros(K, dtype=np.int64)
+        for s in range(K):
+            cand = (code == s) & reach[inv] & (ts > tprev[inv])
+            ui, first = np.unique(inv[cand], return_index=True)
+            reach = np.zeros(n_u, dtype=bool)
+            reach[ui] = True
+            tprev = np.full(n_u, I64MIN)
+            tprev[ui] = ts[cand][first]
+            counts[s] = len(ui)
+        return pa.table({"step": pa.array(np.arange(K, dtype=np.int64)),
+                         "n": pa.array(counts, pa.int64())})
+
+    from ray.data.aggregate import Sum
+    agg = events_ds.map_batches(slim, batch_format="pyarrow",
+                                zero_copy_batch=True) \
+        .groupby("part").map_groups(sweep, batch_format="pyarrow") \
+        .groupby("step").aggregate(Sum("n", alias_name="n_users"))
+
+    names = pa.array(steps, pa.string())
+
+    def label(t: pa.Table) -> pa.Table:
+        st = t.column("step").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "step": pa.array(st + 1, pa.int64()),
+            "event_type": names.take(pa.array(st, pa.int64())),
+            "n_users": t["n_users"].cast(pa.int64())})
+
+    return agg.map_batches(label, batch_format="pyarrow",
+                           zero_copy_batch=True).sort("step")

@@ -21,7 +21,8 @@ SQL_CHECKED = ["exact_dedup_docs", "token_count", "token_stats", "doc_stats",
                "decontaminate", "bloom_decontaminate",
                "fuzzy_decontaminate", "span_dedup", "vocab_topk",
                "pii_scrub", "sessionize", "hopping_window",
-               "running_window", "order_revenue", "brand_revenue",
+               "running_window", "event_funnel",
+               "order_revenue", "brand_revenue",
                "customers_no_urgent", "cohort_retention", "label_outliers",
                "source_balance", "rollup_agg",
                "asof_join", "range_join", "doc_len_quantiles",

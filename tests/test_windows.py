@@ -150,3 +150,37 @@ def test_running_window_invariants(ray_session):
         rc, rl = g["run_cents"].to_numpy(), g["roll_cents"].to_numpy()
         assert (rl[:w] == rc[:w]).all()
         assert (rl[w:] == rc[w:] - rc[:-w]).all()
+
+
+def test_event_funnel_strict_order(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from kmcp_ray import windows
+    US = 1_000_000
+
+    def ev(uid, t, typ):
+        return (uid, t * US, typ)
+
+    rows = [
+        # user 1 completes a->b->c in order
+        ev(1, 10, "a"), ev(1, 20, "b"), ev(1, 30, "c"),
+        # user 2: b BEFORE a -> stalls at step 1 (a only)
+        ev(2, 5, "b"), ev(2, 10, "a"),
+        # user 3: a and b at the SAME ts -> strict > rejects b
+        ev(3, 7, "a"), ev(3, 7, "b"),
+        # user 4: greedy earliest-a (t=1) lets the late b (t=2) count
+        ev(4, 1, "a"), ev(4, 9, "a"), ev(4, 2, "b"),
+        # user 5: only c -> counted nowhere
+        ev(5, 3, "c"),
+    ]
+    t = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array(np.array([r[1] for r in rows], np.int64),
+                       pa.timestamp("us")),
+        "event_type": pa.array([r[2] for r in rows], pa.string())})
+    out = windows.event_funnel(ray.data.from_arrow(t), ["a", "b", "c"]) \
+        .to_pandas()
+    assert out.step.tolist() == [1, 2, 3]
+    assert out.event_type.tolist() == ["a", "b", "c"]
+    assert out.n_users.tolist() == [4, 2, 1]   # a: u1,2,3,4; b: u1,u4; c: u1
