@@ -799,6 +799,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                    zero_copy_batch=True)
         return curate.pii_scrub(planted).sort("doc_id")
 
+    def q_cross_source_dups(sf):
+        """Cross-source duplicate-pair matrix keyed on each doc's
+        first-3-token prefix (shared boilerplate provenance): counts
+        are closed-form per digest class (cnt_a*cnt_b / C(cnt,2)), one
+        digest exchange — a viral prefix's 10^12 pairs are one
+        multiplication, never rows (docs_dedup.cross_source_dup_matrix)."""
+        import numpy as np
+        import pyarrow as pa
+        from kmcp_ray import docs_dedup, text as ktext
+
+        def add_pfx(t: "pa.Table") -> "pa.Table":
+            flat, rows, n = ktext.tokenize(t.column("text"))
+            n_tok = np.bincount(rows, minlength=n).astype(np.int64) \
+                if len(rows) else np.zeros(n, np.int64)
+            starts = np.concatenate(([0], np.cumsum(n_tok)))[:-1]
+            s = np.where(n_tok > 0, flat[np.minimum(starts, max(len(flat) - 1, 0))]
+                         if len(flat) else "", "").astype(object)
+            for d in (1, 2):
+                m = n_tok > d
+                if m.any():
+                    s[m] = s[m] + " " + flat[starts[m] + d]
+            return pa.table({"source": t.column("source"),
+                             "pfx": pa.array(s, pa.string())})
+
+        docs = _read(sf, "documents", columns=["source", "text"]) \
+            .map_batches(add_pfx, batch_format="pyarrow",
+                         zero_copy_batch=True)
+        return docs_dedup.cross_source_dup_matrix(docs, text_col="pfx") \
+            .sort(["source_a", "source_b"])
+
     def q_event_funnel(sf):
         """Ordered funnel signup→view→click→purchase: per-user greedy
         earliest-completion chain with strictly increasing timestamps —
@@ -1258,6 +1288,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_no_urgent": q_customers_no_urgent,
         "cohort_retention": q_cohort_retention,
         "event_funnel": q_event_funnel,
+        "cross_source_dups": q_cross_source_dups,
         "label_outliers": q_label_outliers,
         "fuzzy_decontaminate": q_fuzzy_decontaminate,
         "span_dedup": q_span_dedup,
@@ -2486,6 +2517,26 @@ def oracle_sql() -> dict[str, str]:
                               WHERE o.o_custkey = c.c_custkey
                                 AND o.o_orderpriority = '1-URGENT')
             ORDER BY c_custkey
+        """,
+        "cross_source_dups": """
+            WITH c AS (
+                SELECT array_to_string(
+                           regexp_extract_all(lower(coalesce(text, '')),
+                                              '[a-z0-9]+')[1:3], ' ') AS t,
+                       source, count(*) AS cnt
+                FROM documents GROUP BY 1, 2
+            ), p AS (
+                SELECT a.source AS source_a, b.source AS source_b,
+                       CASE WHEN a.source = b.source
+                            THEN a.cnt * (a.cnt - 1) // 2
+                            ELSE a.cnt * b.cnt END AS n
+                FROM c a JOIN c b
+                  ON a.t = b.t AND a.source <= b.source
+                WHERE NOT (a.source = b.source AND a.cnt < 2)
+            )
+            SELECT source_a, source_b, sum(n)::BIGINT AS n_pairs
+            FROM p GROUP BY 1, 2 HAVING sum(n) > 0
+            ORDER BY source_a, source_b
         """,
         "event_funnel": """
             WITH s1 AS (

@@ -436,3 +436,91 @@ def dup_rate_by_source(ds, group_col: str = "source",
         Sum(on="n_docs", alias_name="n_docs"),
         Sum(on="n_dup_docs", alias_name="n_dup_docs"),
         Sum(on="n_distinct", alias_name="n_distinct"))
+
+
+def cross_source_dup_matrix(ds, group_col: str = "source",
+                            text_col: str = "text",
+                            num_partitions: int = 64):
+    """Cross-source duplication matrix: for every (source_a <=
+    source_b) pair, the number of document PAIRS with byte-identical
+    text where one copy sits in each source — the provenance view of
+    exact duplication (which crawls/feeds re-publish each other), the
+    natural sequel to :func:`dup_rate_by_source`.
+
+    Counts are CLOSED-FORM per digest class (``cnt_a * cnt_b`` across
+    sources, ``C(cnt,2)`` within one) — a viral doc copied 10^6 times
+    contributes its 5·10^11 pairs as one multiplication, never as
+    enumerated rows.  One hash-partition exchange over 8-byte digests;
+    per-partition output is at most one row per (class, source pair);
+    the final groupby is matrix-sized."""
+    from kmcp_ray.buckets import _pairs_within_segments
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_numpy(zero_copy_only=False)
+        th = hashing.hash_strings(np.where(texts == None, "", texts))  # noqa: E711
+        return pa.table({
+            group_col: batch.column(group_col),
+            "th": pa.array(th, pa.uint64()),
+            "part": pa.array((th % np.uint64(num_partitions))
+                             .astype(np.int64), pa.int64())})
+
+    def per_partition(batch: pa.Table) -> pa.Table:
+        th = batch.column("th").to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        grp = batch.column(group_col).to_numpy(zero_copy_only=False)
+        if len(th) == 0:
+            return pa.table({"source_a": pa.array([], pa.string()),
+                             "source_b": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        _u_th, inv_th = np.unique(th, return_inverse=True)
+        g_u, g_inv = np.unique(grp, return_inverse=True)
+        S = np.int64(len(g_u))
+        key = inv_th.astype(np.int64) * S + g_inv
+        uk, c = np.unique(key, return_counts=True)
+        c = c.astype(np.int64)
+        cls, src = uk // S, (uk % S).astype(np.int64)
+        # within-source pairs: C(cnt, 2) per (class, source) entry
+        m = c > 1
+        sa = [src[m]]
+        sb = [src[m]]
+        n = [(c[m] * (c[m] - 1)) // 2]
+        # cross-source pairs: cnt_a * cnt_b for every source pair
+        # inside one class segment (uk sorted => src ascending within
+        # cls => source_a < source_b canonically, no post-sort)
+        first = np.ones(len(uk), dtype=bool)
+        first[1:] = cls[1:] != cls[:-1]
+        starts = np.nonzero(first)[0]
+        ends = np.append(starts[1:], len(uk))
+        f, s2 = _pairs_within_segments(starts, ends)
+        sa.append(src[f])
+        sb.append(src[s2])
+        n.append(c[f] * c[s2])
+        return pa.table({
+            "source_a": pa.array(g_u[np.concatenate(sa)]),
+            "source_b": pa.array(g_u[np.concatenate(sb)]),
+            "n": pa.array(np.concatenate(n), pa.int64())})
+
+    from ray.data.aggregate import Sum
+    out = ds.map_batches(add_hash, batch_format="pyarrow",
+                         zero_copy_batch=True) \
+        .groupby("part").map_groups(per_partition, batch_format="pyarrow") \
+        .groupby(["source_a", "source_b"]) \
+        .aggregate(Sum("n", alias_name="n_pairs"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        kept = t.filter(pc.greater(t["n_pairs"], 0))
+        return pa.table({"source_a": kept["source_a"],
+                         "source_b": kept["source_b"],
+                         "n_pairs": kept["n_pairs"].cast(pa.int64())})
+
+    # a dup-free corpus yields ZERO blocks downstream of the groupby;
+    # union a schema-carrying empty block so consumers (to_pandas, the
+    # driver's schema compare) still see the contract columns
+    import ray.data
+    empty = ray.data.from_arrow(pa.table({
+        "source_a": pa.array([], pa.string()),
+        "source_b": pa.array([], pa.string()),
+        "n_pairs": pa.array([], pa.int64())}))
+    return empty.union(out.map_batches(finish, batch_format="pyarrow",
+                                       zero_copy_batch=True))

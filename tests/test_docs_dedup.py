@@ -115,3 +115,29 @@ def test_select_representatives_policy(ray_session):
             out[0]["n_members"]) == (1, 9, 3)     # tie 1 vs 2 -> min id
     assert (out[3]["rep_id"], out[3]["rep_quality"],
             out[3]["n_members"]) == (3, 7, 2)
+
+
+def test_cross_source_dup_matrix_closed_form(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from kmcp_ray import docs_dedup
+    # class "x": a×3, b×2, c×1  → aa C(3,2)=3, ab 6, ac 3, bb 1, bc 2
+    # class "y": a×2            → aa C(2,2)=1
+    # class "z": c×1            → nothing
+    t = pa.table({
+        "source": pa.array(["a", "a", "a", "b", "b", "c", "a", "a", "c"]),
+        "text": pa.array(["x", "x", "x", "x", "x", "x", "y", "y", "z"])})
+    df = docs_dedup.cross_source_dup_matrix(
+        ray.data.from_arrow(t), num_partitions=4).to_pandas() \
+        .set_index(["source_a", "source_b"]).n_pairs
+    assert df.to_dict() == {("a", "a"): 4, ("a", "b"): 6, ("a", "c"): 3,
+                            ("b", "b"): 1, ("b", "c"): 2}
+    # dup-free corpus: empty but schema-stable
+    t2 = pa.table({"source": pa.array(["a", "b"]),
+                   "text": pa.array(["p", "q"])})
+    ds2 = docs_dedup.cross_source_dup_matrix(
+        ray.data.from_arrow(t2), num_partitions=4)
+    # Dataset-level schema survives the empty result (to_pandas() on any
+    # 0-row Ray dataset returns a column-less frame — Ray quirk)
+    assert ds2.schema().names == ["source_a", "source_b", "n_pairs"]
+    assert ds2.count() == 0
