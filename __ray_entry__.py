@@ -799,6 +799,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                    zero_copy_batch=True)
         return curate.pii_scrub(planted).sort("doc_id")
 
+    def q_gopher_filter(sf):
+        """Gopher-rule quality gate: per-doc fail bitmask (word count /
+        mean word length / symbol ratio / distinct stopwords), all
+        thresholds integer-exact so the SQL oracle agrees bitwise
+        (curate.gopher_filter)."""
+        from kmcp_ray import curate
+        return curate.gopher_filter(
+            _read(sf, "documents", columns=["doc_id", "text"])) \
+            .sort("doc_id")
+
     def q_cross_source_dups(sf):
         """Cross-source duplicate-pair matrix keyed on each doc's
         first-3-token prefix (shared boilerplate provenance): counts
@@ -1289,6 +1299,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_retention": q_cohort_retention,
         "event_funnel": q_event_funnel,
         "cross_source_dups": q_cross_source_dups,
+        "gopher_filter": q_gopher_filter,
         "label_outliers": q_label_outliers,
         "fuzzy_decontaminate": q_fuzzy_decontaminate,
         "span_dedup": q_span_dedup,
@@ -2517,6 +2528,35 @@ def oracle_sql() -> dict[str, str]:
                               WHERE o.o_custkey = c.c_custkey
                                 AND o.o_orderpriority = '1-URGENT')
             ORDER BY c_custkey
+        """,
+        "gopher_filter": """
+            WITH t AS (
+                SELECT doc_id, lower(coalesce(text, '')) AS lt,
+                       regexp_extract_all(lower(coalesce(text, '')),
+                                          '[a-z0-9]+') AS tk
+                FROM documents
+            ), m AS (
+                SELECT doc_id, len(tk) AS n_tokens,
+                       coalesce(list_sum(list_transform(tk, x -> len(x))),
+                                0) AS tot,
+                       len(regexp_replace(lt, '[a-z0-9\\s]', '', 'g'))
+                           AS n_sym,
+                       len(lt) AS n_chars,
+                       len(list_intersect(list_distinct(tk),
+                           ['the','be','to','of','and','that','have',
+                            'with'])) AS n_sw
+                FROM t
+            )
+            SELECT doc_id, n_tokens::BIGINT AS n_tokens,
+                   (CASE WHEN n_tokens < 50 OR n_tokens > 100000
+                         THEN 1 ELSE 0 END
+                    + CASE WHEN tot < 3 * n_tokens OR tot > 10 * n_tokens
+                           THEN 2 ELSE 0 END
+                    + CASE WHEN 100 * n_sym > 10 * n_chars
+                           THEN 4 ELSE 0 END
+                    + CASE WHEN n_sw < 2 THEN 8 ELSE 0 END)::BIGINT
+                       AS fail_mask
+            FROM m ORDER BY doc_id
         """,
         "cross_source_dups": """
             WITH c AS (

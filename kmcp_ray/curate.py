@@ -960,3 +960,84 @@ def span_dedup(ds, w: int = 5, id_col: str = "doc_id",
 
     return both.groupby("part").map_groups(rebuild_group,
                                            batch_format="pyarrow")
+
+
+# ------------------------------------------------------ quality-rule gate
+
+#: The fixed must-contain stopword list of the Gopher quality rules
+#: (Rae et al. 2021, public) — a doc passing R4 contains >= 2 of these.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_filter(ds, *, min_words: int = 50, max_words: int = 100_000,
+                  min_mwl: int = 3, max_mwl: int = 10,
+                  max_symbol_pct: int = 10, min_stopwords: int = 2,
+                  id_col: str = "doc_id", text_col: str = "text"):
+    """Gopher-style composite quality gate, one stateless vectorized
+    ``map_batches`` pass (kmcp analogue: the regex blacklist +
+    min-length gates applied before indexing, kmcp/cmd/compute.go:248-260
+    — generalized to the published web-corpus rule set).  Emits
+    ``(doc_id, n_tokens, fail_mask)`` with one bit per violated rule:
+
+      bit 0: word count outside [min_words, max_words]
+      bit 1: mean word length outside [min_mwl, max_mwl] — compared as
+             ``min_mwl*n <= total_len <= max_mwl*n`` so engine and SQL
+             agree with NO float division
+      bit 2: symbol chars (not [a-z0-9], not whitespace, case-folded)
+             exceed ``max_symbol_pct``% of the text:
+             ``100*sym > pct*len``
+      bit 3: fewer than ``min_stopwords`` DISTINCT Gopher stopwords
+
+    ``fail_mask == 0`` is the keep decision; callers filter on it so
+    the rejected rows stay inspectable (the reject-reason ledger a
+    production corpus run audits)."""
+    sw = pa.array(list(GOPHER_STOPWORDS))
+
+    def fn(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        ids = t.column(id_col)
+        txt = pc.fill_null(t.column(text_col), "")
+        low = pc.utf8_lower(txt)
+        lists = pc.split_pattern_regex(low, pattern="[^a-z0-9]+")
+        flat = pc.list_flatten(lists)
+        parents = pc.list_parent_indices(lists) \
+            .to_numpy(zero_copy_only=False)
+        nonempty = pc.greater(pc.utf8_length(flat), 0) \
+            .to_numpy(zero_copy_only=False)
+        tlen = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+        n_tok = np.bincount(parents[nonempty], minlength=n) \
+            .astype(np.int64)
+        tot_len = np.bincount(parents[nonempty],
+                              weights=tlen[nonempty],
+                              minlength=n).astype(np.int64)
+        # symbol chars: chars dropped by stripping [a-z0-9] and all
+        # whitespace from the lower-cased text
+        stripped = pc.replace_substring_regex(low, pattern=r"[a-z0-9\s]",
+                                              replacement="")
+        n_sym = pc.utf8_length(stripped).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        n_chars = pc.utf8_length(low).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        # distinct stopwords present: dedup (row, token) among stopword
+        # hits, then count per row
+        is_sw = pc.is_in(flat, value_set=sw).to_numpy(zero_copy_only=False)
+        hit_rows = parents[is_sw & nonempty]
+        hit_tok = flat.to_numpy(zero_copy_only=False)[is_sw & nonempty]
+        n_sw = np.zeros(n, dtype=np.int64)
+        if len(hit_rows):
+            order = np.lexsort((hit_tok, hit_rows))
+            hr, ht = hit_rows[order], hit_tok[order]
+            firstm = np.ones(len(hr), dtype=bool)
+            firstm[1:] = (hr[1:] != hr[:-1]) | (ht[1:] != ht[:-1])
+            n_sw = np.bincount(hr[firstm], minlength=n).astype(np.int64)
+        mask = np.zeros(n, dtype=np.int64)
+        mask |= ((n_tok < min_words) | (n_tok > max_words)) * 1
+        mask |= ((tot_len < min_mwl * n_tok)
+                 | (tot_len > max_mwl * n_tok)) * 2
+        mask |= (100 * n_sym > max_symbol_pct * n_chars) * 4
+        mask |= (n_sw < min_stopwords) * 8
+        return pa.table({id_col: ids,
+                         "n_tokens": pa.array(n_tok, pa.int64()),
+                         "fail_mask": pa.array(mask, pa.int64())})
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

@@ -276,3 +276,28 @@ def test_span_dedup_arms_and_within_doc(ray_session):
         # within-doc duplicates: first window survives, 2 removed
         assert out.clean_text.tolist() == [rep + " zz"]
         assert out.n_spans_removed.tolist() == [2]
+
+
+def test_gopher_filter_rule_bits(ray_session):
+    import ray.data
+    from kmcp_ray import curate
+    good = ("the quick brown fox jumps over that lazy dog with more "
+            "plain words here " + " ".join(f"word{i}" for i in range(40)))
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array([
+            good,                                  # passes all rules
+            "the fox with cat",                    # too few words (bit 0)
+            good + " aaaaaaaaaaaaaaaaaaaaaa" * 60,  # mwl > 10 (bit 1)
+            good + " @@@@!!!!####$$$$%%%%" * 30,    # symbols > 10% (bit 2)
+        ], pa.string())})
+    out = curate.gopher_filter(ray.data.from_arrow(t), min_words=50) \
+        .to_pandas().sort_values("doc_id")
+    assert out.fail_mask.tolist() == [0, 1, 2, 4]
+    # stopword rule: long doc with only one distinct stopword
+    t2 = pa.table({"doc_id": pa.array([9], pa.int64()),
+                   "text": pa.array([
+                       "the " + " ".join(f"word{i}" for i in range(60))],
+                       pa.string())})
+    out2 = curate.gopher_filter(ray.data.from_arrow(t2)).to_pandas()
+    assert out2.fail_mask.tolist() == [8]
