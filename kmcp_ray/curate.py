@@ -806,6 +806,12 @@ def _doc_windows(ids: np.ndarray, texts, w: int):
         s = s + " "
         s = s + flat[start + d]
     h = hashing.hash_tokens(s)
+    if int(nw.max()) >= (1 << SPAN_WIDX_BITS):
+        raise ValueError(
+            f"span_dedup: a document has {int(nw.max())} windows, over the "
+            f"2^{SPAN_WIDX_BITS} packed-key bound (~{w << SPAN_WIDX_BITS} "
+            "tokens/doc). Split oversized docs (chunks.split_chunk_col) or "
+            "raise SPAN_WIDX_BITS.")
     packed = (ids[win_row] << SPAN_WIDX_BITS) | widx
     return flat, rows, row_starts, h, packed, win_row
 
