@@ -61,7 +61,8 @@ def _probe_kernel(bk_sorted: np.ndarray, pk: np.ndarray, how: str):
 
 def hash_join(left_ds, right_ds, *, key: str, how: str = "inner",
               left_cols=(), right_cols=(), P: int = 64,
-              key_type=pa.int64(), right_key: str = None):
+              key_type=pa.int64(), right_key: str = None,
+              salt: int = 1):
     """Distributed equi-join of two Datasets on an integer key.
 
     ``how``: ``inner`` | ``left`` | ``semi`` | ``anti``.  ``semi`` keeps
@@ -72,25 +73,62 @@ def hash_join(left_ds, right_ds, *, key: str, how: str = "inner",
     per key, exactly like SQL).
 
     ``right_key`` lets the two sides name the key differently; the
-    output uses the LEFT name."""
+    output uses the LEFT name.
+
+    ``salt`` > 1 is the hot-key lever (the same explicit skew treatment
+    the LSH buckets get, buckets.py salted buckets): left rows spread
+    over ``salt`` sub-partitions of their key (round-robin in batch),
+    the right side is REPLICATED ×salt so every sub-partition still
+    sees its key's full build set — results are identical in all four
+    modes, at the cost of ``salt``× right-side shuffle volume.  Use
+    when one probe key carries a data-proportional share of rows (a
+    viral doc id, a null-ish default key) and would otherwise pin one
+    partition."""
     if how not in ("inner", "left", "semi", "anti"):
         raise ValueError(f"unknown join mode {how!r}")
+    salt = int(salt)
+    if salt < 1:
+        raise ValueError("salt must be >= 1")
+    if salt > P:
+        raise ValueError(
+            f"salt ({salt}) must be <= P ({P}): sub-partitions are the "
+            "consecutive partitions (hash(k) + s) % P, which are distinct "
+            "only while salt <= P")
     left_cols = list(left_cols)
     right_cols = list(right_cols)
     rkey = right_key or key
     emit_right = how in ("inner", "left")
 
     schema = [("side", pa.int8()), ("k", key_type)]
+    if salt > 1:
+        schema.append(("salt", pa.int64()))
     schema += [(f"l_{n}", t) for n, t in left_cols]
     if emit_right:
         schema += [(f"r_{n}", t) for n, t in right_cols]
     ex = Exchange(schema, P)
-    pack = ex.make_pack_fn(u64_part_fn("k", P=P))
+    if salt > 1:
+        # (hash(k) + s) % P: distinct partitions per salt copy (s < P),
+        # so no group ever holds two build copies of one key — probing
+        # on k alone inside the group stays exact
+        from kmcp_ray import hashing as _hashing
+
+        def _part_salted(batch: pa.Table) -> np.ndarray:
+            k = batch.column("k").to_numpy(zero_copy_only=False)
+            h = _hashing.splitmix64(k.view(np.uint64)
+                                    if k.dtype != np.uint64 else k)
+            s = batch.column("salt").to_numpy(zero_copy_only=False)
+            return ((h % np.uint64(P)).astype(np.int64) + s) % P
+
+        pack = ex.make_pack_fn(_part_salted)
+    else:
+        pack = ex.make_pack_fn(u64_part_fn("k", P=P))
 
     def tag_left(t: pa.Table) -> pa.Table:
         n = t.num_rows
         cols = {"side": pa.array(np.ones(n, np.int8), pa.int8()),
                 "k": t.column(key).cast(key_type)}
+        if salt > 1:
+            cols["salt"] = pa.array(np.arange(n, dtype=np.int64) % salt)
         for nm, typ in left_cols:
             cols[f"l_{nm}"] = t.column(nm).cast(typ)
         if emit_right:
@@ -107,7 +145,14 @@ def hash_join(left_ds, right_ds, *, key: str, how: str = "inner",
         if emit_right:
             for nm, typ in right_cols:
                 cols[f"r_{nm}"] = t.column(nm).cast(typ)
-        return pa.table(cols)
+        base = pa.table(cols)
+        if salt == 1:
+            return base
+        # replicate the build side ×salt: copy s goes to sub-partition s
+        rep = pa.concat_tables([base] * salt)
+        return rep.add_column(
+            2, "salt", pa.array(np.repeat(np.arange(salt, dtype=np.int64),
+                                          n)))
 
     out_schema = [(key, key_type)] + \
         [(n, t) for n, t in left_cols] + \

@@ -93,3 +93,32 @@ def test_broadcast_join_row_gate(ray_session, sides):
         broadcast_hash_join(ray.data.from_arrow(left),
                             ray.data.from_arrow(right), key="k",
                             max_broadcast_rows=10)
+
+
+def test_hash_join_salted_equals_unsalted(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from kmcp_ray.joins import hash_join
+    rng = np.random.default_rng(3)
+    # hot key 7 on BOTH sides: 200 probe rows + 3 build rows
+    lk = np.concatenate((np.full(200, 7), rng.integers(0, 30, 100)))
+    left = pa.table({"k": pa.array(lk, pa.int64()),
+                     "lv": pa.array(np.arange(len(lk)), pa.int64())})
+    rk = np.concatenate((np.full(3, 7), rng.integers(0, 30, 40)))
+    right = pa.table({"k": pa.array(rk, pa.int64()),
+                      "rv": pa.array(np.arange(len(rk)), pa.int64())})
+    for how in ("inner", "left", "semi", "anti"):
+        outs = []
+        for s in (1, 4):
+            df = hash_join(ray.data.from_arrow(left),
+                           ray.data.from_arrow(right),
+                           key="k", how=how,
+                           left_cols=[("lv", pa.int64())],
+                           right_cols=[("rv", pa.int64())],
+                           P=8, salt=s).to_pandas()
+            outs.append(sorted(map(tuple, df.fillna(-1).values.tolist())))
+        assert outs[0] == outs[1], how
+        if how == "inner":
+            want = int((lk == 7).sum()) * int((rk == 7).sum())
+            assert sum(1 for r in outs[0] if r[0] == 7) == want
