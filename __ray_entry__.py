@@ -799,6 +799,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                    zero_copy_batch=True)
         return curate.pii_scrub(planted).sort("doc_id")
 
+    def q_audio_features(sf):
+        """Actor-pool audio feature extraction (log-mel filterbank,
+        filterbank built once per actor) over a deterministic synthetic
+        PCM corpus — the audio leg of the multimodal stage family
+        (audiocodec.AudioFeatureStage); codec honestly stubbed, no
+        audio libs in sandbox."""
+        import ray.data
+        from kmcp_ray import audiocodec
+        table = audiocodec.make_audio_corpus(400, seed=42)
+        return audiocodec.audio_features(ray.data.from_arrow(table),
+                                         concurrency=2)
+
     def q_gopher_filter(sf):
         """Gopher-rule quality gate: per-doc fail bitmask (word count /
         mean word length / symbol ratio / distinct stopwords), all
@@ -1300,6 +1312,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_funnel": q_event_funnel,
         "cross_source_dups": q_cross_source_dups,
         "gopher_filter": q_gopher_filter,
+        "audio_features": q_audio_features,
         "label_outliers": q_label_outliers,
         "fuzzy_decontaminate": q_fuzzy_decontaminate,
         "span_dedup": q_span_dedup,

@@ -63,6 +63,6 @@ def test_query_matches_oracle(ray_session, con, name):
 def test_rows_only_queries_run(ray_session):
     qs = entrymod.queries()
     for name in ["minhash_dedup_docs", "doc_fingerprint", "lang_id",
-                 "resize_images", "frame_sample"]:
+                 "resize_images", "frame_sample", "audio_features"]:
         df = to_pandas(qs[name](SF))
         assert len(df) > 0, name
