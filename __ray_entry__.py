@@ -799,6 +799,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                    zero_copy_batch=True)
         return curate.pii_scrub(planted).sort("doc_id")
 
+    def q_region_revenue(sf):
+        """TPC-H-Q5-shaped 6-table join: dimension hop broadcast,
+        customer/supplier nation attach map-side, two generic
+        hash_join exchanges, nation-sized final groupby
+        (relops.region_revenue)."""
+        return relops.region_revenue(
+            _read(sf, "region"), _read(sf, "nation"),
+            _read(sf, "supplier", columns=["s_suppkey", "s_nationkey"]),
+            _read(sf, "customer", columns=["c_custkey", "c_nationkey"]),
+            _read(sf, "orders",
+                  columns=["o_orderkey", "o_custkey", "o_orderdate"]),
+            _read(sf, "lineitem",
+                  columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                           "l_discount"]))
+
     def q_audio_features(sf):
         """Actor-pool audio feature extraction (log-mel filterbank,
         filterbank built once per actor) over a deterministic synthetic
@@ -1313,6 +1328,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cross_source_dups": q_cross_source_dups,
         "gopher_filter": q_gopher_filter,
         "audio_features": q_audio_features,
+        "region_revenue": q_region_revenue,
         "label_outliers": q_label_outliers,
         "fuzzy_decontaminate": q_fuzzy_decontaminate,
         "span_dedup": q_span_dedup,
@@ -2541,6 +2557,25 @@ def oracle_sql() -> dict[str, str]:
                               WHERE o.o_custkey = c.c_custkey
                                 AND o.o_orderpriority = '1-URGENT')
             ORDER BY c_custkey
+        """,
+        "region_revenue": """
+            SELECT n_name,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(round(l_discount * 100)
+                                          AS BIGINT))) AS BIGINT)
+                       AS revenue_c4
+            FROM customer, orders, lineitem, supplier, nation, region
+            WHERE c_custkey = o_custkey
+              AND l_orderkey = o_orderkey
+              AND l_suppkey = s_suppkey
+              AND c_nationkey = s_nationkey
+              AND s_nationkey = n_nationkey
+              AND n_regionkey = r_regionkey
+              AND r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY n_name
+            ORDER BY revenue_c4 DESC, n_name
         """,
         "gopher_filter": """
             WITH t AS (

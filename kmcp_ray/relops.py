@@ -466,3 +466,156 @@ def rollup_agg(docs_ds, *, g1: str = "lang", g2: str = "source",
                                zero_copy_batch=True) \
         .groupby([g1, g2]).aggregate(Sum("n_rows", alias_name="n_rows"),
                                      Sum("sum_val", alias_name="sum_val"))
+
+
+def region_revenue(region_ds, nation_ds, supplier_ds, customer_ds,
+                   orders_ds, lineitem_ds, *, region: str = "ASIA",
+                   date_from: str = "1996-01-01",
+                   date_to: str = "1997-01-01",
+                   num_partitions: int = 64):
+    """Per-nation revenue inside one region where customer and supplier
+    share the nation — the canonical 6-table join (TPC-H Q5's shape),
+    composed from this engine's join arsenal by side size:
+
+    * region ⨝ nation: dimension tables (25 rows) — driver-collected
+      once and broadcast as sorted numpy maps (the kmcp name-map
+      broadcast, kmcp/cmd/search.go name mapping analogue).
+    * customer / supplier: map-side semi-filter + nation attach against
+      the broadcast map — no shuffle for the dimension hop, either
+      fact side arbitrarily large.  Supplier's (suppkey → nationkey)
+      map is itself driver-sized here; at 10^9 suppliers swap the
+      lineitem attach for ``joins.hash_join`` on l_suppkey (same
+      contract).
+    * orders ⨝ customer, lineitem ⨝ that: the generic packed-exchange
+      ``joins.hash_join`` — two wide shuffles total, lineitem rows
+      pre-slimmed map-side to (orderkey, s_nat, rev_c4) partials.
+    * final: nation-count-sized groupby.sum, names re-attached
+      map-side.
+
+    Revenue = ``round(price*100) * (100 - round(disc*100))`` in exact
+    int64 — bit-identical to the SQL oracle.  Returns
+    ``(n_name, revenue_c4)``, revenue descending."""
+    import ray
+
+    from kmcp_ray.joins import hash_join
+
+    P = int(num_partitions)
+    from_us = int(np.datetime64(date_from, "us").astype(np.int64))
+    to_us = int(np.datetime64(date_to, "us").astype(np.int64))
+
+    # dimension hop on the driver: 5 regions × 25 nations
+    reg = region_ds.to_pandas()
+    rkeys = set(reg[reg.r_name == region].r_regionkey.tolist())
+    nat = nation_ds.to_pandas()
+    nat = nat[nat.n_regionkey.isin(rkeys)]
+    nat_keys = np.sort(nat.n_nationkey.to_numpy(np.int64))
+    key_to_name = dict(zip(nat.n_nationkey.tolist(), nat.n_name.tolist()))
+    nat_ref = ray.put(nat_keys)
+
+    def in_region(keys: np.ndarray, ref) -> np.ndarray:
+        tbl = ray.get(ref)
+        pos = np.searchsorted(tbl, keys)
+        pos_c = np.minimum(pos, max(len(tbl) - 1, 0))
+        return (pos < len(tbl)) & (tbl[pos_c] == keys) if len(tbl) \
+            else np.zeros(len(keys), bool)
+
+    def cust_slim(t: pa.Table) -> pa.Table:
+        nk = t.column("c_nationkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        keep = in_region(nk, nat_ref)
+        return pa.table({
+            "c_custkey": pa.array(t.column("c_custkey")
+                                  .to_numpy(zero_copy_only=False)
+                                  .astype(np.int64)[keep], pa.int64()),
+            "c_nat": pa.array(nk[keep], pa.int64())})
+
+    def orders_slim(t: pa.Table) -> pa.Table:
+        od = pc.cast(t.column("o_orderdate"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        keep = (od >= from_us) & (od < to_us)
+        return pa.table({
+            "o_orderkey": pa.array(t.column("o_orderkey")
+                                   .to_numpy(zero_copy_only=False)
+                                   .astype(np.int64)[keep], pa.int64()),
+            "o_custkey": pa.array(t.column("o_custkey")
+                                  .to_numpy(zero_copy_only=False)
+                                  .astype(np.int64)[keep], pa.int64())})
+
+    cust = customer_ds.map_batches(cust_slim, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+    orders = orders_ds.map_batches(orders_slim, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+    ord_nat = hash_join(orders, cust, key="o_custkey",
+                        right_key="c_custkey", how="inner",
+                        left_cols=[("o_orderkey", pa.int64())],
+                        right_cols=[("c_nat", pa.int64())], P=P)
+
+    # supplier (suppkey → region nationkey) broadcast map
+    sup = supplier_ds.select_columns(["s_suppkey", "s_nationkey"]) \
+        .to_pandas()
+    sk = sup.s_suppkey.to_numpy(np.int64)
+    sn = sup.s_nationkey.to_numpy(np.int64)
+    keep = np.isin(sn, nat_keys)
+    order = np.argsort(sk[keep])
+    sup_ref = ray.put((sk[keep][order], sn[keep][order]))
+
+    def li_slim(t: pa.Table) -> pa.Table:
+        skeys, snats = ray.get(sup_ref)
+        lsk = t.column("l_suppkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        pos = np.searchsorted(skeys, lsk)
+        pos_c = np.minimum(pos, max(len(skeys) - 1, 0))
+        hit = (pos < len(skeys)) & (skeys[pos_c] == lsk) if len(skeys) \
+            else np.zeros(len(lsk), bool)
+        ok = t.column("l_orderkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)[hit]
+        nat_v = snats[pos_c[hit]]
+        price = np.rint(t.column("l_extendedprice")
+                        .to_numpy(zero_copy_only=False)[hit] * 100.0) \
+            .astype(np.int64)
+        disc = np.rint(t.column("l_discount")
+                       .to_numpy(zero_copy_only=False)[hit] * 100.0) \
+            .astype(np.int64)
+        rev = price * (100 - disc)
+        # map-side combine on (orderkey, nation): nationkey < 32
+        key = ok * 32 + nat_v
+        u, inv = np.unique(key, return_inverse=True)
+        return pa.table({
+            "l_orderkey": pa.array(u // 32, pa.int64()),
+            "s_nat": pa.array(u % 32, pa.int64()),
+            "rev_c4": pa.array(np.bincount(inv, weights=rev)
+                               .astype(np.int64), pa.int64())})
+
+    li = lineitem_ds.map_batches(li_slim, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    joined = hash_join(li, ord_nat, key="l_orderkey",
+                       right_key="o_orderkey", how="inner",
+                       left_cols=[("s_nat", pa.int64()),
+                                  ("rev_c4", pa.int64())],
+                       right_cols=[("c_nat", pa.int64())], P=P)
+
+    def same_nation(t: pa.Table) -> pa.Table:
+        sn_v = t.column("s_nat").to_numpy(zero_copy_only=False)
+        cn = t.column("c_nat").to_numpy(zero_copy_only=False)
+        keep = sn_v == cn
+        return pa.table({
+            "n_key": pa.array(sn_v[keep], pa.int64()),
+            "rev_c4": pa.array(t.column("rev_c4")
+                               .to_numpy(zero_copy_only=False)[keep],
+                               pa.int64())})
+
+    agg = joined.map_batches(same_nation, batch_format="pyarrow",
+                             zero_copy_batch=True) \
+        .groupby("n_key").aggregate(Sum("rev_c4", alias_name="revenue_c4"))
+
+    names = {int(k): v for k, v in key_to_name.items()}
+
+    def label(t: pa.Table) -> pa.Table:
+        keys = t.column("n_key").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "n_name": pa.array([names[int(k)] for k in keys], pa.string()),
+            "revenue_c4": t["revenue_c4"].cast(pa.int64())})
+
+    return agg.map_batches(label, batch_format="pyarrow",
+                           zero_copy_batch=True) \
+        .sort(["revenue_c4", "n_name"], descending=[True, False])

@@ -23,7 +23,7 @@ SQL_CHECKED = ["exact_dedup_docs", "token_count", "token_stats", "doc_stats",
                "pii_scrub", "sessionize", "hopping_window",
                "running_window", "event_funnel", "cross_source_dups",
                "gopher_filter",
-               "order_revenue", "brand_revenue",
+               "order_revenue", "brand_revenue", "region_revenue",
                "customers_no_urgent", "cohort_retention", "label_outliers",
                "source_balance", "rollup_agg",
                "asof_join", "range_join", "doc_len_quantiles",
