@@ -836,6 +836,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf, "documents", columns=["doc_id", "text"])) \
             .sort("doc_id")
 
+    def q_dsir_select(sf):
+        """DSIR importance resampling (Xie et al. 2023): keep the top
+        20% of docs by hashed-unigram log-likelihood ratio vs the
+        target (lang='en') distribution — the deterministic rank
+        variant of Gumbel-top-k.  Fixed-point integer log-ratio
+        weights make per-doc scores exact int64 sums, so the SQL
+        oracle agrees bitwise; md5 bucket hashes are the
+        oracle-mirrorable family, production uses SipHash
+        (kmcp_ray/dsir.py)."""
+        import pyarrow.compute as pc
+        from kmcp_ray import dsir
+
+        def target(t):
+            return pc.equal(t.column("lang"), "en").to_numpy(
+                zero_copy_only=False)
+
+        return dsir.dsir_select(
+            _read(sf, "documents", columns=["doc_id", "text", "lang"]),
+            target, token_hash="md5")
+
     def q_cross_source_dups(sf):
         """Cross-source duplicate-pair matrix keyed on each doc's
         first-3-token prefix (shared boilerplate provenance): counts
@@ -1327,6 +1347,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_funnel": q_event_funnel,
         "cross_source_dups": q_cross_source_dups,
         "gopher_filter": q_gopher_filter,
+        "dsir_select": q_dsir_select,
         "audio_features": q_audio_features,
         "region_revenue": q_region_revenue,
         "label_outliers": q_label_outliers,
@@ -2605,6 +2626,46 @@ def oracle_sql() -> dict[str, str]:
                     + CASE WHEN n_sw < 2 THEN 8 ELSE 0 END)::BIGINT
                        AS fail_mask
             FROM m ORDER BY doc_id
+        """,
+        "dsir_select": """
+            WITH tok AS (
+                SELECT doc_id, lang,
+                       unnest(regexp_extract_all(lower(coalesce(text, '')),
+                                                 '[a-z0-9]+')) AS tok
+                FROM documents
+            ), tb AS (
+                SELECT doc_id, lang,
+                       CAST(('0x' || substr(md5(tok), 1, 16))::UBIGINT
+                            % 1024 AS BIGINT) AS b
+                FROM tok
+            ), raw AS (
+                SELECT b, count(*) AS c FROM tb GROUP BY b
+            ), tgt AS (
+                SELECT b, count(*) AS c FROM tb WHERE lang = 'en'
+                GROUP BY b
+            ), tot AS (
+                SELECT (SELECT count(*) FROM tb) AS r_tot,
+                       (SELECT count(*) FROM tb WHERE lang = 'en') AS t_tot
+            ), wt AS (
+                SELECT r.b,
+                       CAST(floor(1000000.0 *
+                            (ln((coalesce(t.c, 0) + 1.0)
+                                / (tot.t_tot + 1024.0))
+                           - ln((r.c + 1.0) / (tot.r_tot + 1024.0))))
+                            AS BIGINT) AS w
+                FROM raw r LEFT JOIN tgt t USING (b), tot
+            )
+            , s AS (
+                SELECT tb.doc_id, CAST(sum(wt.w) AS BIGINT) AS sc
+                FROM tb JOIN wt USING (b)
+                GROUP BY tb.doc_id
+            ), r AS (
+                SELECT doc_id, sc FROM s
+                QUALIFY row_number() OVER (ORDER BY sc DESC, doc_id)
+                        <= (SELECT CAST(ceil(0.2 * count(*)) AS BIGINT)
+                            FROM s)
+            )
+            SELECT doc_id, sc AS dsir_score FROM r ORDER BY doc_id
         """,
         "cross_source_dups": """
             WITH c AS (

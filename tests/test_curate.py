@@ -301,3 +301,40 @@ def test_gopher_filter_rule_bits(ray_session):
                        pa.string())})
     out2 = curate.gopher_filter(ray.data.from_arrow(t2)).to_pandas()
     assert out2.fail_mask.tolist() == [8]
+
+
+def test_dsir_select_matches_pure_python(ray_session):
+    """Production (sip) path vs the pure-Python reference: same corpus,
+    same buckets — identical kept set and identical integer scores."""
+    import ray.data
+    from kmcp_ray import dsir
+    rng = np.random.default_rng(7)
+    target_vocab = [f"tgt{i}" for i in range(12)]
+    other_vocab = [f"oth{i}" for i in range(12)]
+    docs, toks_by_doc, target_ids = [], {}, set()
+    for did in range(40):
+        is_tgt = did % 4 == 0
+        pool = target_vocab if is_tgt else other_vocab
+        # mix in some shared tokens so distributions overlap
+        toks = list(rng.choice(pool, size=30)) + ["shared"] * 5
+        docs.append((did, " ".join(toks)))
+        toks_by_doc[did] = toks
+        if is_tgt:
+            target_ids.add(did)
+    t = pa.table({"doc_id": pa.array([d for d, _ in docs], pa.int64()),
+                  "text": pa.array([x for _, x in docs], pa.string())})
+
+    def mask(tab):
+        return np.isin(tab.column("doc_id").to_numpy(zero_copy_only=False),
+                       sorted(target_ids))
+
+    for th in ("sip", "md5"):
+        got = dsir.dsir_select(ray.data.from_arrow(t), mask,
+                               buckets=256, token_hash=th,
+                               top_frac=0.25).to_pandas()
+        want = dsir.dsir_select_oracle(toks_by_doc, target_ids,
+                                       buckets=256, token_hash=th,
+                                       top_frac=0.25)
+        assert dict(zip(got.doc_id, got.dsir_score)) == want, th
+        # distribution-matching sanity: target-like docs rank on top
+        assert set(got.doc_id) <= target_ids, th
