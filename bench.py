@@ -159,7 +159,7 @@ def run_bench() -> dict:
                      "pack_sequences", "order_revenue", "brand_revenue",
                      "cohort_retention", "running_window",
                      "source_balance", "span_dedup",
-                     "fuzzy_decontaminate"]:
+                     "fuzzy_decontaminate", "dsir_select"]:
             timed(name, lambda n=name: consume(qs[n](SF_DIR)))
 
     if not skip_queries:
