@@ -856,6 +856,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf, "documents", columns=["doc_id", "text", "lang"]),
             target, token_hash="md5")
 
+    def q_global_shuffle(sf):
+        """Deterministic training-order shuffle: global rank under
+        (sample_hash32(id), id) via hash-range partitions + a P-int
+        driver prefix sum — reproducible across cluster sizes, unlike
+        Dataset.random_shuffle (curate.global_shuffle)."""
+        from kmcp_ray import curate
+        return curate.global_shuffle(
+            _read(sf, "documents", columns=["doc_id"])).sort("doc_id")
+
+    def q_hash_split(sf):
+        """Train/val/test assignment as a pure function of doc_id
+        (80/10/10 by hash residue) — stable under corpus growth and
+        re-sharding (curate.hash_split)."""
+        from kmcp_ray import curate
+        return curate.hash_split(
+            _read(sf, "documents", columns=["doc_id"])).sort("doc_id")
+
     def q_cross_source_dups(sf):
         """Cross-source duplicate-pair matrix keyed on each doc's
         first-3-token prefix (shared boilerplate provenance): counts
@@ -1332,6 +1349,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_sketch": q_grouped_sketch,
         "search_exact_docs": q_search_exact,
         "hash_sample": q_hash_sample,
+        "global_shuffle": q_global_shuffle,
+        "hash_split": q_hash_split,
         "stratified_sample": q_stratified_sample,
         "decontaminate": q_decontaminate,
         "bloom_decontaminate": q_bloom_decontaminate,
@@ -2290,6 +2309,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, n_chars FROM documents
             WHERE ({_h32}) % 100 < 10
             ORDER BY doc_id
+        """,
+        "global_shuffle": f"""
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY {_h32}, doc_id) - 1
+                       AS shuffle_pos
+            FROM documents ORDER BY doc_id
+        """,
+        "hash_split": f"""
+            SELECT doc_id,
+                   CASE WHEN ({_h32}) % 100 < 80 THEN 'train'
+                        WHEN ({_h32}) % 100 < 90 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents ORDER BY doc_id
         """,
         "stratified_sample": f"""
             WITH h AS (

@@ -1047,3 +1047,74 @@ def gopher_filter(ds, *, min_words: int = 50, max_words: int = 100_000,
                          "fail_mask": pa.array(mask, pa.int64())})
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ------------------------------------------- training order + splits
+
+def global_shuffle(ds, id_col: str = "doc_id", num_partitions: int = 64):
+    """Deterministic training-order shuffle: every row gets a global
+    position ``shuffle_pos`` = its rank under ``(sample_hash32(id),
+    id)``.  Reproducible across runs/cluster sizes (vs
+    ``Dataset.random_shuffle``'s seed-plus-topology order) and
+    SQL-mirrorable, which is what makes a 10^12-row training order
+    auditable.
+
+    Shape: the same distributed exclusive prefix sum as
+    ``pack_sequences`` — contiguous HASH-range partitions (the hash is
+    uniform, so ranges are balanced without sampling), a P-row count
+    table on the driver, then one groupby whose in-group kernel is a
+    vectorized argsort seeded with the partition's broadcast offset.
+    No driver-side rows beyond P integers.
+    """
+    P = int(num_partitions)
+
+    def add_key(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        h = sample_hash32(ids).astype(np.int64)
+        part = (h * P) >> 32
+        return pa.table({"id": pa.array(ids.astype(np.int64), pa.int64()),
+                         "h": pa.array(h, pa.int64()),
+                         "part": pa.array(part, pa.int64())})
+
+    keyed = ds.map_batches(add_key, batch_format="pyarrow",
+                           zero_copy_batch=True).materialize()
+    counts = keyed.groupby("part").count().take_all()    # ≤ P rows
+    per_part = np.zeros(P, np.int64)
+    for r in counts:
+        per_part[int(r["part"])] = int(r["count()"])
+    offsets_ref = ray.put(
+        np.concatenate(([0], np.cumsum(per_part)[:-1])))
+
+    def rank(group: pa.Table) -> pa.Table:
+        offs = ray.get(offsets_ref)
+        part = int(group.column("part")[0].as_py())
+        ids = group.column("id").to_numpy(zero_copy_only=False)
+        h = group.column("h").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, h))
+        pos = np.empty(len(ids), np.int64)
+        pos[order] = offs[part] + np.arange(len(ids), dtype=np.int64)
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "shuffle_pos": pa.array(pos, pa.int64())})
+
+    return keyed.groupby("part").map_groups(rank, batch_format="pyarrow")
+
+
+def hash_split(ds, id_col: str = "doc_id", *, train_pct: int = 80,
+               val_pct: int = 10):
+    """Deterministic train/val/test assignment: ``sample_hash32(id) %
+    100`` < train_pct → train, < train_pct+val_pct → val, else test.
+    Membership is a pure function of the id — stable under corpus
+    growth, re-sharding and cluster size, unlike positional splits.
+    One stateless map, no shuffle."""
+    bound_v = train_pct + val_pct
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        r = (sample_hash32(ids) % np.uint64(100)).astype(np.int64)
+        split = np.where(r < train_pct, "train",
+                         np.where(r < bound_v, "val", "test"))
+        return pa.table({id_col: pa.array(ids.astype(np.int64), pa.int64()),
+                         "split": pa.array(split.astype(object),
+                                           pa.string())})
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

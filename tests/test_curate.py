@@ -338,3 +338,41 @@ def test_dsir_select_matches_pure_python(ray_session):
         assert dict(zip(got.doc_id, got.dsir_score)) == want, th
         # distribution-matching sanity: target-like docs rank on top
         assert set(got.doc_id) <= target_ids, th
+
+
+def test_global_shuffle_is_a_permutation(ray_session):
+    """Every position 0..n-1 appears exactly once; order matches the
+    driver-side (hash, id) sort; stable across partition counts."""
+    import ray.data
+    from kmcp_ray import curate
+    ids = np.arange(137, dtype=np.int64) * 3 + 1
+    t = pa.table({"doc_id": pa.array(ids, pa.int64())})
+    out = curate.global_shuffle(ray.data.from_arrow(t), num_partitions=8) \
+        .to_pandas().sort_values("doc_id")
+    assert sorted(out.shuffle_pos) == list(range(len(ids)))
+    h = curate.sample_hash32(ids)
+    order = np.lexsort((ids, h))
+    want = np.empty(len(ids), np.int64)
+    want[order] = np.arange(len(ids))
+    assert out.shuffle_pos.tolist() == want[np.argsort(ids)].tolist()
+    out2 = curate.global_shuffle(ray.data.from_arrow(t),
+                                 num_partitions=32).to_pandas() \
+        .sort_values("doc_id")
+    assert out2.shuffle_pos.tolist() == out.shuffle_pos.tolist()
+
+
+def test_hash_split_fractions_and_stability(ray_session):
+    """Split is a pure function of id: a grown corpus never reassigns
+    old ids, and fractions land near 80/10/10."""
+    import ray.data
+    from kmcp_ray import curate
+    small = pa.table({"doc_id": pa.array(range(500), pa.int64())})
+    big = pa.table({"doc_id": pa.array(range(2000), pa.int64())})
+    s = curate.hash_split(ray.data.from_arrow(small)).to_pandas()
+    b = curate.hash_split(ray.data.from_arrow(big)).to_pandas()
+    merged = s.merge(b, on="doc_id", suffixes=("_s", "_b"))
+    assert (merged.split_s == merged.split_b).all()
+    frac = b.split.value_counts(normalize=True)
+    assert abs(frac["train"] - 0.8) < 0.05
+    assert abs(frac["val"] - 0.1) < 0.04
+    assert abs(frac["test"] - 0.1) < 0.04

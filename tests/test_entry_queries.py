@@ -22,7 +22,8 @@ SQL_CHECKED = ["exact_dedup_docs", "token_count", "token_stats", "doc_stats",
                "fuzzy_decontaminate", "span_dedup", "vocab_topk",
                "pii_scrub", "sessionize", "hopping_window",
                "running_window", "event_funnel", "cross_source_dups",
-               "gopher_filter", "dsir_select",
+               "gopher_filter", "dsir_select", "global_shuffle",
+               "hash_split",
                "order_revenue", "brand_revenue", "region_revenue",
                "customers_no_urgent", "cohort_retention", "label_outliers",
                "source_balance", "rollup_agg",
