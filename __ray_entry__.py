@@ -1083,6 +1083,56 @@ def queries() -> dict[str, Callable[[str], Any]]:
                   columns=["vec_id", "label", "embedding"]),
             k=5).sort(["label", "rank"])
 
+    def q_hard_negatives(sf):
+        """Hard-negative mining: per query vector, the top-5 most
+        cosine-similar rows of a DIFFERENT label — topk_cosine's
+        label-exclusion arm (broadcast queries+labels, one matmul +
+        one label-mask compare per batch, tie-exact partial top-k)."""
+        import pyarrow.parquet as pq
+        emb = pq.read_table(f"{sf}/embeddings.parquet",
+                            columns=["vec_id", "embedding", "label"])
+        ids = emb.column("vec_id").to_numpy().astype(np.int64)
+        mask = (ids >= 16) & (ids < 24)
+        mat = np.stack([np.asarray(v, dtype=np.float64)
+                        for v in emb.column("embedding").to_pylist()])
+        labs = emb.column("label").to_numpy().astype(np.int64)
+        ds = _read(sf, "embeddings",
+                   columns=["vec_id", "embedding", "label"])
+        return ann.hard_negatives(
+            ds, (ids[mask], mat[mask], labs[mask]), k=5)
+
+    def q_semantic_dedup_label(sf):
+        """Group-exact semantic dedup: within each label, connected
+        components of the cosine>=0.3 graph, min-id representative —
+        the SQL-mirrorable arm of the SemDeDup kernel (one groupby,
+        chunked sim matrix + min-label propagation per group)."""
+        from kmcp_ray import kmeans
+        ds = _read(sf, "embeddings",
+                   columns=["vec_id", "label", "embedding"])
+        return kmeans.group_semantic_dedup(ds, "label", 0.3) \
+            .sort("vec_id")
+
+    def q_semantic_dedup(sf):
+        """SemDeDup (Abbas et al. 2023): distributed fixed-point Lloyd
+        k-means partition -> per-cluster cosine components -> min-id
+        survivor.  Cross-cluster pairs are by-design misses (recall vs
+        the exact predicate measured in tests/test_kmeans.py); no SQL
+        oracle — k-means iterations aren't SQL-expressible."""
+        from kmcp_ray import kmeans
+        ds = _read(sf, "embeddings", columns=["vec_id", "embedding"])
+        return kmeans.semantic_dedup(ds, k=8, threshold=0.3, iters=3) \
+            .sort("vec_id")
+
+    def q_quality_filter_pctl(sf):
+        """Per-source percentile quality gate: keep docs at/above their
+        own source's p25 integer quality score — scoring pass +
+        distributed per-source exact order statistic (group_quantiles
+        semantics) + broadcast-threshold filter pass."""
+        from kmcp_ray import curate
+        docs = _read(sf, "documents",
+                     columns=["doc_id", "text", "source"])
+        return curate.quality_filter_pctl(docs, pct=25).sort("doc_id")
+
     def q_asof_join(sf):
         """As-of join: each event picks the latest order of the same
         key at-or-before its timestamp — tag/union/groupby + one
@@ -1370,6 +1420,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_features": q_audio_features,
         "region_revenue": q_region_revenue,
         "label_outliers": q_label_outliers,
+        "hard_negatives": q_hard_negatives,
+        "semantic_dedup_label": q_semantic_dedup_label,
+        "semantic_dedup": q_semantic_dedup,
+        "quality_filter_pctl": q_quality_filter_pctl,
         "fuzzy_decontaminate": q_fuzzy_decontaminate,
         "span_dedup": q_span_dedup,
         "source_balance": q_source_balance,
@@ -2859,6 +2913,82 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(label AS BIGINT) AS label, vec_id,
                    CAST(rank AS BIGINT) AS rank
             FROM s WHERE rank <= 5 ORDER BY label, rank
+        """,
+        "hard_negatives": """
+            SELECT query_id, neighbor_id, rank FROM (
+                SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY list_cosine_similarity(q.embedding, e.embedding)
+                                    DESC, e.vec_id ASC) AS rank
+                FROM embeddings q, embeddings e
+                WHERE q.vec_id >= 16 AND q.vec_id < 24
+                  AND e.vec_id <> q.vec_id AND e.label <> q.label
+            ) WHERE rank <= 5
+        """,
+        "semantic_dedup_label": """
+            WITH RECURSIVE edges AS (
+                SELECT a.vec_id AS u, b.vec_id AS v
+                FROM embeddings a, embeddings b
+                WHERE a.vec_id <> b.vec_id AND a.label = b.label
+                  AND list_cosine_similarity(a.embedding, b.embedding) >= 0.3
+            ), reach(u, v) AS (
+                SELECT u, v FROM edges
+                UNION
+                SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+                WHERE e.v <> r.u
+            )
+            SELECT e.vec_id,
+                   coalesce(least(m.mn, e.vec_id), e.vec_id) AS rep_id,
+                   CAST(CASE WHEN coalesce(least(m.mn, e.vec_id), e.vec_id)
+                                  = e.vec_id THEN 1 ELSE 0 END
+                        AS BIGINT) AS kept
+            FROM embeddings e
+            LEFT JOIN (SELECT u, min(v) AS mn FROM reach GROUP BY u) m
+              ON m.u = e.vec_id
+            ORDER BY e.vec_id
+        """,
+        "quality_filter_pctl": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+                FROM documents
+            ), agg AS (
+                SELECT doc_id,
+                       count(*)            AS n_tokens,
+                       count(DISTINCT tok) AS n_uniq_tokens,
+                       sum(length(tok))    AS sum_token_len
+                FROM toks GROUP BY doc_id
+            ), st AS (
+                SELECT d.doc_id, d.source,
+                       CAST(coalesce(a.n_tokens, 0) AS DOUBLE) AS nt,
+                       CAST(coalesce(a.n_uniq_tokens, 0) AS DOUBLE) AS nu,
+                       CAST(coalesce(a.sum_token_len, 0) AS DOUBLE) AS sl
+                FROM documents d LEFT JOIN agg a USING (doc_id)
+            ), q AS (
+                SELECT doc_id, source,
+                       CAST(floor(
+                         (CASE WHEN nt > 0 THEN nu / nt ELSE 0.0 END)
+                         * (1.0 - exp(-nt / 32.0))
+                         * (0.5 + 0.5 * least(1.0, greatest(0.0,
+                              1.0 - abs((CASE WHEN nt > 0 THEN sl / nt
+                                              ELSE 0.0 END) - 5.0) / 10.0)))
+                         * 1000000.0) AS BIGINT) AS quality_u
+                FROM st
+            ), r AS (
+                SELECT source, quality_u,
+                       row_number() OVER (PARTITION BY source
+                                          ORDER BY quality_u) - 1 AS rk,
+                       count(*) OVER (PARTITION BY source) AS n
+                FROM q
+            ), thr AS (
+                SELECT source, quality_u AS cut
+                FROM r WHERE rk = ((n - 1) * 25) // 100
+            )
+            SELECT q.doc_id, q.source, q.quality_u
+            FROM q JOIN thr USING (source)
+            WHERE q.quality_u >= thr.cut
+            ORDER BY q.doc_id
         """,
         "rollup_agg": """
             SELECT coalesce(lang, '<all>') AS lang,

@@ -63,23 +63,38 @@ def _tie_exact_topk(cand_ids: np.ndarray, sims: np.ndarray, k: int):
 
 
 def topk_cosine(ds, queries: "tuple[np.ndarray, np.ndarray]", k: int = 5,
-                id_col: str = "vec_id", emb_col: str = "embedding"):
+                id_col: str = "vec_id", emb_col: str = "embedding",
+                q_labels: np.ndarray = None, label_col: str = "label"):
     """(query_id, neighbor_id, rank) — top-k cosine neighbors of each
     query vector; self-matches excluded; ties broken by neighbor id.
 
     ``queries`` = (query_ids int64 (q,), query_matrix float64 (q, d)).
+
+    ``q_labels`` (optional, int64 (q,)): per-query label to EXCLUDE —
+    candidates sharing the query's ``label_col`` value are masked out,
+    turning the op into hard-NEGATIVE mining (the top-k most similar
+    items of a *different* class, the contrastive-training staple).
+    Same partial-top-k economics: labels ride the broadcast, the mask
+    is one vectorized compare per batch.
     """
     q_ids, q_mat = queries
-    q_ref = ray.put((q_ids.astype(np.int64), _normalize(q_mat.astype(np.float64))))
+    q_ref = ray.put((q_ids.astype(np.int64),
+                     _normalize(q_mat.astype(np.float64)),
+                     None if q_labels is None
+                     else np.asarray(q_labels, dtype=np.int64)))
 
     def partial_topk(batch: pa.Table) -> pa.Table:
-        qi, qm = ray.get(q_ref)
+        qi, qm, qlab = ray.get(q_ref)
         ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        blab = (batch.column(label_col).to_numpy(zero_copy_only=False)
+                .astype(np.int64) if qlab is not None else None)
         m = _normalize(_emb_matrix(batch, emb_col))
         sims = qm @ m.T                                  # (q, batch)
         out_q, out_n, out_s = [], [], []
         for r in range(len(qi)):
             mask = ids != qi[r]
+            if qlab is not None:
+                mask &= blab != qlab[r]
             cand_idx = np.nonzero(mask)[0]
             nb, sc = _tie_exact_topk(ids[cand_idx], sims[r][cand_idx], k)
             if len(nb) == 0:
@@ -108,6 +123,23 @@ def topk_cosine(ds, queries: "tuple[np.ndarray, np.ndarray]", k: int = 5,
                              batch_size=4096, zero_copy_batch=True)
     return partial.groupby("query_id").map_groups(final_topk,
                                                   batch_format="pyarrow")
+
+
+def hard_negatives(ds, queries, k: int = 5, id_col: str = "vec_id",
+                   emb_col: str = "embedding", label_col: str = "label"):
+    """(query_id, neighbor_id, rank) — hard-NEGATIVE mining: for each
+    query vector, the top-k most cosine-similar rows whose ``label``
+    differs from the query's (contrastive-training staple).
+
+    ``queries`` = (ids int64 (q,), matrix float64 (q, d), labels int64
+    (q,)).  Thin wrapper over :func:`topk_cosine`'s label-exclusion
+    arm: queries+labels broadcast once, one matmul + one label-compare
+    mask per batch, tie-exact partial top-k — no shuffle beyond the
+    query-sized final groupby."""
+    q_ids, q_mat, q_labels = queries
+    return topk_cosine(ds, (q_ids, q_mat), k=k, id_col=id_col,
+                       emb_col=emb_col, q_labels=q_labels,
+                       label_col=label_col)
 
 
 def cosine_pairs(ds, threshold: float, id_col: str = "vec_id",

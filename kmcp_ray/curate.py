@@ -1118,3 +1118,51 @@ def hash_split(ds, id_col: str = "doc_id", *, train_pct: int = 80,
                                            pa.string())})
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def quality_filter_pctl(ds, pct: int = 25, id_col: str = "doc_id",
+                        text_col: str = "text",
+                        source_col: str = "source"):
+    """Per-source percentile quality gate: keep documents whose integer
+    quality score (:func:`kmcp_ray.textops.quality_score_batch`) is at
+    or above their OWN source's ``pct``-th percentile — the standard
+    per-domain curation cut (a global threshold over-prunes weak
+    sources and under-prunes strong ones).
+
+    Scale shape: one scoring pass (vectorized, carries ``source``
+    alongside), per-source thresholds via the distributed exact
+    order-statistic histogram (:func:`kmcp_ray.relops.group_quantiles`
+    — the corpus collapses to source x distinct-score counts, never to
+    the driver), thresholds broadcast (source-cardinality-sized), one
+    filter pass.  Rank semantics identical to group_quantiles:
+    0-based lower statistic at ``(n-1) * pct // 100``.
+
+    Returns ``(id, source, quality_u)`` for the kept rows.
+    """
+    from kmcp_ray.relops import group_quantiles
+    from kmcp_ray.textops import quality_score_batch
+
+    def score(batch: pa.Table) -> pa.Table:
+        st = quality_score_batch(batch, id_col=id_col, text_col=text_col)
+        return pa.table({id_col: st.column(id_col),
+                         source_col: batch.column(source_col),
+                         "quality_u": st.column("quality_u")})
+
+    scored = ds.map_batches(score, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    thr_rows = group_quantiles(
+        scored.select_columns([source_col, "quality_u"]),
+        source_col, "quality_u", (int(pct),)).take_all()
+    thr = {r[source_col]: int(r["value"]) for r in thr_rows}
+    thr_ref = ray.put(thr)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        t = ray.get(thr_ref)
+        src = batch.column(source_col).to_numpy(zero_copy_only=False)
+        q = batch.column("quality_u").to_numpy(zero_copy_only=False)
+        cut = np.fromiter((t[s] for s in src), dtype=np.int64,
+                          count=len(src))
+        return batch.filter(pa.array(q >= cut))
+
+    return scored.map_batches(keep, batch_format="pyarrow",
+                              zero_copy_batch=True)
