@@ -1115,13 +1115,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_semantic_dedup(sf):
         """SemDeDup (Abbas et al. 2023): distributed fixed-point Lloyd
         k-means partition -> per-cluster cosine components -> min-id
-        survivor.  Cross-cluster pairs are by-design misses (recall vs
-        the exact predicate measured in tests/test_kmeans.py); no SQL
-        oracle — k-means iterations aren't SQL-expressible."""
+        survivor, at nprobe=2 (each row joins its 2 closest clusters;
+        per-probe components merged via the shared pairs->union-find
+        tail — measured pair recall 0.95+ vs 0.35 single-probe in
+        tests/test_kmeans.py, precision exact by construction).  No
+        SQL oracle — k-means iterations aren't SQL-expressible."""
         from kmcp_ray import kmeans
         ds = _read(sf, "embeddings", columns=["vec_id", "embedding"])
-        return kmeans.semantic_dedup(ds, k=8, threshold=0.3, iters=3) \
-            .sort("vec_id")
+        return kmeans.semantic_dedup(ds, k=8, threshold=0.3, iters=3,
+                                     nprobe=2).sort("vec_id")
 
     def q_quality_filter_pctl(sf):
         """Per-source percentile quality gate: keep docs at/above their

@@ -567,12 +567,21 @@ def embedding_dedup(ds, threshold: float, cfg: DedupConfig = None,
     Ids ride as zero-padded strings through the string-keyed CC stage
     (docs_dedup pattern) and return as int64.
     """
+    pairs = cosine_pairs(ds, threshold, id_col=id_col, emb_col=emb_col)
+    return int_pair_labels(ds, pairs, cfg, id_col=id_col)
+
+
+def int_pair_labels(ds, pairs, cfg: DedupConfig = None,
+                    id_col: str = "vec_id"):
+    """(id, cluster_id) int64 min-id component labels over every row of
+    ``ds`` from an int64 (id_a, id_b) edge stream — the shared
+    pairs→spanning-forest→union-find→assign tail (broadcast map below
+    the forest-size gate, partitioned join above it)."""
     cfg = cfg or DedupConfig()
     from kmcp_ray import cc as cc_mod
     from kmcp_ray.pipeline import assign_stage
 
     fmt = "v{:012d}"
-    pairs = cosine_pairs(ds, threshold, id_col=id_col, emb_col=emb_col)
 
     def to_str_pairs(batch: pa.Table) -> pa.Table:
         a = batch.column("id_a").to_numpy(zero_copy_only=False)

@@ -108,16 +108,26 @@ def kmeans_fit(ds, k: int = 16, iters: int = 4, emb_col: str = "embedding",
 
 
 def assign_clusters(ds, centroids: np.ndarray, emb_col: str = "embedding",
-                    out_col: str = "cluster"):
+                    out_col: str = "cluster", nprobe: int = 1):
     """Append the nearest-centroid id (int32) — broadcast centroids,
-    one small matmul per batch, no shuffle."""
+    one small matmul per batch, no shuffle.
+
+    ``nprobe > 1`` emits one row per (row, top-p centroid) — the
+    multi-probe expansion (IVF-nprobe analogue): a near-boundary row
+    lands in each of its p closest clusters, at p x row volume."""
     cref = ray.put(_normalize(np.asarray(centroids, dtype=np.float64)))
 
     def tag(batch: pa.Table) -> pa.Table:
         c = ray.get(cref)
         m = _normalize(_emb_matrix(batch, emb_col))
-        a = np.argmax(m @ c.T, axis=1).astype(np.int32)
-        return batch.append_column(out_col, pa.array(a, pa.int32()))
+        sims = m @ c.T
+        if nprobe == 1:
+            a = np.argmax(sims, axis=1).astype(np.int32)
+            return batch.append_column(out_col, pa.array(a, pa.int32()))
+        p = min(nprobe, sims.shape[1])
+        top = np.argpartition(-sims, p - 1, axis=1)[:, :p].astype(np.int32)
+        rep = batch.take(pa.array(np.repeat(np.arange(len(m)), p)))
+        return rep.append_column(out_col, pa.array(top.ravel(), pa.int32()))
 
     return ds.map_batches(tag, batch_format="pyarrow", batch_size=4096,
                           zero_copy_batch=True)
@@ -177,14 +187,49 @@ def group_semantic_dedup(ds, group_col: str, threshold: float = 0.4,
 
 def semantic_dedup(ds, k: int = 16, threshold: float = 0.4, iters: int = 4,
                    id_col: str = "vec_id", emb_col: str = "embedding",
-                   centroids: np.ndarray = None, **group_kw):
+                   centroids: np.ndarray = None, nprobe: int = 1,
+                   **group_kw):
     """SemDeDup: distributed k-means partition -> per-cluster
     cosine-threshold components -> min-id representative.  Returns
     (id, rep_id, kept) over every row; ``kept == 0`` rows are the
-    pruned semantic near-duplicates."""
+    pruned semantic near-duplicates.
+
+    ``nprobe > 1`` is the recall knob: each row joins its p closest
+    clusters (p x verify volume), per-probe components are then merged
+    through the shared pairs->forest->union-find tail
+    (:func:`kmcp_ray.ann.int_pair_labels`) — every (row, rep) link is
+    a real tau-path, so precision is unchanged while boundary-straddling
+    pairs co-bucket."""
     if centroids is None:
         centroids = kmeans_fit(ds, k=k, iters=iters, emb_col=emb_col)
-    tagged = assign_clusters(ds.select_columns([id_col, emb_col]),
-                             centroids, emb_col=emb_col)
-    return group_semantic_dedup(tagged, "cluster", threshold,
+    sel = ds.select_columns([id_col, emb_col])
+    tagged = assign_clusters(sel, centroids, emb_col=emb_col,
+                             nprobe=nprobe)
+    part = group_semantic_dedup(tagged, "cluster", threshold,
                                 id_col=id_col, emb_col=emb_col, **group_kw)
+    if nprobe == 1:
+        return part
+
+    from kmcp_ray.ann import int_pair_labels
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        v = t.column(id_col).to_numpy(zero_copy_only=False)
+        r = t.column("rep_id").to_numpy(zero_copy_only=False)
+        keep = v != r                        # dup-count-sized edge set
+        return pa.table({"id_a": pa.array(v[keep], pa.int64()),
+                         "id_b": pa.array(r[keep], pa.int64())})
+
+    pairs = part.map_batches(to_edges, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    labels = int_pair_labels(sel, pairs, id_col=id_col)
+
+    def finish(t: pa.Table) -> pa.Table:
+        v = t.column(id_col).to_numpy(zero_copy_only=False)
+        r = t.column("cluster_id").to_numpy(zero_copy_only=False)
+        return pa.table({id_col: pa.array(v, pa.int64()),
+                         "rep_id": pa.array(r, pa.int64()),
+                         "kept": pa.array((v == r).astype(np.int64),
+                                          pa.int64())})
+
+    return labels.map_batches(finish, batch_format="pyarrow",
+                              zero_copy_batch=True)
