@@ -1125,6 +1125,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return kmeans.semantic_dedup(ds, k=8, threshold=0.3, iters=3,
                                      nprobe=2).sort("vec_id")
 
+    def q_perplexity_score(sf):
+        """CCNet-style bigram-LM perplexity scoring: add-V smoothed
+        NLL under a reference LM fit on the doc_id%10==0 slice —
+        quantized integer log-probs summed exactly per doc (one
+        vocab-bounded fit groupby + one broadcast scoring pass)."""
+        import pyarrow as pa
+        from kmcp_ray import ppl
+        docs = _read(sf, "documents", columns=["doc_id", "text"])
+
+        def ref_slice(t: "pa.Table") -> "pa.Table":
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+            return t.filter(pa.array(ids % 10 == 0))
+
+        ref = docs.map_batches(ref_slice, batch_format="pyarrow",
+                               zero_copy_batch=True)
+        lm = ppl.fit_bigram_lm(ref)
+        return ppl.nll_scores(docs, lm).sort("doc_id")
+
     def q_quality_filter_pctl(sf):
         """Per-source percentile quality gate: keep docs at/above their
         own source's p25 integer quality score — scoring pass +
@@ -1424,6 +1442,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_outliers": q_label_outliers,
         "hard_negatives": q_hard_negatives,
         "semantic_dedup_label": q_semantic_dedup_label,
+        "perplexity_score": q_perplexity_score,
         "semantic_dedup": q_semantic_dedup,
         "quality_filter_pctl": q_quality_filter_pctl,
         "fuzzy_decontaminate": q_fuzzy_decontaminate,
@@ -2949,6 +2968,49 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN (SELECT u, min(v) AS mn FROM reach GROUP BY u) m
               ON m.u = e.vec_id
             ORDER BY e.vec_id
+        """,
+        "perplexity_score": """
+            WITH t AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(coalesce(text, '')),
+                                          '[a-z0-9]+') AS tk
+                FROM documents
+            ), ref_uni AS (
+                SELECT w, count(*) AS c
+                FROM (SELECT unnest(tk) AS w FROM t WHERE doc_id % 10 = 0)
+                GROUP BY w
+            ), vsz AS (
+                SELECT count(*) AS v FROM ref_uni
+            ), ref_bi AS (
+                SELECT b, count(*) AS c FROM (
+                    SELECT unnest(list_transform(
+                        generate_series(1, len(tk) - 1),
+                        i -> tk[i] || ' ' || tk[i + 1])) AS b
+                    FROM t WHERE doc_id % 10 = 0 AND len(tk) >= 2)
+                GROUP BY b
+            ), db AS (
+                SELECT doc_id, unnest(list_transform(
+                    generate_series(1, len(tk) - 1),
+                    i -> tk[i] || ' ' || tk[i + 1])) AS b
+                FROM t WHERE len(tk) >= 2
+            ), scored AS (
+                SELECT d.doc_id,
+                       CAST(floor(ln(coalesce(rb.c, 0) + 1)
+                                  * 1000000.0) AS BIGINT)
+                       - CAST(floor(ln(coalesce(ru.c, 0)
+                                       + (SELECT v FROM vsz))
+                                    * 1000000.0) AS BIGINT) AS contrib
+                FROM db d
+                LEFT JOIN ref_bi rb ON rb.b = d.b
+                LEFT JOIN ref_uni ru ON ru.w = split_part(d.b, ' ', 1)
+            )
+            SELECT t.doc_id,
+                   CAST(coalesce(s.n, 0) AS BIGINT) AS n_bigrams,
+                   CAST(coalesce(-s.ssum, 0) AS BIGINT) AS nll_u
+            FROM t LEFT JOIN (
+                SELECT doc_id, count(*) AS n, sum(contrib) AS ssum
+                FROM scored GROUP BY doc_id) s USING (doc_id)
+            ORDER BY t.doc_id
         """,
         "quality_filter_pctl": """
             WITH toks AS (
