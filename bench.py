@@ -159,7 +159,9 @@ def run_bench() -> dict:
                      "pack_sequences", "order_revenue", "brand_revenue",
                      "cohort_retention", "running_window",
                      "source_balance", "span_dedup",
-                     "fuzzy_decontaminate", "dsir_select"]:
+                     "fuzzy_decontaminate", "dsir_select",
+                     "semantic_dedup", "hard_negatives",
+                     "quality_filter_pctl", "perplexity_score"]:
             timed(name, lambda n=name: consume(qs[n](SF_DIR)))
 
     if not skip_queries:
