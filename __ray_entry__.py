@@ -273,6 +273,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return out.map_batches(intscore, batch_format="pyarrow",
                                zero_copy_batch=True)
 
+    def q_consensus_pairs(sf):
+        """Multi-signal fusion: exact-mode caption near-dup pairs kept
+        only when the same ids' embeddings agree (cosine >= 0.08) —
+        semi-join fetches the pair-bounded vector subset, broadcast
+        cosine pass; integer-ized jacc + cosine ride the output."""
+        docs = _docs(sf)
+        emb = _read(sf, "embeddings", columns=["vec_id", "embedding"])
+        return docs_dedup.consensus_pairs(docs, emb, ex_cfg,
+                                          min_cos_u=80_000) \
+            .sort(["id_a", "id_b"])
+
     def q_fingerprint(sf):
         """Winnowing fingerprints over the md5 shingle-hash variant
         (SQL window-min mirror); summary columns are order-free ints."""
@@ -1393,6 +1404,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_dedup": q_incremental_dedup,
         "simhash_dedup_docs": q_simhash_dedup,
         "ngram_jaccard_pairs": q_ngram_pairs,
+        "consensus_pairs": q_consensus_pairs,
         "doc_fingerprint": q_fingerprint,
         "lang_id": q_lang_id,
         "quality_score": q_quality,
@@ -2008,6 +2020,28 @@ def oracle_sql() -> dict[str, str]:
                        AS score_u
             FROM scoredp
             WHERE jacc >= 0.7 OR ctn >= 0.9
+            ORDER BY id_a, id_b
+        """,
+        "consensus_pairs": """
+            WITH """ + pair_cte.replace(
+                "{SRC}", "(SELECT doc_id AS did, text FROM documents)") + """
+            SELECT ia AS id_a, ib AS id_b,
+                   CASE WHEN jacc >= 0.7 THEN 'minhash'
+                        ELSE 'contain' END AS via,
+                   CAST(floor(1000000.0 * CASE WHEN jacc >= 0.7 THEN jacc
+                                               ELSE ctn END) AS BIGINT)
+                       AS score_u,
+                   CAST(floor(1000000.0 * list_cosine_similarity(
+                            CAST(ea.embedding AS DOUBLE[]),
+                            CAST(eb.embedding AS DOUBLE[]))) AS BIGINT)
+                       AS cos_u
+            FROM scoredp
+            JOIN embeddings ea ON ea.vec_id = ia
+            JOIN embeddings eb ON eb.vec_id = ib
+            WHERE (jacc >= 0.7 OR ctn >= 0.9)
+              AND list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                         CAST(eb.embedding AS DOUBLE[]))
+                  >= 0.08
             ORDER BY id_a, id_b
         """,
         "substr_containment": """

@@ -524,3 +524,81 @@ def cross_source_dup_matrix(ds, group_col: str = "source",
         "n_pairs": pa.array([], pa.int64())}))
     return empty.union(out.map_batches(finish, batch_format="pyarrow",
                                        zero_copy_batch=True))
+
+
+def consensus_pairs(docs, emb, cfg: DedupConfig = None, *,
+                    min_cos_u: int = 80_000, id_col="doc_id",
+                    text_col="text", vec_col="vec_id",
+                    emb_col="embedding"):
+    """Multi-signal near-dup pairs: caption n-gram-Jaccard/containment
+    pairs (:func:`ngram_jaccard_pairs`) CORROBORATED by embedding
+    cosine >= min_cos_u/1e6 on the same ids — the text x embedding
+    fusion cut (a pair must look duplicated in BOTH modalities).
+
+    Scale shape: the pair stream is dup-volume-sized, so the vectors it
+    needs are fetched with one distributed SEMI join of the corpus-sized
+    embedding table against the pair-id set, and only that pair-bounded
+    subset is collected + broadcast for the vectorized cosine pass —
+    the embedding table itself never materializes.
+
+    Returns (id_a, id_b, via, score_u, cos_u) sorted upstream of the
+    caller."""
+    import ray
+    from kmcp_ray.joins import hash_join
+
+    cfg = cfg or DedupConfig()
+    pairs = ngram_jaccard_pairs(docs, cfg, id_col=id_col,
+                                text_col=text_col).materialize()
+
+    def pair_ids(t: pa.Table) -> pa.Table:
+        a = t.column("id_a").to_numpy(zero_copy_only=False)
+        b = t.column("id_b").to_numpy(zero_copy_only=False)
+        return pa.table({"pid": pa.array(
+            np.unique(np.concatenate((a, b))), pa.int64())})
+
+    ids = pairs.map_batches(pair_ids, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    vecs = hash_join(emb.select_columns([vec_col, emb_col]), ids,
+                     how="semi", key=vec_col, right_key="pid",
+                     left_cols=((vec_col, pa.int64()),
+                                (emb_col, pa.list_(pa.float32())))) \
+        .take_all()
+    vid = np.array([r[vec_col] for r in vecs], dtype=np.int64)
+    mat = np.stack([np.asarray(r[emb_col], dtype=np.float64)
+                    for r in vecs]) if vecs else np.zeros((0, 1))
+    mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True),
+                           1e-300)
+    order = np.argsort(vid)
+    side = ray.put((vid[order], mat[order]))
+
+    def fuse(t: pa.Table) -> pa.Table:
+        sv, sm = ray.get(side)
+        a = t.column("id_a").to_numpy(zero_copy_only=False)
+        b = t.column("id_b").to_numpy(zero_copy_only=False)
+        s = t.column("score").to_numpy(zero_copy_only=False)
+
+        def vec_at(keys):
+            pos = np.searchsorted(sv, keys)
+            pos = np.minimum(pos, max(len(sv) - 1, 0))
+            hit = sv[pos] == keys if len(sv) else np.zeros(len(keys), bool)
+            return pos, hit
+
+        pa_, ha = vec_at(a)
+        pb_, hb = vec_at(b)
+        both = ha & hb
+        cos = np.full(len(a), -2.0)
+        if both.any():
+            cos[both] = np.einsum("ij,ij->i", sm[pa_[both]], sm[pb_[both]])
+        cos_u = np.floor(cos * 1e6).astype(np.int64)
+        keep = both & (cos_u >= min_cos_u)
+        return pa.table({
+            "id_a": pa.array(a[keep], pa.int64()),
+            "id_b": pa.array(b[keep], pa.int64()),
+            "via": pc.take(t.column("via"),
+                           pa.array(np.nonzero(keep)[0], pa.int64())),
+            "score_u": pa.array(np.floor(1e6 * s[keep]).astype(np.int64),
+                                pa.int64()),
+            "cos_u": pa.array(cos_u[keep], pa.int64())})
+
+    return pairs.map_batches(fuse, batch_format="pyarrow",
+                             zero_copy_batch=True)
