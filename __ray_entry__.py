@@ -1154,6 +1154,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         lm = ppl.fit_bigram_lm(ref)
         return ppl.nll_scores(docs, lm).sort("doc_id")
 
+    def q_mixture_resample(sf):
+        """Data-mixing: largest deterministic subset matching a 2:1
+        source-weight mixture (src0-4 doubled) — integer-exact quotas
+        off the bottleneck source, per-source hash-rank selection via
+        the distributed prefix-sum ranking."""
+        from kmcp_ray import curate
+        targets = {f"src{i}": (2 if i < 5 else 1) for i in range(20)}
+        docs = _read(sf, "documents", columns=["doc_id", "source"])
+        return curate.mixture_resample(docs, targets).sort("doc_id")
+
     def q_quality_filter_pctl(sf):
         """Per-source percentile quality gate: keep docs at/above their
         own source's p25 integer quality score — scoring pass +
@@ -1455,6 +1465,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hard_negatives": q_hard_negatives,
         "semantic_dedup_label": q_semantic_dedup_label,
         "perplexity_score": q_perplexity_score,
+        "mixture_resample": q_mixture_resample,
         "semantic_dedup": q_semantic_dedup,
         "quality_filter_pctl": q_quality_filter_pctl,
         "fuzzy_decontaminate": q_fuzzy_decontaminate,
@@ -3045,6 +3056,34 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id, count(*) AS n, sum(contrib) AS ssum
                 FROM scored GROUP BY doc_id) s USING (doc_id)
             ORDER BY t.doc_id
+        """,
+        "mixture_resample": f"""
+            WITH w(source, w) AS (
+                SELECT 'src' || CAST(i AS VARCHAR),
+                       CASE WHEN i < 5 THEN 2 ELSE 1 END
+                FROM generate_series(0, 19) t(i)
+            ), cnt AS (
+                SELECT source, count(*) AS n FROM documents GROUP BY source
+            ), j AS (
+                SELECT w.source, coalesce(cnt.n, 0) AS n, w.w
+                FROM w LEFT JOIN cnt USING (source)
+            ), star AS (
+                SELECT n AS ns, w AS ws FROM j
+                ORDER BY 1.0 * n / w, source LIMIT 1
+            ), q AS (
+                SELECT j.source, (star.ns * j.w) // star.ws AS quota
+                FROM j, star
+            ), r AS (
+                SELECT doc_id, source,
+                       row_number() OVER (PARTITION BY source
+                                          ORDER BY {_h32}, doc_id) - 1
+                           AS mix_rank
+                FROM documents
+            )
+            SELECT r.doc_id, r.source, r.mix_rank
+            FROM r JOIN q USING (source)
+            WHERE r.mix_rank < q.quota
+            ORDER BY r.doc_id
         """,
         "quality_filter_pctl": """
             WITH toks AS (

@@ -1166,3 +1166,86 @@ def quality_filter_pctl(ds, pct: int = 25, id_col: str = "doc_id",
 
     return scored.map_batches(keep, batch_format="pyarrow",
                               zero_copy_batch=True)
+
+
+def mixture_resample(ds, targets: dict, id_col: str = "doc_id",
+                     source_col: str = "source",
+                     num_partitions: int = 64):
+    """Target-mixture resampling (the data-mixing step): keep the
+    LARGEST deterministic subset whose per-source proportions match
+    integer-weight ``targets`` — the bottleneck source is kept whole
+    and every other source's quota is ``floor(n* x w_s / w*)`` (exact
+    integer arithmetic, no float proportions), selected as each
+    source's first-``quota`` rows under the ``(sample_hash32(id), id)``
+    order.  Sources absent from ``targets`` are dropped.
+
+    Shape: one (source x hash-range) count groupby (S x P rows on the
+    driver — source-cardinality-bounded), quotas broadcast, then one
+    groupby whose in-group kernel ranks against the partition's
+    prefix-sum offset — the same distributed ranking as
+    :func:`global_shuffle`, nothing corpus-sized on the driver.
+
+    Returns kept rows ``(id, source, mix_rank)``.
+    """
+    P = int(num_partitions)
+    weights = {s: int(w) for s, w in targets.items()}
+    if any(w <= 0 for w in weights.values()):
+        raise ValueError("mixture weights must be positive integers")
+
+    def add_key(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        h = sample_hash32(ids).astype(np.int64)
+        part = (h * P) >> 32
+        return pa.table({"id": pa.array(ids.astype(np.int64), pa.int64()),
+                         source_col: t.column(source_col),
+                         "h": pa.array(h, pa.int64()),
+                         "part": pa.array(part, pa.int64())})
+
+    keyed = ds.map_batches(add_key, batch_format="pyarrow",
+                           zero_copy_batch=True).materialize()
+    counts = keyed.groupby([source_col, "part"]).count().take_all()
+    n_by_src: dict = {}
+    for r in counts:
+        n_by_src[r[source_col]] = n_by_src.get(r[source_col], 0) \
+            + int(r["count()"])
+    # bottleneck source t*: min n_t / w_t by exact cross-multiplication
+    star = None
+    for s, w in sorted(weights.items()):
+        n = n_by_src.get(s, 0)
+        if star is None or n * star[1] < star[0] * w:
+            star = (n, w)
+    n_star, w_star = star if star else (0, 1)
+    quota = {s: (n_star * w) // w_star for s, w in weights.items()}
+    # per-(source, part) exclusive prefix offsets within the source
+    offs: dict = {}
+    for s in weights:
+        per = np.zeros(P, np.int64)
+        for r in counts:
+            if r[source_col] == s:
+                per[int(r["part"])] = int(r["count()"])
+        offs[s] = np.concatenate(([0], np.cumsum(per)[:-1]))
+    side = ray.put((offs, quota))
+
+    def rank(group: pa.Table) -> pa.Table:
+        o, q = ray.get(side)
+        src = group.column(source_col)[0].as_py()
+        empty = pa.table({id_col: pa.array([], pa.int64()),
+                          source_col: pa.array([], pa.string()),
+                          "mix_rank": pa.array([], pa.int64())})
+        if src not in q:
+            return empty
+        part = int(group.column("part")[0].as_py())
+        ids = group.column("id").to_numpy(zero_copy_only=False)
+        h = group.column("h").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, h))
+        pos = np.empty(len(ids), np.int64)
+        pos[order] = o[src][part] + np.arange(len(ids), dtype=np.int64)
+        keep = pos < q[src]
+        return pa.table({
+            id_col: pa.array(ids[keep], pa.int64()),
+            source_col: pa.array(np.full(int(keep.sum()), src,
+                                         dtype=object), pa.string()),
+            "mix_rank": pa.array(pos[keep], pa.int64())})
+
+    return keyed.groupby([source_col, "part"]).map_groups(
+        rank, batch_format="pyarrow")

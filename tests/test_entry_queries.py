@@ -31,7 +31,7 @@ SQL_CHECKED = ["exact_dedup_docs", "token_count", "token_stats", "doc_stats",
                "group_quantiles",
                "hard_negatives", "semantic_dedup_label",
                "quality_filter_pctl", "perplexity_score",
-               "consensus_pairs",
+               "consensus_pairs", "mixture_resample",
                "repetition_score", "shingle_hll", "token_cms",
                "pack_sequences",
                "select_representatives", "corpus_diff",
