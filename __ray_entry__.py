@@ -1154,6 +1154,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         lm = ppl.fit_bigram_lm(ref)
         return ppl.nll_scores(docs, lm).sort("doc_id")
 
+    def q_dedup_audit(sf):
+        """Sampled LSH-quality audit: production config vs exact knobs
+        on a 30% hash sample, ONE row of pair precision/recall — the
+        per-epoch dedup health check (rows-only driver check; the LSH
+        arm is not SQL-expressible, invariants pinned in
+        tests/test_docs_dedup.py)."""
+        return docs_dedup.dedup_audit(
+            _docs(sf), DedupConfig(num_partitions=16), sample_pct=70)
+
     def q_mixture_resample(sf):
         """Data-mixing: largest deterministic subset matching a 2:1
         source-weight mixture (src0-4 doubled) — integer-exact quotas
@@ -1466,6 +1475,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_dedup_label": q_semantic_dedup_label,
         "perplexity_score": q_perplexity_score,
         "mixture_resample": q_mixture_resample,
+        "dedup_audit": q_dedup_audit,
         "semantic_dedup": q_semantic_dedup,
         "quality_filter_pctl": q_quality_filter_pctl,
         "fuzzy_decontaminate": q_fuzzy_decontaminate,

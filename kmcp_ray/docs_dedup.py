@@ -602,3 +602,81 @@ def consensus_pairs(docs, emb, cfg: DedupConfig = None, *,
 
     return pairs.map_batches(fuse, batch_format="pyarrow",
                              zero_copy_batch=True)
+
+
+def dedup_audit(ds, cfg_prod: DedupConfig = None, *, sample_pct: int = 20,
+                id_col="doc_id", text_col="text"):
+    """Sampled quality audit of the PRODUCTION dedup config: on a
+    deterministic hash sample, run the near-dup pair generator twice —
+    once with the exact knobs (bucket_scale=1, verify_k=inf, caps
+    lifted: candidate recall 1 by construction, the driver-verifiable
+    mode) and once with the production sampled-LSH knobs — and report
+    pair precision/recall of production vs exact.  The per-epoch
+    "is my LSH config still catching the dups" health check; both arms
+    share one code path, so the audit measures exactly the knobs a
+    real corpus run uses.
+
+    Scale shape: everything downstream of the sample filter is
+    sample-bounded; the two pair streams are compared with one tagged
+    union + pair-keyed groupby (never collected).  Returns ONE row:
+    (n_sample, n_exact, n_prod, n_common, recall_u, precision_u).
+    """
+    import dataclasses
+
+    from kmcp_ray.curate import hash_sample
+
+    cfg_prod = cfg_prod or DedupConfig()
+    cfg_exact = dataclasses.replace(
+        cfg_prod, bucket_scale=1, verify_k=1 << 30,
+        min_containment_shingles=1, max_shingle_df=1 << 30,
+        max_bucket=1 << 30)
+    sample = hash_sample(ds.select_columns([id_col, text_col]),
+                         sample_pct, id_col=id_col).materialize()
+    n_sample = sample.count()
+
+    def tag(is_exact: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            one = np.ones(n, np.int64)
+            zero = np.zeros(n, np.int64)
+            return pa.table({
+                "id_a": t.column("id_a"), "id_b": t.column("id_b"),
+                "ex": pa.array(one if is_exact else zero, pa.int64()),
+                "ap": pa.array(zero if is_exact else one, pa.int64())})
+        return fn
+
+    ex_pairs = ngram_jaccard_pairs(sample, cfg_exact, id_col=id_col,
+                                   text_col=text_col) \
+        .map_batches(tag(True), batch_format="pyarrow",
+                     zero_copy_batch=True)
+    ap_pairs = ngram_jaccard_pairs(sample, cfg_prod, id_col=id_col,
+                                   text_col=text_col) \
+        .map_batches(tag(False), batch_format="pyarrow",
+                     zero_copy_batch=True)
+    per_pair = ex_pairs.union(ap_pairs).groupby(["id_a", "id_b"]) \
+        .sum(["ex", "ap"])
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        e = t.column("sum(ex)").to_numpy(zero_copy_only=False) > 0
+        a = t.column("sum(ap)").to_numpy(zero_copy_only=False) > 0
+        return pa.table({
+            "n_exact": pa.array([int(e.sum())], pa.int64()),
+            "n_prod": pa.array([int(a.sum())], pa.int64()),
+            "n_common": pa.array([int((e & a).sum())], pa.int64())})
+
+    parts = per_pair.map_batches(count_partial, batch_format="pyarrow") \
+        .take_all()
+    n_exact = sum(r["n_exact"] for r in parts)
+    n_prod = sum(r["n_prod"] for r in parts)
+    n_common = sum(r["n_common"] for r in parts)
+    recall_u = 1_000_000 if n_exact == 0 \
+        else (1_000_000 * n_common) // n_exact
+    precision_u = 1_000_000 if n_prod == 0 \
+        else (1_000_000 * n_common) // n_prod
+    return pa.table({
+        "n_sample": pa.array([n_sample], pa.int64()),
+        "n_exact": pa.array([n_exact], pa.int64()),
+        "n_prod": pa.array([n_prod], pa.int64()),
+        "n_common": pa.array([n_common], pa.int64()),
+        "recall_u": pa.array([recall_u], pa.int64()),
+        "precision_u": pa.array([precision_u], pa.int64())})

@@ -141,3 +141,34 @@ def test_cross_source_dup_matrix_closed_form(ray_session):
     # 0-row Ray dataset returns a column-less frame — Ray quirk)
     assert ds2.schema().names == ["source_a", "source_b", "n_pairs"]
     assert ds2.count() == 0
+
+
+def test_dedup_audit_invariants(ray_session):
+    """The audit's production arm shares the exact arm's verify
+    predicate, so production pairs are a SUBSET of exact pairs:
+    precision must be 1.0 and recall = n_prod / n_exact; counts
+    cross-checked against an independent pair run on the same
+    sample."""
+    import dataclasses
+
+    import ray.data
+
+    from kmcp_ray.curate import hash_sample
+
+    docs = ray.data.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                                 columns=["doc_id", "text"])
+    cfg = DedupConfig(num_partitions=8)
+    row = docs_dedup.dedup_audit(docs, cfg, sample_pct=70).to_pylist()[0]
+    assert row["n_common"] <= min(row["n_exact"], row["n_prod"])
+    assert row["precision_u"] == 1_000_000          # prod ⊆ exact
+    assert 0 <= row["recall_u"] <= 1_000_000
+    assert row["n_exact"] > 0                        # non-degenerate
+
+    sample = hash_sample(docs, 70)
+    ex = dataclasses.replace(cfg, bucket_scale=1, verify_k=1 << 30,
+                             min_containment_shingles=1,
+                             max_shingle_df=1 << 30, max_bucket=1 << 30)
+    want = {(r["id_a"], r["id_b"]) for r in
+            docs_dedup.ngram_jaccard_pairs(sample, ex).take_all()}
+    assert row["n_exact"] == len(want)
+    assert row["n_sample"] == sample.count()
