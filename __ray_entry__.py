@@ -238,6 +238,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return docs_dedup.simhash_dedup(_docs(sf), ex_cfg,
                                         token_hash="md5")
 
+    def q_hamming_topk(sf):
+        """Hamming top-k retrieval over 64-bit content codes — the
+        phash near-dup RETRIEVAL primitive (kmcp per-query match
+        ranking, util-db-search.go:105-145, with Hamming distance as
+        the score): md5-shingle simhash codes, first 10 docs as
+        queries, k=5, ties broken by neighbor id.  Broadcast query
+        codes + one xor/popcount pass per batch; no all-to-all
+        shuffle.  Oracle: bit_count(xor()) + QUALIFY row_number."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from kmcp_ray import ann as ann_mod
+        codes = textops.doc_simhash(_docs(sf), token_hash="md5")
+        qt = pa.Table.from_pylist(
+            codes.map_batches(
+                lambda t: t.filter(pc.less(t["doc_id"], 10)),
+                batch_format="pyarrow", zero_copy_batch=True).take_all())
+        q_ids = qt.column("doc_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        q_codes = qt.column("simhash").to_numpy(zero_copy_only=False) \
+            .astype(np.int64).view(np.uint64)
+        return ann_mod.topk_hamming(codes, (q_ids, q_codes), k=5,
+                                    id_col="doc_id", code_col="simhash")
+
     def q_incremental_dedup(sf):
         """Incremental epoch growth (kmcp incremental shard-grow,
         reference README.md:118-122): checkpointed base run over
@@ -1422,6 +1445,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup_docs": q_minhash_dedup,
         "incremental_dedup": q_incremental_dedup,
         "simhash_dedup_docs": q_simhash_dedup,
+        "hamming_topk": q_hamming_topk,
         "ngram_jaccard_pairs": q_ngram_pairs,
         "consensus_pairs": q_consensus_pairs,
         "doc_fingerprint": q_fingerprint,
@@ -1661,6 +1685,47 @@ def oracle_sql() -> dict[str, str]:
             ), allcaps AS (
                 SELECT i AS did, cap AS text FROM caps0
                 UNION ALL SELECT i, cap FROM caps1
+            )
+    """
+
+    # 64-bit md5-shingle SimHash per doc (sim(did, sh64)) — shared by
+    # simhash_dedup_docs (Hamming-radius closure) and hamming_topk
+    # (Hamming top-k retrieval); mirrors textops.simhash_batch(md5)
+    _simhash_cte = """
+            t AS (
+                SELECT doc_id AS did,
+                       regexp_extract_all(lower(coalesce(text, '')),
+                                          '[a-z0-9]+') AS tk
+                FROM documents
+            ), sh AS (
+                SELECT did, unnest(
+                    CASE WHEN len(tk) >= 3 THEN list_transform(
+                              generate_series(1, len(tk) - 2),
+                              i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+                         WHEN len(tk) > 0 THEN [array_to_string(tk, ' ')]
+                         ELSE [] END) AS s
+                FROM t
+            ), d AS (
+                SELECT DISTINCT did, s FROM sh
+            ), h AS (
+                SELECT did, ('0x' || substr(md5(s), 1, 16))::UBIGINT AS u
+                FROM d
+            ), bits AS (
+                SELECT did, j,
+                       sum(CASE WHEN (u >> j) & 1 = 1 THEN 1 ELSE -1 END)
+                           AS vote
+                FROM h, (SELECT unnest(generate_series(0, 63)) AS j)
+                GROUP BY did, j
+            ), sim0 AS (
+                SELECT did,
+                       CAST(sum(CASE WHEN vote > 0
+                                THEN (1::UBIGINT << j)::HUGEINT
+                                ELSE 0::HUGEINT END) AS UBIGINT) AS sh64
+                FROM bits GROUP BY did
+            ), sim AS (
+                SELECT doc_id AS did,
+                       coalesce(s.sh64, 0::UBIGINT) AS sh64
+                FROM documents LEFT JOIN sim0 s ON s.did = doc_id
             )
     """
 
@@ -2099,47 +2164,24 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT (jacc >= 0.7) AND ctn >= 0.9
             ORDER BY id_a, id_b
         """,
-        "simhash_dedup_docs": """
-            WITH RECURSIVE t AS (
-                SELECT doc_id AS did,
-                       regexp_extract_all(lower(coalesce(text, '')),
-                                          '[a-z0-9]+') AS tk
-                FROM documents
-            ), sh AS (
-                SELECT did, unnest(
-                    CASE WHEN len(tk) >= 3 THEN list_transform(
-                              generate_series(1, len(tk) - 2),
-                              i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
-                         WHEN len(tk) > 0 THEN [array_to_string(tk, ' ')]
-                         ELSE [] END) AS s
-                FROM t
-            ), d AS (
-                SELECT DISTINCT did, s FROM sh
-            ), h AS (
-                SELECT did, ('0x' || substr(md5(s), 1, 16))::UBIGINT AS u
-                FROM d
-            ), bits AS (
-                SELECT did, j,
-                       sum(CASE WHEN (u >> j) & 1 = 1 THEN 1 ELSE -1 END)
-                           AS vote
-                FROM h, (SELECT unnest(generate_series(0, 63)) AS j)
-                GROUP BY did, j
-            ), sim0 AS (
-                SELECT did,
-                       CAST(sum(CASE WHEN vote > 0
-                                THEN (1::UBIGINT << j)::HUGEINT
-                                ELSE 0::HUGEINT END) AS UBIGINT) AS sh64
-                FROM bits GROUP BY did
-            ), sim AS (
-                SELECT doc_id AS did,
-                       coalesce(s.sh64, 0::UBIGINT) AS sh64
-                FROM documents LEFT JOIN sim0 s ON s.did = doc_id
-            ), edges AS (
+        "simhash_dedup_docs": "WITH RECURSIVE " + _simhash_cte + """
+            , edges AS (
                 SELECT a.did AS ia, b.did AS ib
                 FROM sim a JOIN sim b ON a.did < b.did
                 WHERE bit_count(xor(a.sh64, b.sh64)) <= 7
             ), nodes AS (SELECT doc_id AS did FROM documents)
         """ + closure_tail,
+        "hamming_topk": "WITH " + _simhash_cte + """
+            SELECT q.did AS query_id, c.did AS neighbor_id,
+                   CAST(bit_count(xor(q.sh64, c.sh64)) AS BIGINT) AS dist,
+                   CAST(row_number() OVER (
+                        PARTITION BY q.did
+                        ORDER BY bit_count(xor(q.sh64, c.sh64)), c.did)
+                        AS BIGINT) AS rank
+            FROM sim q JOIN sim c ON c.did <> q.did
+            WHERE q.did < 10
+            QUALIFY rank <= 5
+        """,
         "doc_fingerprint": """
             WITH t AS (
                 SELECT doc_id,

@@ -721,3 +721,87 @@ def label_outliers(ds, k: int = 5, label_col: str = "label",
     return ds.map_batches(partial_worst, batch_format="pyarrow",
                           zero_copy_batch=True) \
         .groupby("label").map_groups(finish, batch_format="pyarrow")
+
+
+# ------------------------------------------------- Hamming top-k retrieval
+
+def topk_hamming(ds, queries: "tuple[np.ndarray, np.ndarray]", k: int = 5,
+                 id_col: str = "doc_id", code_col: str = "simhash"):
+    """(query_id, neighbor_id, dist, rank) — top-k nearest rows of each
+    query by Hamming distance over 64-bit codes (phash / simhash); the
+    image near-duplicate RETRIEVAL primitive (kmcp's per-query match
+    ranking, util-db-search.go:105-145, with Hamming distance as the
+    score).  Self-matches excluded; ties broken by neighbor id, so the
+    result is a deterministic total order.
+
+    ``queries`` = (query_ids int64 (q,), query_codes uint64 (q,)).
+
+    Scale shape: the query codes are broadcast once (``ray.put``), each
+    batch does ONE vectorized xor + SWAR popcount against the corpus
+    codes — a (q, batch) uint64 matrix — then a tie-exact partial top-k
+    per query; the final exact cut is a query-sized groupby.  No
+    all-to-all shuffle; cost O(rows x queries).  For the pair-at-radius
+    (rather than top-k) shape use the pigeonhole Hamming banding of
+    :func:`kmcp_ray.docs_dedup.simhash_dedup` — band buckets shuffle
+    16 B/row instead of touching every (query, row) cell.
+    """
+    from kmcp_ray.hashing import popcount64
+
+    q_ids, q_codes = queries
+    q_ref = ray.put((np.asarray(q_ids, dtype=np.int64),
+                     np.asarray(q_codes, dtype=np.uint64)))
+
+    def _tie_exact_topk_asc(cand_ids, dists, kk):
+        # ascending-distance twin of _tie_exact_topk: widen to all
+        # candidates tied with the k-th distance before the lexsort cut
+        n = len(cand_ids)
+        if n == 0:
+            return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
+        top = min(kk, n)
+        part = np.argpartition(dists, top - 1)[:top]
+        kth = dists[part].max()
+        tied = np.nonzero(dists <= kth)[0]
+        nb_ids = cand_ids[tied]
+        order = np.lexsort((nb_ids, dists[tied]))[:top]
+        return nb_ids[order], dists[tied][order]
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        qi, qc = ray.get(q_ref)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        codes = batch.column(code_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64).view(np.uint64)
+        dmat = popcount64(qc[:, None] ^ codes[None, :]).astype(np.int64)
+        out_q, out_n, out_d = [], [], []
+        for r in range(len(qi)):
+            cand = np.nonzero(ids != qi[r])[0]
+            nb, dd = _tie_exact_topk_asc(ids[cand], dmat[r][cand], k)
+            if len(nb) == 0:
+                continue
+            out_q.append(np.full(len(nb), qi[r], dtype=np.int64))
+            out_n.append(nb)
+            out_d.append(dd)
+        if not out_q:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "neighbor_id": pa.array([], pa.int64()),
+                             "dist": pa.array([], pa.int64())})
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+            "neighbor_id": pa.array(np.concatenate(out_n), pa.int64()),
+            "dist": pa.array(np.concatenate(out_d), pa.int64())})
+
+    def final_topk(group: pa.Table) -> pa.Table:
+        q = group.column("query_id").to_numpy(zero_copy_only=False)
+        nb = group.column("neighbor_id").to_numpy(zero_copy_only=False)
+        d = group.column("dist").to_numpy(zero_copy_only=False)
+        order = np.lexsort((nb, d))[:k]
+        return pa.table({
+            "query_id": pa.array(q[order], pa.int64()),
+            "neighbor_id": pa.array(nb[order], pa.int64()),
+            "dist": pa.array(d[order], pa.int64()),
+            "rank": pa.array(np.arange(1, len(order) + 1), pa.int64())})
+
+    partial = ds.map_batches(partial_topk, batch_format="pyarrow",
+                             batch_size=8192, zero_copy_batch=True)
+    return partial.groupby("query_id").map_groups(final_topk,
+                                                  batch_format="pyarrow")

@@ -250,3 +250,30 @@ def test_ivf_persisted_index_roundtrip(ray_session, tmp_path):
             lambda kv: kv.get("list_id") in probed, style="hive"),
         partitioning=Partitioning("hive"), file_extensions=["parquet"])
     assert 0 < pruned.count() < 400
+
+
+def test_topk_hamming_matches_bruteforce(ray_session):
+    import ray.data
+    from kmcp_ray.hashing import popcount64
+    rng = np.random.default_rng(11)
+    codes = rng.integers(0, 2**62, size=60).astype(np.int64)
+    codes[5] = codes[0]              # exact dup of query 0 (dist 0)
+    codes[6] = codes[0] ^ 1          # 1-bit neighbor of query 0
+    codes[7] = codes[1]              # tie pair for query 1: two dist-0
+    codes[8] = codes[1]              # neighbors -> id tie-break decides
+    ids = np.arange(60, dtype=np.int64)
+    tbl = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                    "simhash": pa.array(codes, pa.int64())})
+    q_ids = ids[:3]
+    q_codes = codes[:3].view(np.uint64)
+    out = ann.topk_hamming(ray.data.from_arrow(tbl), (q_ids, q_codes), k=4,
+                           id_col="doc_id", code_col="simhash").to_pandas()
+    u = codes.view(np.uint64)
+    for q in q_ids:
+        d = popcount64(u[q] ^ u).astype(np.int64)
+        d[q] = 1 << 30               # exclude self
+        order = np.lexsort((ids, d))[:4]
+        sub = out[out.query_id == q].sort_values("rank")
+        assert sub.neighbor_id.tolist() == order.tolist(), f"query {q}"
+        assert sub.dist.tolist() == d[order].tolist(), f"query {q}"
+        assert sub["rank"].tolist() == [1, 2, 3, 4]
