@@ -737,6 +737,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["group_id", "n_members", "n_tokens", "n_distinct"]) \
             .sort("group_id")
 
+    def q_novelty_score(sf):
+        """Per-doc marginal-new-content score: fraction of the doc's
+        distinct 3-shingles whose global first occurrence (min doc_id)
+        is this doc — the data-valuation / curriculum-ordering
+        primitive (kmcp per-file distinct-kmer accounting +
+        first-occurrence index-union semantics).  One 16 B/row
+        hash-partition exchange; text never shuffles."""
+        from kmcp_ray import curate
+        return curate.novelty_score(_docs(sf), token_hash="md5")
+
     def q_hash_sample(sf):
         """Deterministic multiplicative-hash row sampling (SURVEY §2.6
         O7 — absent in the reference, required by training pipelines):
@@ -1474,6 +1484,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_sketch": q_grouped_sketch,
         "search_exact_docs": q_search_exact,
         "hash_sample": q_hash_sample,
+        "novelty_score": q_novelty_score,
         "global_shuffle": q_global_shuffle,
         "hash_split": q_hash_split,
         "stratified_sample": q_stratified_sample,
@@ -2476,6 +2487,38 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS chunk_hits
             FROM gated WHERE qg <> rg
             GROUP BY 1, 2 ORDER BY id_a, id_b
+        """,
+        "novelty_score": """
+            WITH t AS (
+                SELECT doc_id AS did,
+                       regexp_extract_all(lower(coalesce(text, '')),
+                                          '[a-z0-9]+') AS tk
+                FROM documents
+            ), sh AS (
+                SELECT did, unnest(
+                    CASE WHEN len(tk) >= 3 THEN list_transform(
+                              generate_series(1, len(tk) - 2),
+                              i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+                         WHEN len(tk) > 0 THEN [array_to_string(tk, ' ')]
+                         ELSE [] END) AS s
+                FROM t
+            ), d AS (
+                SELECT DISTINCT did, s FROM sh
+            ), mn AS (
+                SELECT s, min(did) AS first_did FROM d GROUP BY s
+            ), per AS (
+                SELECT d.did, count(*) AS nd,
+                       sum(CASE WHEN mn.first_did = d.did
+                           THEN 1 ELSE 0 END) AS nn
+                FROM d JOIN mn USING (s) GROUP BY d.did
+            )
+            SELECT doc_id,
+                   CAST(coalesce(per.nd, 0) AS BIGINT) AS n_distinct,
+                   CAST(coalesce(per.nn, 0) AS BIGINT) AS n_novel,
+                   CAST(CASE WHEN coalesce(per.nd, 0) = 0 THEN 0
+                        ELSE (1000000 * per.nn) // per.nd END AS BIGINT)
+                       AS novelty_u
+            FROM documents LEFT JOIN per ON per.did = doc_id
         """,
         "hash_sample": f"""
             SELECT doc_id, lang, n_chars FROM documents

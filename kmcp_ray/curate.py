@@ -1249,3 +1249,109 @@ def mixture_resample(ds, targets: dict, id_col: str = "doc_id",
 
     return keyed.groupby([source_col, "part"]).map_groups(
         rank, batch_format="pyarrow")
+
+
+# ---------------------------------------------------- per-doc novelty
+
+def novelty_score(ds, id_col: str = "doc_id", text_col: str = "text",
+                  k: int = 3, token_hash: str = "md5",
+                  num_partitions: int = 64):
+    """(doc_id, n_distinct, n_novel, novelty_u) — per-doc marginal-new-
+    content score: over the doc's DISTINCT k-token shingles, how many
+    have their global FIRST occurrence (minimum doc id holding the
+    shingle) in this doc; ``novelty_u = floor(1e6 * n_novel /
+    n_distinct)`` (0 for shingle-less docs).  The data-valuation /
+    curriculum-ordering primitive: a 1e6-novelty doc contributes only
+    new n-grams, a 0-novelty doc is fully covered by earlier corpus
+    content (kmcp's per-file distinct-kmer accounting,
+    compute.go:813-824, extended with the index build's
+    first-occurrence union semantics, index.go:1114-1264 — semantics
+    re-derived, not ported).
+
+    Scale shape: per-batch distinct (shingle-hash, id) pairs — 16
+    B/row, payload text never shuffles — through ONE hash-partition
+    groupby; each partition credits first occurrences with a
+    vectorized segment-min and emits per-doc PARTIAL counts (≤ docs ×
+    partitions rows), so the final per-doc sum is a doc-sized groupby.
+
+    ``token_hash``: "md5" hashes the shingle string (SQL-mirrorable —
+    the driver-oracle variant); "sip" uses the vectorized SipHash fold
+    chain (production hot path, same distinct/min semantics).
+    """
+    kk = int(k)
+    nparts = np.uint64(num_partitions)
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        if token_hash == "md5":
+            vals, rows, _ = textops.shingle_strings(
+                batch.column(text_col), kk, include_short=True)
+            h = hashing.md5_lower64(vals)
+        else:
+            ss = text.shingle_sets(batch.column(text_col), kk,
+                                   int(hashing.MAX_U64))
+            h, off = ss["hashes"], ss["offsets"]
+            rows = np.repeat(np.arange(len(off) - 1, dtype=np.int64),
+                             np.diff(off))
+        did = ids[rows]
+        if len(h):
+            # distinct (h, doc) — one credit per shingle per doc
+            order = np.lexsort((did, h))
+            h, did = h[order], did[order]
+            first = np.ones(len(h), dtype=bool)
+            first[1:] = (h[1:] != h[:-1]) | (did[1:] != did[:-1])
+            h, did = h[first], did[first]
+        part = (h % nparts).astype(np.int64)
+        return pa.table({"h": pa.array(h, pa.uint64()),
+                         "did": pa.array(did, pa.int64()),
+                         "part": pa.array(part, pa.int64())})
+
+    def per_partition(batch: pa.Table) -> pa.Table:
+        h = batch.column("h").to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        did = batch.column("did").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        if len(h) == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "nd": pa.array([], pa.int64()),
+                             "nn": pa.array([], pa.int64())})
+        order = np.lexsort((did, h))
+        h_s, did_s = h[order], did[order]
+        seg = np.concatenate(([True], h_s[1:] != h_s[:-1]))
+        novel = seg                      # first (min) doc id per shingle
+        uids, inv = np.unique(did_s, return_inverse=True)
+        nd = np.bincount(inv, minlength=len(uids))
+        nn = np.bincount(inv, weights=novel.astype(np.float64),
+                         minlength=len(uids)).astype(np.int64)
+        return pa.table({id_col: pa.array(uids, pa.int64()),
+                         "nd": pa.array(nd.astype(np.int64), pa.int64()),
+                         "nn": pa.array(nn, pa.int64())})
+
+    def zeros(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({id_col: batch.column(id_col),
+                         "nd": pa.array(np.zeros(n, np.int64), pa.int64()),
+                         "nn": pa.array(np.zeros(n, np.int64), pa.int64())})
+
+    def finish(batch: pa.Table) -> pa.Table:
+        nd = batch.column("n_distinct").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        nn = batch.column("n_novel").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        nov = np.where(nd > 0, (1_000_000 * nn) // np.maximum(nd, 1), 0)
+        return pa.table({id_col: batch.column(id_col),
+                         "n_distinct": pa.array(nd, pa.int64()),
+                         "n_novel": pa.array(nn, pa.int64()),
+                         "novelty_u": pa.array(nov, pa.int64())})
+
+    from ray.data.aggregate import Sum
+    pr = ds.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
+    partials = pr.groupby("part").map_groups(per_partition,
+                                             batch_format="pyarrow")
+    base = ds.map_batches(zeros, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    return base.union(partials).groupby(id_col) \
+        .aggregate(Sum(on="nd", alias_name="n_distinct"),
+                   Sum(on="nn", alias_name="n_novel")) \
+        .map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)

@@ -376,3 +376,31 @@ def test_hash_split_fractions_and_stability(ray_session):
     assert abs(frac["train"] - 0.8) < 0.05
     assert abs(frac["val"] - 0.1) < 0.04
     assert abs(frac["test"] - 0.1) < 0.04
+
+
+def test_novelty_score_planted_and_hash_variants(ray_session):
+    """Planted corpus: doc 0 introduces everything (novelty 1e6); an
+    exact copy later introduces nothing (0); a half-overlap doc sits in
+    between — and the sip production hash agrees with the md5 oracle
+    variant exactly (first-occurrence is hash-set semantics)."""
+    import ray.data
+    texts = ["alpha beta gamma delta epsilon zeta",   # all novel
+             "alpha beta gamma delta epsilon zeta",   # exact copy: 0
+             "alpha beta gamma NEW1 NEW2 NEW3",       # mixed
+             "totally fresh words here now"]          # all novel
+    tbl = pa.table({"doc_id": pa.array(range(4), pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    out = curate.novelty_score(ray.data.from_arrow(tbl),
+                               token_hash="md5").to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert out.novelty_u.tolist()[0] == 1_000_000
+    assert out.novelty_u.tolist()[1] == 0
+    assert 0 < out.novelty_u.tolist()[2] < 1_000_000
+    assert out.novelty_u.tolist()[3] == 1_000_000
+    # doc 2: 4 shingles, shares "alpha beta gamma" with doc 0 -> 3 novel
+    assert out.n_distinct.tolist()[2] == 4
+    assert out.n_novel.tolist()[2] == 3
+    sip = curate.novelty_score(ray.data.from_arrow(tbl),
+                               token_hash="sip").to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert sip.equals(out)
