@@ -626,6 +626,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
                           min_hic_ureads=1, min_frags_prop=0.0),
             num_partitions=16)
 
+    def q_image_dedup(sf):
+        """PIXEL-space near-dup clustering (the image leg of the dedup
+        tier): decode -> DCT structure embedding (DC/means stripped) ->
+        cosine pairs -> spanning forest -> min-id labels.  Rows-only
+        (images are synthesized); planted-pair recall pinned in
+        tests/test_imagecodec.py."""
+        import pyarrow.parquet as pq
+        import ray.data
+        from kmcp_ray import testgen
+        from kmcp_ray.imagecodec import image_feature_dedup
+        texts = pq.read_table(f"{sf}/documents.parquet",
+                              columns=["text"]).column("text").to_pylist()
+        table, _p, _n = testgen.make_pairs_corpus(n=400, seed=42, cfg=cfg,
+                                                  captions=texts)
+        return image_feature_dedup(ray.data.from_arrow(table),
+                                   threshold=0.99, concurrency=2)
+
     def q_image_features(sf):
         """actor-pool multimodal decode -> feature-extract stage
         (DCT embedding per image; the model-inference plumbing)."""
@@ -978,6 +995,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf, "events",
                   columns=["event_id", "ts", "user_id", "value"]),
             window_rows=3).sort(["user_id", "ts_us", "event_id"])
+
+    def q_big_orders(sf):
+        """TPC-H Q18 shape (group-HAVING + double join + top-k):
+        lineitem quantity partials finish inside the orderkey
+        exchange, HAVING filter where the sums complete, customer
+        name attached through a second packed exchange, exact
+        integer money columns."""
+        cust = _read(sf, "customer", columns=["c_custkey", "c_name"])
+        orders = _read(sf, "orders",
+                       columns=["o_orderkey", "o_custkey", "o_orderdate",
+                                "o_totalprice"])
+        li = _read(sf, "lineitem", columns=["l_orderkey", "l_quantity"])
+        return relops.big_orders_topk(cust, orders, li,
+                                      min_qty_c2=15000, k=100)
 
     def q_order_revenue(sf):
         """3-table star join (customer ⨝ orders ⨝ lineitem), TPC-H-Q3
@@ -1478,6 +1509,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "resize_images": q_resize_images,
         "frame_sample": q_frame_sample,
         "image_features": q_image_features,
+        "image_dedup": q_image_dedup,
         "bucket_stats": q_bucket_stats,
         "substr_exact": q_substr_exact,
         "token_jaccard_pairs": q_token_jaccard,
@@ -1496,6 +1528,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hopping_window": q_hopping_window,
         "running_window": q_running_window,
         "order_revenue": q_order_revenue,
+        "big_orders": q_big_orders,
         "brand_revenue": q_brand_revenue,
         "customers_no_urgent": q_customers_no_urgent,
         "cohort_retention": q_cohort_retention,
@@ -2782,6 +2815,25 @@ def oracle_sql() -> dict[str, str]:
             FROM e WINDOW w AS (PARTITION BY user_id
                                 ORDER BY ts_us, event_id)
             ORDER BY user_id, ts_us, event_id
+        """,
+        "big_orders": """
+            WITH q AS (
+                SELECT l_orderkey,
+                       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT))
+                            AS BIGINT) AS qty_c2
+                FROM lineitem
+                GROUP BY l_orderkey
+                HAVING sum(CAST(round(l_quantity * 100) AS BIGINT)) > 15000
+            )
+            SELECT c.c_custkey, c.c_name, o.o_orderkey,
+                   epoch_us(o.o_orderdate) AS o_orderdate_us,
+                   CAST(round(o.o_totalprice * 100) AS BIGINT) AS tp_c2,
+                   q.qty_c2
+            FROM q
+            JOIN orders o ON o.o_orderkey = q.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            ORDER BY tp_c2 DESC, o.o_orderkey
+            LIMIT 100
         """,
         "order_revenue": """
             WITH li AS (

@@ -161,7 +161,8 @@ def run_bench() -> dict:
                      "source_balance", "span_dedup",
                      "fuzzy_decontaminate", "dsir_select",
                      "semantic_dedup", "hard_negatives",
-                     "quality_filter_pctl", "perplexity_score"]:
+                     "quality_filter_pctl", "perplexity_score",
+                     "hamming_topk", "novelty_score", "big_orders"]:
             timed(name, lambda n=name: consume(qs[n](SF_DIR)))
 
     if not skip_queries:

@@ -160,20 +160,27 @@ def cosine_pairs(ds, threshold: float, id_col: str = "vec_id",
     all_tbl = src.select_columns([id_col, emb_col]).to_arrow_refs()
     tables = [ray.get(r) for r in all_tbl]
     full = pa.concat_tables([t for t in tables if t.num_rows] or tables)
-    ref_ids = full.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    ref_ids = full.column(id_col).to_numpy(zero_copy_only=False)
+    # int64 ids (the embeddings tables) and string ids (image corpora)
+    # both ride: the `<` dedup compare and the output type follow dtype
+    id_type = pa.string() if ref_ids.dtype == object else pa.int64()
+    if ref_ids.dtype != object:
+        ref_ids = ref_ids.astype(np.int64)
     ref_mat = _normalize(_emb_matrix(full, emb_col))
     ref = ray.put((ref_ids, ref_mat))
 
     def pairs_batch(batch: pa.Table) -> pa.Table:
         rids, rmat = ray.get(ref)
-        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        if ids.dtype != object:
+            ids = ids.astype(np.int64)
         m = _normalize(_emb_matrix(batch, emb_col))
         sims = m @ rmat.T                                # (batch, ref)
         ii, jj = np.nonzero(sims >= threshold)
         keep = ids[ii] < rids[jj]                        # dedup + drop self
         ii, jj = ii[keep], jj[keep]
-        return pa.table({"id_a": pa.array(ids[ii], pa.int64()),
-                         "id_b": pa.array(rids[jj], pa.int64()),
+        return pa.table({"id_a": pa.array(ids[ii], id_type),
+                         "id_b": pa.array(rids[jj], id_type),
                          "cos_sim": pa.array(sims[ii, jj], pa.float64())})
 
     return ds.map_batches(pairs_batch, batch_format="pyarrow",

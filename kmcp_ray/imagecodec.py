@@ -426,3 +426,75 @@ def frame_sample(ds, every: int = 10, concurrency: int = 4,
                           fn_constructor_kwargs={"every": every},
                           batch_format="pyarrow", concurrency=concurrency,
                           batch_size=batch_size, num_cpus=1)
+
+
+def image_feature_dedup(ds, threshold: float = 0.995, cfg=None, *,
+                        concurrency: int = 4, batch_size: int = 256,
+                        dct_k: int = 4):
+    """(image_id, cluster_id) — PIXEL-space near-duplicate clustering:
+    decode → DCT feature embedding (actor pool, :class:`FeatureStage`)
+    → exact cosine pairs → spanning forest → min-id cluster labels.
+
+    The image leg of the dedup tier: catches re-encoded / perturbed
+    copies by pixel CONTENT, independent of the caption-shingle and
+    phash legs of ``dedup_pipeline`` (kmcp analogue: searching the same
+    query against a second database built with a different sketch, then
+    intersecting — util-db-search.go:359-474; here the second "sketch"
+    is the pixel embedding).  PRODUCTION: swap the DCT stage for a
+    model forward pass; everything downstream is unchanged.
+
+    Scale shape: features are (id, ~22 floats)/row; pair generation is
+    the broadcast arm below ``ann.cosine_pairs``' row gate and LSH
+    banding above it (string ids require pre-mapping to int ranks for
+    the LSH arm — the broadcast arm used here is string-native); the
+    forest is pair-sized; labels broadcast below the forest-size gate,
+    partitioned join above (the dedup_pipeline emission switch).
+    """
+    import pyarrow as pa
+
+    from kmcp_ray import ann, cc as cc_mod
+    from kmcp_ray.config import DedupConfig
+    from kmcp_ray.pipeline import assign_stage, assign_via_join
+
+    cfg = cfg or DedupConfig()
+    kk = int(dct_k)
+
+    def strip_dc(t):
+        # drop the DC coefficient and the channel means (indices 0 and
+        # kk²..kk²+2): on flat/noisy images those dominate the norm and
+        # drag every pairwise cosine to ~1 — the same reason phash
+        # discards the DC term.  What remains (AC structure + stds) is
+        # what "same picture" means.  All-zero AC vectors (constant
+        # images) normalize to cosine 0 vs everything: constant images
+        # are left to the exact/phash legs.
+        from kmcp_ray.arrowutil import list_to_numpy
+        vals, off = list_to_numpy(t.column("embedding"), dtype=np.float64)
+        n = t.num_rows
+        w = (off[1] - off[0]) if n else 0
+        m = vals.reshape(n, w) if n else vals.reshape(0, 0)
+        keep = np.r_[1:kk * kk, kk * kk + 3:w] if n else []
+        sub = np.ascontiguousarray(m[:, keep]) if n else m
+        offs = pa.array(np.arange(n + 1, dtype=np.int32)
+                        * (sub.shape[1] if n else 0))
+        emb = pa.ListArray.from_arrays(
+            offs, pa.array(sub.reshape(-1), pa.float64()))
+        return pa.table({"image_id": t.column("image_id"),
+                         "embedding": emb})
+
+    feats = image_features(ds, concurrency=concurrency,
+                           batch_size=batch_size, dct_k=dct_k) \
+        .map_batches(strip_dc, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .materialize()      # id + ~22 floats/row: signature-sized, and
+    # consumed twice (pair generation + the id stream below)
+    pairs = ann.cosine_pairs(feats, threshold, id_col="image_id",
+                             emb_col="embedding")
+    forest = pairs.select_columns(["id_a", "id_b"]) \
+        .map_batches(cc_mod.spanning_forest_batch, batch_format="pyarrow",
+                     batch_size=1 << 20).materialize()
+    ids_ds = feats.select_columns(["image_id"])
+    if forest.count() <= cfg.broadcast_assign_edges:
+        cmap = cc_mod.connected_components_arrays(forest, reduce_rounds=0)
+        return assign_stage(ids_ds, cmap, id_col="image_id")
+    labels = cc_mod.labels_via_exchange(forest, cfg.num_partitions)
+    return assign_via_join(ids_ds, labels, cfg, id_col="image_id")

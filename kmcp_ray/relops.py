@@ -468,6 +468,207 @@ def rollup_agg(docs_ds, *, g1: str = "lang", g2: str = "source",
                                      Sum("sum_val", alias_name="sum_val"))
 
 
+def big_orders_topk(customer_ds, orders_ds, lineitem_ds, *,
+                    min_qty_c2: int = 15000, k: int = 100,
+                    num_partitions: int = 64):
+    """Large-volume orders (TPC-H Q18's shape — the group-HAVING +
+    double join + top-k classic): orders whose total lineitem quantity
+    exceeds a threshold, joined back to orders and customer, top-k by
+    order totalprice.
+
+    Scale composition (mirrors :func:`order_revenue_topk`):
+
+    * lineitem never joins raw — per-batch integer quantity PARTIALS
+      ``(orderkey, qty_c2)`` ride the orderkey exchange and finish
+      summing inside it (the HAVING filter runs where the sums
+      complete — no separate global groupby);
+    * the surviving order rows carry (custkey, date, totalprice)
+      through a second packed exchange on custkey where the customer
+      name attaches via sorted searchsorted — either side may be huge,
+      nothing broadcasts;
+    * global top-k = block-local partial cut (total order: totalprice
+      desc, orderkey asc — orderkey is unique so the cut is exact),
+      then one tiny sort+limit.
+
+    All money/quantity columns are integer (``*100`` cents) so engine
+    and DuckDB oracle agree bit-exactly.  Returns ``(c_custkey, c_name,
+    o_orderkey, o_orderdate_us, tp_c2, qty_c2)``.
+    """
+    from kmcp_ray.exchange import Exchange, u64_part_fn
+
+    P = int(num_partitions)
+    thr = np.int64(min_qty_c2)
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        ok = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+        qty = np.rint(t.column("l_quantity")
+                      .to_numpy(zero_copy_only=False) * 100.0) \
+            .astype(np.int64)
+        u, inv = np.unique(ok, return_inverse=True)
+        return pa.table({
+            "okey": pa.array(u, pa.int64()),
+            "qty_c2": pa.array(np.bincount(inv, weights=qty)
+                               .astype(np.int64), pa.int64())})
+
+    qty_parts = lineitem_ds.map_batches(li_partial, batch_format="pyarrow",
+                                        zero_copy_batch=True)
+
+    # ---- exchange 1 (orderkey): finish qty sums + HAVING + join orders
+    ex1 = Exchange([("side", pa.int8()), ("okey", pa.int64()),
+                    ("a", pa.int64()), ("b", pa.int64()),
+                    ("c", pa.int64())], P)
+    pack1 = ex1.make_pack_fn(u64_part_fn("okey", P=P))
+
+    def tag_qty(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        z = pa.array(np.zeros(n, np.int64), pa.int64())
+        return pa.table({"side": pa.array(np.zeros(n, np.int8), pa.int8()),
+                         "okey": t.column("okey"),
+                         "a": t.column("qty_c2"), "b": z, "c": z})
+
+    def tag_orders(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        tp = np.rint(t.column("o_totalprice")
+                     .to_numpy(zero_copy_only=False) * 100.0) \
+            .astype(np.int64)
+        return pa.table({"side": pa.array(np.ones(n, np.int8), pa.int8()),
+                         "okey": t.column("o_orderkey").cast(pa.int64()),
+                         "a": t.column("o_custkey").cast(pa.int64()),
+                         "b": pc.cast(t.column("o_orderdate"), pa.int64()),
+                         "c": pa.array(tp, pa.int64())})
+
+    def having_join(group: pa.Table) -> pa.Table:
+        u = ex1.unpack(group)
+        side = u["side"].to_numpy(zero_copy_only=False)
+        okey = u["okey"].to_numpy(zero_copy_only=False)
+        a = u["a"].to_numpy(zero_copy_only=False)
+        b = u["b"].to_numpy(zero_copy_only=False)
+        c = u["c"].to_numpy(zero_copy_only=False)
+        empty = pa.table({
+            "ck": pa.array([], pa.int64()),
+            "okey": pa.array([], pa.int64()),
+            "od": pa.array([], pa.int64()),
+            "tp_c2": pa.array([], pa.int64()),
+            "qty_c2": pa.array([], pa.int64())})
+        qm = side == 0
+        qo, qv = okey[qm], a[qm]
+        if len(qo) == 0 or len(qo) == len(okey):
+            return empty
+        o2 = np.argsort(qo, kind="stable")
+        qo_s, qv_s = qo[o2], qv[o2]
+        firstm = np.ones(len(qo_s), dtype=bool)
+        firstm[1:] = qo_s[1:] != qo_s[:-1]
+        starts = np.nonzero(firstm)[0]
+        sums = np.add.reduceat(qv_s, starts).astype(np.int64)
+        keys = qo_s[firstm]
+        big = sums > thr
+        keys, sums = keys[big], sums[big]
+        if len(keys) == 0:
+            return empty
+        om = ~qm
+        oo, ock, ood, otp = okey[om], a[om], b[om], c[om]
+        pos = np.searchsorted(keys, oo)
+        pos_c = np.clip(pos, 0, max(len(keys) - 1, 0))
+        hit = (pos < len(keys)) & (keys[pos_c] == oo) if len(keys) \
+            else np.zeros(len(oo), dtype=bool)
+        return pa.table({
+            "ck": pa.array(ock[hit], pa.int64()),
+            "okey": pa.array(oo[hit], pa.int64()),
+            "od": pa.array(ood[hit], pa.int64()),
+            "tp_c2": pa.array(otp[hit], pa.int64()),
+            "qty_c2": pa.array(sums[pos_c][hit], pa.int64())})
+
+    big_orders = qty_parts.map_batches(tag_qty, batch_format="pyarrow",
+                                       zero_copy_batch=True) \
+        .union(orders_ds.map_batches(tag_orders, batch_format="pyarrow",
+                                     zero_copy_batch=True)) \
+        .map_batches(pack1, batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby("part").map_groups(having_join, batch_format="pyarrow")
+
+    # ---- exchange 2 (custkey): attach customer name
+    ex2 = Exchange([("side", pa.int8()), ("ck", pa.int64()),
+                    ("name", pa.string()), ("okey", pa.int64()),
+                    ("od", pa.int64()), ("tp_c2", pa.int64()),
+                    ("qty_c2", pa.int64())], P)
+    pack2 = ex2.make_pack_fn(u64_part_fn("ck", P=P))
+
+    def tag_cust(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        z = pa.array(np.zeros(n, np.int64), pa.int64())
+        return pa.table({"side": pa.array(np.zeros(n, np.int8), pa.int8()),
+                         "ck": t.column("c_custkey").cast(pa.int64()),
+                         "name": t.column("c_name").cast(pa.string()),
+                         "okey": z, "od": z, "tp_c2": z, "qty_c2": z})
+
+    def tag_big(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({"side": pa.array(np.ones(n, np.int8), pa.int8()),
+                         "ck": t.column("ck"),
+                         "name": pa.array([""] * n, pa.string()),
+                         "okey": t.column("okey"), "od": t.column("od"),
+                         "tp_c2": t.column("tp_c2"),
+                         "qty_c2": t.column("qty_c2")})
+
+    def attach_name(group: pa.Table) -> pa.Table:
+        u = ex2.unpack(group)
+        side = u["side"].to_numpy(zero_copy_only=False)
+        ck = u["ck"].to_numpy(zero_copy_only=False)
+        cm = side == 0
+        cust_ck = ck[cm]
+        if len(cust_ck) == 0 or len(cust_ck) == len(ck):
+            return pa.table({
+                "c_custkey": pa.array([], pa.int64()),
+                "c_name": pa.array([], pa.string()),
+                "o_orderkey": pa.array([], pa.int64()),
+                "o_orderdate_us": pa.array([], pa.int64()),
+                "tp_c2": pa.array([], pa.int64()),
+                "qty_c2": pa.array([], pa.int64())})
+        names = u["name"].filter(pa.array(cm))
+        o2 = np.argsort(cust_ck, kind="stable")
+        cust_s = cust_ck[o2]
+        bm = ~cm
+        bck = ck[bm]
+        pos = np.searchsorted(cust_s, bck)
+        pos_c = np.clip(pos, 0, max(len(cust_s) - 1, 0))
+        hit = (pos < len(cust_s)) & (cust_s[pos_c] == bck) if len(cust_s) \
+            else np.zeros(len(bck), dtype=bool)
+        take_names = names.take(pa.array(o2[pos_c][hit], pa.int64()))
+        return pa.table({
+            "c_custkey": pa.array(bck[hit], pa.int64()),
+            "c_name": take_names,
+            "o_orderkey": pa.array(
+                u["okey"].to_numpy(zero_copy_only=False)[bm][hit],
+                pa.int64()),
+            "o_orderdate_us": pa.array(
+                u["od"].to_numpy(zero_copy_only=False)[bm][hit], pa.int64()),
+            "tp_c2": pa.array(
+                u["tp_c2"].to_numpy(zero_copy_only=False)[bm][hit],
+                pa.int64()),
+            "qty_c2": pa.array(
+                u["qty_c2"].to_numpy(zero_copy_only=False)[bm][hit],
+                pa.int64())})
+
+    joined = customer_ds.map_batches(tag_cust, batch_format="pyarrow",
+                                     zero_copy_batch=True) \
+        .union(big_orders.map_batches(tag_big, batch_format="pyarrow",
+                                      zero_copy_batch=True)) \
+        .map_batches(pack2, batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby("part").map_groups(attach_name, batch_format="pyarrow")
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows <= k:
+            return t
+        tp = t.column("tp_c2").to_numpy(zero_copy_only=False)
+        ok = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ok, -tp))[:k]
+        return t.take(pa.array(np.sort(order), pa.int64()))
+
+    return joined.map_batches(partial_topk, batch_format="pyarrow",
+                              zero_copy_batch=True) \
+        .sort(["tp_c2", "o_orderkey"], descending=[True, False]) \
+        .limit(k)
+
+
 def region_revenue(region_ds, nation_ds, supplier_ds, customer_ds,
                    orders_ds, lineitem_ds, *, region: str = "ASIA",
                    date_from: str = "1996-01-01",

@@ -277,3 +277,18 @@ def test_topk_hamming_matches_bruteforce(ray_session):
         assert sub.neighbor_id.tolist() == order.tolist(), f"query {q}"
         assert sub.dist.tolist() == d[order].tolist(), f"query {q}"
         assert sub["rank"].tolist() == [1, 2, 3, 4]
+
+
+def test_topk_hamming_small_corpus_and_k_overshoot(ray_session):
+    """k larger than the corpus: every non-self row returned once,
+    ranks contiguous from 1."""
+    import ray.data
+    tbl = pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
+                    "simhash": pa.array([0, -1, 7], pa.int64())})
+    q = (np.array([0], dtype=np.int64), np.array([0], dtype=np.uint64))
+    out = ann.topk_hamming(ray.data.from_arrow(tbl), q, k=10,
+                           code_col="simhash").to_pandas() \
+        .sort_values("rank")
+    assert out.neighbor_id.tolist() == [2, 1]   # dist 3 < dist 64
+    assert out.dist.tolist() == [3, 64]
+    assert out["rank"].tolist() == [1, 2]

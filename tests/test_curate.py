@@ -404,3 +404,19 @@ def test_novelty_score_planted_and_hash_variants(ray_session):
                                token_hash="sip").to_pandas() \
         .sort_values("doc_id").reset_index(drop=True)
     assert sip.equals(out)
+
+
+def test_novelty_score_degenerate_docs(ray_session):
+    """Empty/null/sub-k-token docs: zero-shingle docs appear with
+    all-zero counts; short docs fall back to the one all-token
+    shingle (include_short contract shared with the SQL oracle)."""
+    import ray.data
+    tbl = pa.table({"doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+                    "text": pa.array(["", None, "one two", "one two"],
+                                     pa.string())})
+    out = curate.novelty_score(ray.data.from_arrow(tbl),
+                               token_hash="md5").to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert out.n_distinct.tolist() == [0, 0, 1, 1]
+    assert out.n_novel.tolist() == [0, 0, 1, 0]
+    assert out.novelty_u.tolist() == [0, 0, 1_000_000, 0]

@@ -25,6 +25,7 @@ SQL_CHECKED = ["exact_dedup_docs", "token_count", "token_stats", "doc_stats",
                "gopher_filter", "dsir_select", "global_shuffle",
                "hash_split",
                "order_revenue", "brand_revenue", "region_revenue",
+               "big_orders",
                "customers_no_urgent", "cohort_retention", "label_outliers",
                "source_balance", "rollup_agg",
                "asof_join", "range_join", "doc_len_quantiles",
@@ -68,6 +69,7 @@ def test_query_matches_oracle(ray_session, con, name):
 def test_rows_only_queries_run(ray_session):
     qs = entrymod.queries()
     for name in ["minhash_dedup_docs", "doc_fingerprint", "lang_id",
-                 "resize_images", "frame_sample", "audio_features"]:
+                 "resize_images", "frame_sample", "audio_features",
+                 "image_dedup"]:
         df = to_pandas(qs[name](SF))
         assert len(df) > 0, name

@@ -155,3 +155,32 @@ def test_frame_sample_every_kth_frame(ray_session):
     # selective decode really selects
     got = decode_video_frames(blobs[0], np.array([0, 3]))
     assert np.array_equal(got[1], frames_by_vid["vid000"][3])
+
+
+def test_image_feature_dedup_planted_exact_pairs(ray_session):
+    """Pixel-space dedup: planted exact-copy images (identical pixels)
+    always cluster; independent noise-base images never do (DC/means
+    stripped, so noise pairs have near-zero structural cosine)."""
+    import ray.data
+    from kmcp_ray.config import DedupConfig
+    from kmcp_ray.imagecodec import image_feature_dedup
+    from kmcp_ray import testgen
+    cfg = DedupConfig(num_partitions=16)
+    table, planted, _neg = testgen.make_pairs_corpus(n=300, seed=23,
+                                                     cfg=cfg)
+    out = image_feature_dedup(ray.data.from_arrow(table), threshold=0.99,
+                              concurrency=2).to_pandas()
+    lab = dict(zip(out.image_id, out.cluster_id))
+    exact = [(a, b) for a, b, c in planted if c == "exact"]
+    assert len(exact) >= 10
+    assert all(lab[a] == lab[b] for a, b in exact)
+    # independent base images (different noise pixels) stay apart:
+    # among the first 40 base rows no pair is a planted copy, so none
+    # may share a cluster
+    import itertools
+    base = table.column("image_id").to_pylist()[:40]
+    planted_set = {frozenset((a, b)) for a, b, _ in planted}
+    false_pairs = [(a, b) for a, b in itertools.combinations(base, 2)
+                   if lab[a] == lab[b]
+                   and frozenset((a, b)) not in planted_set]
+    assert not false_pairs, f"{len(false_pairs)} noise pairs clustered"
