@@ -754,6 +754,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["group_id", "n_members", "n_tokens", "n_distinct"]) \
             .sort("group_id")
 
+    def q_contrastive_triplets(sf):
+        """Contrastive (anchor, positive, negative) triplets mined
+        from the near-dup signal: positives = smallest exact-Jaccard
+        partner, negatives = deterministic hash-pick anti-joined
+        against the pair set — the SimCLR/CLIP data op, RNG-free so
+        the oracle reproduces it bit-exactly."""
+        from kmcp_ray import curate
+        return curate.contrastive_triplets(_docs(sf))
+
     def q_novelty_score(sf):
         """Per-doc marginal-new-content score: fraction of the doc's
         distinct 3-shingles whose global first occurrence (min doc_id)
@@ -1517,6 +1526,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_exact_docs": q_search_exact,
         "hash_sample": q_hash_sample,
         "novelty_score": q_novelty_score,
+        "contrastive_triplets": q_contrastive_triplets,
         "global_shuffle": q_global_shuffle,
         "hash_split": q_hash_split,
         "stratified_sample": q_stratified_sample,
@@ -2520,6 +2530,48 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS chunk_hits
             FROM gated WHERE qg <> rg
             GROUP BY 1, 2 ORDER BY id_a, id_b
+        """,
+        "contrastive_triplets": f"""
+            WITH toks AS (
+                SELECT DISTINCT doc_id,
+                       unnest(regexp_extract_all(lower(text),
+                                                 '[a-z0-9]+')) AS tok
+                FROM documents WHERE doc_id < 300
+            ), cnt AS (
+                SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id
+            ), shared AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       count(*) AS n_shared
+                FROM toks a JOIN toks b USING (tok)
+                WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+            ), jp AS (
+                SELECT id_a, id_b FROM shared
+                JOIN cnt ca ON ca.doc_id = id_a
+                JOIN cnt cb ON cb.doc_id = id_b
+                WHERE 1000000.0 * n_shared / (ca.n + cb.n - n_shared)
+                      >= 650000.0
+            ), sym AS (
+                SELECT id_a AS a, id_b AS p FROM jp
+                UNION ALL SELECT id_b, id_a FROM jp
+            ), pos AS (
+                SELECT a AS anchor_id, min(p) AS pos_id FROM sym GROUP BY a
+            ), neg AS (
+                SELECT anchor_id, pos_id,
+                       CASE WHEN ({sample_hash_sql('anchor_id')} % 300)
+                                 = anchor_id
+                            THEN (({sample_hash_sql('anchor_id')} % 300)
+                                  + 1) % 300
+                            ELSE ({sample_hash_sql('anchor_id')} % 300)
+                       END AS neg_id
+                FROM pos
+            )
+            SELECT anchor_id, pos_id, CAST(neg_id AS BIGINT) AS neg_id
+            FROM neg n
+            WHERE NOT EXISTS (
+                SELECT 1 FROM jp
+                WHERE jp.id_a = least(n.anchor_id, n.neg_id)
+                  AND jp.id_b = greatest(n.anchor_id, n.neg_id))
+            ORDER BY anchor_id
         """,
         "novelty_score": """
             WITH t AS (

@@ -1355,3 +1355,86 @@ def novelty_score(ds, id_col: str = "doc_id", text_col: str = "text",
         .aggregate(Sum(on="nd", alias_name="n_distinct"),
                    Sum(on="nn", alias_name="n_novel")) \
         .map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ------------------------------------------------ contrastive triplets
+
+def contrastive_triplets(ds, *, max_id: int = 300,
+                         min_jacc_u: int = 650000,
+                         id_col: str = "doc_id", text_col: str = "text",
+                         P: int = 64):
+    """(anchor_id, pos_id, neg_id) — contrastive training triplets
+    mined from the dedup signal: every doc with at least one
+    exact-Jaccard near-duplicate partner becomes an anchor, positive =
+    its smallest partner id, negative = a deterministic hash-pick over
+    the id range REJECTED (anti-join) when it is itself a near-dup of
+    the anchor.  The SimCLR/CLIP-style data op: dedup clusters double
+    as a positive-pair mine, and the hash-pick replaces an RNG so the
+    driver oracle reproduces triplets bit-exactly.
+
+    Negative candidates assume the bounded slice's ids are dense
+    0..max_id-1 (the testdata contract; at scale pass an id-rank
+    column — curate.global_shuffle produces one).  Scale shape: pairs
+    from :func:`kmcp_ray.docs_dedup.token_jaccard_exact` (bounded
+    ground-truth slice; the LSH pipeline is the production pair mine —
+    swap it in unchanged), one pair-sized Min-groupby for positives,
+    and one anti-join exchange (:func:`kmcp_ray.joins.hash_join`,
+    packed unordered pair key) for negative rejection — nothing
+    broadcasts, nothing materializes beyond pair-sized streams.
+    """
+    from ray.data.aggregate import Min
+
+    from kmcp_ray import docs_dedup
+    from kmcp_ray.joins import hash_join
+
+    pairs = docs_dedup.token_jaccard_exact(
+        ds, max_id=max_id, min_jacc_u=min_jacc_u,
+        id_col=id_col, text_col=text_col)
+
+    def sym(t: pa.Table) -> pa.Table:
+        a = t.column("id_a").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        b = t.column("id_b").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            "anchor_id": pa.array(np.concatenate([a, b]), pa.int64()),
+            "partner": pa.array(np.concatenate([b, a]), pa.int64())})
+
+    pos = pairs.map_batches(sym, batch_format="pyarrow",
+                            zero_copy_batch=True) \
+        .groupby("anchor_id").aggregate(Min(on="partner",
+                                            alias_name="pos_id"))
+
+    m = int(max_id)
+
+    def add_neg(t: pa.Table) -> pa.Table:
+        a = t.column("anchor_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        c0 = (sample_hash32(a) % np.uint64(m)).astype(np.int64)
+        c = np.where(c0 == a, (c0 + 1) % m, c0)
+        lo, hi = np.minimum(a, c), np.maximum(a, c)
+        pk = (lo << np.int64(32)) | hi          # ids < 2^31 by contract
+        return pa.table({"anchor_id": pa.array(a, pa.int64()),
+                         "pos_id": t.column("pos_id"),
+                         "neg_id": pa.array(c, pa.int64()),
+                         "pk": pa.array(pk, pa.int64())})
+
+    cand = pos.map_batches(add_neg, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+    def pair_key(t: pa.Table) -> pa.Table:
+        a = t.column("id_a").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        b = t.column("id_b").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({"pk": pa.array((a << np.int64(32)) | b,
+                                        pa.int64())})  # id_a < id_b
+
+    keyed = pairs.map_batches(pair_key, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    out = hash_join(cand, keyed, key="pk", how="anti",
+                    left_cols=[("anchor_id", pa.int64()),
+                               ("pos_id", pa.int64()),
+                               ("neg_id", pa.int64())], P=P)
+    return out.select_columns(["anchor_id", "pos_id", "neg_id"]) \
+        .sort("anchor_id")

@@ -420,3 +420,28 @@ def test_novelty_score_degenerate_docs(ray_session):
     assert out.n_distinct.tolist() == [0, 0, 1, 1]
     assert out.n_novel.tolist() == [0, 0, 1, 0]
     assert out.novelty_u.tolist() == [0, 0, 1_000_000, 0]
+
+
+def test_contrastive_triplets_planted(ray_session):
+    """Planted near-dup pair (0,1) + unrelated docs: both members
+    become anchors with each other as positive; negatives are the
+    deterministic hash-pick, never the anchor itself and never a
+    near-dup partner."""
+    import ray.data
+    texts = ["alpha beta gamma delta epsilon zeta eta theta",
+             "alpha beta gamma delta epsilon zeta eta iota",  # ~0.78 jacc
+             "one two three four five six seven eight",
+             "cat dog bird fish lion tiger bear wolf"]
+    tbl = pa.table({"doc_id": pa.array(range(4), pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    out = curate.contrastive_triplets(
+        ray.data.from_arrow(tbl), max_id=4, min_jacc_u=650000) \
+        .to_pandas().sort_values("anchor_id").reset_index(drop=True)
+    # anchor 0: hash-pick 0 == self -> bumped to 1 == its near-dup
+    # partner -> the whole triplet is anti-joined away (rejection path)
+    # anchor 1: hash-pick 2, unrelated -> kept
+    h = curate.sample_hash32(np.array([0, 1], dtype=np.int64)) % 4
+    assert h.tolist() == [0, 2]          # pins the scenario
+    assert out.anchor_id.tolist() == [1]
+    assert out.pos_id.tolist() == [0]
+    assert out.neg_id.tolist() == [2]

@@ -34,7 +34,7 @@ SQL_CHECKED = ["exact_dedup_docs", "token_count", "token_stats", "doc_stats",
                "quality_filter_pctl", "perplexity_score",
                "consensus_pairs", "mixture_resample",
                "repetition_score", "shingle_hll", "token_cms",
-               "hamming_topk", "novelty_score",
+               "hamming_topk", "novelty_score", "contrastive_triplets",
                "pack_sequences",
                "select_representatives", "corpus_diff",
                "normalized_dedup", "group_topk", "keyword_search",
