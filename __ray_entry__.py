@@ -763,6 +763,43 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from kmcp_ray import curate
         return curate.contrastive_triplets(_docs(sf))
 
+    def q_oov_rate(sf):
+        """Per-doc OOV rate vs the corpus' own top-15 vocabulary:
+        one vocab-sized groupby, vocab broadcast once, one vectorized
+        membership pass (curate.oov_rate)."""
+        from kmcp_ray import curate
+        return curate.oov_rate(
+            _read(sf, "documents", columns=["doc_id", "text"]),
+            vocab_size=15)
+
+    def q_heavy_hitters(sf):
+        """Exact frequent tokens (cnt*(k+1) > N, k=30) via mergeable
+        Misra-Gries candidates + exact recount — the candidate-prune
+        pattern that avoids a corpus-wide vocabulary shuffle
+        (curate.heavy_hitters)."""
+        from kmcp_ray import curate
+        return curate.heavy_hitters(
+            _read(sf, "documents", columns=["text"]), k=30)
+
+    def q_pmi_pairs(sf):
+        """Skip-gram (window 2) collocations by integer-scaled lift:
+        per-batch combined pair counts, unigrams + pair total riding
+        the same aggregate, top-50 (curate.pmi_pairs)."""
+        from kmcp_ray import curate
+        return curate.pmi_pairs(
+            _read(sf, "documents", columns=["text"]),
+            window=2, min_cnt=5, topk=50)
+
+    def q_boilerplate_dedup(sf):
+        """CCNet-style boilerplate-line removal: 2-token lines present
+        in >= 20 distinct docs deleted from ALL docs (vs span_dedup's
+        first-occurrence-wins), docs rebuilt in one broadcast
+        membership sweep (curate.boilerplate_dedup)."""
+        from kmcp_ray import curate
+        return curate.boilerplate_dedup(
+            _read(sf, "documents", columns=["doc_id", "text"]),
+            w=2, min_docs=20)
+
     def q_novelty_score(sf):
         """Per-doc marginal-new-content score: fraction of the doc's
         distinct 3-shingles whose global first occurrence (min doc_id)
@@ -1527,6 +1564,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_sample": q_hash_sample,
         "novelty_score": q_novelty_score,
         "contrastive_triplets": q_contrastive_triplets,
+        "oov_rate": q_oov_rate,
+        "heavy_hitters": q_heavy_hitters,
+        "pmi_pairs": q_pmi_pairs,
+        "boilerplate_dedup": q_boilerplate_dedup,
         "global_shuffle": q_global_shuffle,
         "hash_split": q_hash_split,
         "stratified_sample": q_stratified_sample,
@@ -2572,6 +2613,108 @@ def oracle_sql() -> dict[str, str]:
                 WHERE jp.id_a = least(n.anchor_id, n.neg_id)
                   AND jp.id_b = greatest(n.anchor_id, n.neg_id))
             ORDER BY anchor_id
+        """,
+        "oov_rate": """
+            WITH t AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(coalesce(text, '')),
+                                          '[a-z0-9]+') AS tk
+                FROM documents
+            ), f AS (
+                SELECT doc_id, unnest(tk) AS tok FROM t
+            ), c AS (
+                SELECT tok, count(*) AS c FROM f GROUP BY 1
+            ), v AS (
+                SELECT tok FROM c ORDER BY c DESC, tok LIMIT 15
+            ), p AS (
+                SELECT doc_id, count(*) AS n_tok,
+                       CAST(sum(CASE WHEN tok NOT IN (SELECT tok FROM v)
+                                     THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+                FROM f GROUP BY 1
+            )
+            SELECT t.doc_id, coalesce(p.n_tok, 0) AS n_tok,
+                   coalesce(p.n_oov, 0) AS n_oov,
+                   CASE WHEN coalesce(p.n_tok, 0) > 0
+                        THEN 1000000 * p.n_oov // p.n_tok
+                        ELSE 0 END AS oov_u
+            FROM t LEFT JOIN p USING (doc_id) ORDER BY doc_id
+        """,
+        "heavy_hitters": """
+            WITH f AS (
+                SELECT unnest(regexp_extract_all(lower(coalesce(text, '')),
+                                                 '[a-z0-9]+')) AS token
+                FROM documents
+            ), tot AS (
+                SELECT count(*) AS n FROM f
+            ), c AS (
+                SELECT token, count(*) AS cnt FROM f GROUP BY 1
+            )
+            SELECT token, cnt FROM c, tot WHERE cnt * 31 > n
+            ORDER BY cnt DESC, token
+        """,
+        "pmi_pairs": """
+            WITH t AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(coalesce(text, '')),
+                                          '[a-z0-9]+') AS tk
+                FROM documents
+            ), occ AS (
+                SELECT tok, count(*) AS c
+                FROM (SELECT unnest(tk) AS tok FROM t) GROUP BY 1
+            ), pr AS (
+                SELECT least(tk[i], tk[i+1]) AS a,
+                       greatest(tk[i], tk[i+1]) AS b
+                FROM t, unnest(generate_series(1, len(tk) - 1)) AS g(i)
+                UNION ALL
+                SELECT least(tk[i], tk[i+2]), greatest(tk[i], tk[i+2])
+                FROM t, unnest(generate_series(1, len(tk) - 2)) AS g(i)
+            ), np AS (
+                SELECT count(*) AS n FROM pr
+            ), pc AS (
+                SELECT a, b, count(*) AS cnt FROM pr GROUP BY 1, 2
+                HAVING count(*) >= 5
+            )
+            SELECT a AS tok_a, b AS tok_b, cnt,
+                   1000000 * cnt * (SELECT n FROM np)
+                       // (ca.c * cb.c) AS lift_u
+            FROM pc JOIN occ ca ON ca.tok = pc.a
+                    JOIN occ cb ON cb.tok = pc.b
+            ORDER BY lift_u DESC, tok_a, tok_b LIMIT 50
+        """,
+        "boilerplate_dedup": """
+            WITH t AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(coalesce(text, '')),
+                                          '[a-z0-9]+') AS tk
+                FROM documents
+            ), w AS (
+                SELECT doc_id, i - 1 AS widx,
+                       array_to_string(tk[(i-1)*2+1 : (i-1)*2+2], ' ') AS s
+                FROM t, unnest(generate_series(1, len(tk) // 2)) AS g(i)
+            ), blk AS (
+                SELECT s FROM w GROUP BY s
+                HAVING count(DISTINCT doc_id) >= 20
+            ), keepw AS (
+                SELECT doc_id, widx, s FROM w
+                WHERE s NOT IN (SELECT s FROM blk)
+            ), tail AS (
+                SELECT doc_id, len(tk) // 2 AS widx,
+                       array_to_string(tk[len(tk)//2*2+1 : len(tk)], ' ') AS s
+                FROM t WHERE len(tk) % 2 > 0
+            ), parts AS (
+                SELECT * FROM keepw UNION ALL SELECT * FROM tail
+            ), agg AS (
+                SELECT doc_id,
+                       string_agg(s, ' ' ORDER BY widx) AS clean_text
+                FROM parts GROUP BY 1
+            ), kc AS (
+                SELECT doc_id, count(*) AS c FROM keepw GROUP BY 1
+            )
+            SELECT t.doc_id, coalesce(agg.clean_text, '') AS clean_text,
+                   len(t.tk) // 2 - coalesce(kc.c, 0) AS n_lines_removed
+            FROM t LEFT JOIN agg USING (doc_id)
+                   LEFT JOIN kc USING (doc_id)
+            ORDER BY doc_id
         """,
         "novelty_score": """
             WITH t AS (

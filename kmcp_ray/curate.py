@@ -923,8 +923,15 @@ def span_dedup(ds, w: int = 5, id_col: str = "doc_id",
             .map_batches(rebuild, batch_format="pyarrow",
                          zero_copy_batch=True)
 
-    # exchange arm: docs + removed keys co-partitioned on hash(doc_id);
-    # text crosses the wire once (the join_lookup shape)
+    return _exchange_rebuild(ds, removed, w, id_col, text_col, P)
+
+
+def _exchange_rebuild(ds, removed, w: int, id_col: str, text_col: str,
+                      P: int, cnt_col: str = "n_spans_removed"):
+    """Exchange arm of window removal (shared by :func:`span_dedup` and
+    :func:`boilerplate_dedup`): docs + removed packed ``doc<<20|widx``
+    keys co-partitioned on hash(doc_id), text crosses the wire once
+    (the join_lookup shape), per-partition vectorized rebuild."""
     def tag_docs(t: pa.Table) -> pa.Table:
         ids = t.column(id_col).to_numpy(zero_copy_only=False) \
             .astype(np.int64)
@@ -962,7 +969,7 @@ def span_dedup(ds, w: int = 5, id_col: str = "doc_id",
             rp >> SPAN_WIDX_BITS, rp & _WIDX_MASK)
         return pa.table({id_col: pa.array(ids, pa.int64()),
                          "clean_text": pa.array(clean, pa.string()),
-                         "n_spans_removed": pa.array(nrem, pa.int64())})
+                         cnt_col: pa.array(nrem, pa.int64())})
 
     return both.groupby("part").map_groups(rebuild_group,
                                            batch_format="pyarrow")
@@ -1438,3 +1445,361 @@ def contrastive_triplets(ds, *, max_id: int = 300,
                                ("neg_id", pa.int64())], P=P)
     return out.select_columns(["anchor_id", "pos_id", "neg_id"]) \
         .sort("anchor_id")
+
+
+# ----------------------------------------------------- OOV / vocab coverage
+
+def oov_rate(ds, vocab_size: int = 15, id_col: str = "doc_id",
+             text_col: str = "text"):
+    """Per-document out-of-vocabulary rate against the corpus' own
+    top-``vocab_size`` token vocabulary: ``(doc_id, n_tok, n_oov,
+    oov_u)`` with ``oov_u = 1_000_000 * n_oov // n_tok`` (integer-exact
+    so the DuckDB oracle reproduces it bit-for-bit; 0 for empty docs).
+
+    The tokenizer-coverage stage of a training-data pipeline: docs
+    whose token mass falls outside the working vocabulary are candidate
+    rejects (transcoding noise, wrong language, boilerplate markup) —
+    the same pre-index hygiene role as kmcp's blacklist regex gate
+    (reference: kmcp/cmd/compute.go:248-260, semantics re-derived).
+
+    Shape: one vocabulary-sized ``groupby`` (:func:`vocab_topk` —
+    map-combined, shuffle rows = distinct tokens per block), vocabulary
+    broadcast once as a sorted u64 hash array (``ray.put``), then a
+    single vectorized membership pass (searchsorted + bincount) over
+    the corpus.  Nothing but the top-k vocabulary ever lands on the
+    driver."""
+    vdf = vocab_topk(ds, topk=vocab_size, text_col=text_col).to_pandas()
+    vh = np.sort(hashing.hash_strings(
+        vdf["token"].to_numpy(dtype=object))) if len(vdf) \
+        else np.empty(0, np.uint64)
+    ref = ray.put(vh)
+
+    def score(t: pa.Table) -> pa.Table:
+        vh = ray.get(ref)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        n = len(ids)
+        toks, rows, _n = text.tokenize(t.column(text_col))
+        n_tok = np.bincount(rows, minlength=n).astype(np.int64) \
+            if len(rows) else np.zeros(n, np.int64)
+        if len(toks) and len(vh):
+            th = hashing.hash_strings(toks)
+            pos = np.searchsorted(vh, th)
+            inv = vh[np.minimum(pos, len(vh) - 1)] == th
+            n_oov = np.bincount(rows[~inv], minlength=n).astype(np.int64)
+        else:
+            n_oov = n_tok.copy()
+        oov_u = np.zeros(n, np.int64)
+        nz = n_tok > 0
+        oov_u[nz] = np.int64(1_000_000) * n_oov[nz] // n_tok[nz]
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "n_tok": pa.array(n_tok, pa.int64()),
+                         "n_oov": pa.array(n_oov, pa.int64()),
+                         "oov_u": pa.array(oov_u, pa.int64())})
+
+    return ds.select_columns([id_col, text_col]) \
+        .map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ------------------------------------------------- Misra-Gries heavy hitters
+
+def heavy_hitters(ds, k: int = 30, text_col: str = "text"):
+    """Exact frequent tokens via a mergeable Misra-Gries candidate pass
+    + exact recount: every token whose TRUE occurrence count exceeds
+    ``N/(k+1)`` (N = total corpus tokens), with its exact count —
+    ``(token, cnt)`` sorted (cnt desc, token asc).
+
+    The two-pass candidate-prune shape that makes heavy hitters exact
+    at 100 TB without a corpus-wide vocabulary aggregate: (1) each
+    batch summarizes to a decremented MG sketch of at most ``k``
+    counters (lower bounds; per-batch undercount <= batch_N/(k+1), so
+    summing sketches preserves every global heavy hitter — the
+    candidate union is a SUPERSET, at most k rows per block ride the
+    shuffle); (2) candidates broadcast as a sorted u64 hash array and
+    one vectorized membership recount fixes exact counts, then the
+    threshold filters.  Complements the estimate-only sketches
+    (:func:`token_cms <kmcp_ray.sketches.token_cms>`, shingle_hll) with
+    an exact-guarantee one."""
+    from ray.data.aggregate import Sum
+
+    def mg_partial(t: pa.Table) -> pa.Table:
+        toks, _rows, _n = text.tokenize(t.column(text_col))
+        if len(toks) == 0:
+            return pa.table({"token": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        u, c = np.unique(toks, return_counts=True)
+        c = c.astype(np.int64)
+        if len(u) > k:
+            # decrement by the (k+1)-th largest count: at most k
+            # counters stay positive; each survivor undercounts by
+            # <= batch_N/(k+1) (the classic MG bound)
+            kth = np.partition(c, len(c) - k - 1)[len(c) - k - 1]
+            keep = (c - kth) > 0
+            u, c = u[keep], c[keep] - kth
+        # sentinel row carries the batch's total token count so the
+        # global N rides the same vocabulary-sized aggregate ("" is
+        # untokenizable, so it never collides with a real token)
+        return pa.table({
+            "token": pa.array(np.concatenate([u, [""]]), pa.string()),
+            "cnt": pa.array(np.concatenate([c, [len(toks)]]), pa.int64())})
+
+    sk = ds.map_batches(mg_partial, batch_format="pyarrow",
+                        zero_copy_batch=True) \
+        .groupby("token").aggregate(Sum(on="cnt", alias_name="cnt")) \
+        .to_pandas()                     # <= k rows per block, merged
+    total = int(sk.loc[sk.token == "", "cnt"].sum())
+    cand = sk.loc[sk.token != "", "token"].to_numpy(dtype=object)
+    if len(cand) == 0 or total == 0:
+        return ray.data.from_arrow(pa.table({
+            "token": pa.array([], pa.string()),
+            "cnt": pa.array([], pa.int64())}))
+    ch = np.sort(hashing.hash_strings(cand))
+    ref = ray.put(ch)
+
+    def recount(t: pa.Table) -> pa.Table:
+        ch = ray.get(ref)
+        toks, _rows, _n = text.tokenize(t.column(text_col))
+        if len(toks) == 0:
+            return pa.table({"token": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        th = hashing.hash_strings(toks)
+        pos = np.searchsorted(ch, th)
+        inv = ch[np.minimum(pos, len(ch) - 1)] == th
+        u, c = np.unique(toks[inv], return_counts=True)
+        return pa.table({"token": pa.array(u, pa.string()),
+                         "cnt": pa.array(c.astype(np.int64), pa.int64())})
+
+    exact = ds.map_batches(recount, batch_format="pyarrow",
+                           zero_copy_batch=True) \
+        .groupby("token").aggregate(Sum(on="cnt", alias_name="cnt"))
+
+    def gate(t: pa.Table) -> pa.Table:   # keep iff cnt*(k+1) > N
+        c = t.column("cnt").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(c * (k + 1) > total))
+
+    return exact.map_batches(gate, batch_format="pyarrow",
+                             zero_copy_batch=True) \
+        .sort(["cnt", "token"], descending=[True, False])
+
+
+# ------------------------------------------------- skip-gram PMI pairs
+
+def pmi_pairs(ds, *, window: int = 2, min_cnt: int = 5, topk: int = 50,
+              text_col: str = "text"):
+    """Top-``topk`` skip-gram token pairs by integer-scaled pointwise
+    lift: unordered token pairs co-occurring within ``window`` positions
+    get ``lift_u = 1_000_000 * cnt * n_pairs // (c_a * c_b)`` (the PMI
+    ratio before the log, scaled and floor-divided so the DuckDB oracle
+    reproduces every value bit-exactly), filtered to ``cnt >= min_cnt``
+    and ordered (lift_u desc, tok_a asc, tok_b asc) — the word2vec /
+    collocation-mining data op.
+
+    Shape: one tokenize pass emits per-batch COMBINED pair counts
+    (np.unique on the pair-key strings; shuffle rows = distinct pairs
+    per block, never occurrences) plus a sentinel row carrying the
+    batch's pair total; unigram occurrence counts ride the same
+    aggregate as single-token keys.  The merged table is
+    distinct-pair-sized and already count-filtered before the final
+    sort+limit."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks, rows, _n = text.tokenize(t.column(text_col))
+        keys = []
+        cnts = []
+        if len(toks):
+            u, c = np.unique(toks, return_counts=True)
+            keys.append(u.astype(object))          # unigrams: no space
+            cnts.append(c.astype(np.int64))
+            npairs = 0
+            for d in range(1, window + 1):
+                if len(toks) <= d:
+                    break
+                same = rows[d:] == rows[:-d]
+                a, b = toks[:-d][same], toks[d:][same]
+                lo = np.where(a <= b, a, b)
+                hi = np.where(a <= b, b, a)
+                pk = lo + " "
+                pk = pk + hi                        # "lo hi" pair key
+                u, c = np.unique(pk, return_counts=True)
+                keys.append(u.astype(object))
+                cnts.append(c.astype(np.int64))
+                npairs += int(same.sum())
+            keys.append(np.array([" "], dtype=object))   # sentinel
+            cnts.append(np.array([npairs], dtype=np.int64))
+        if not keys:
+            return pa.table({"key": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        return pa.table({
+            "key": pa.array(np.concatenate(keys), pa.string()),
+            "cnt": pa.array(np.concatenate(cnts), pa.int64())})
+
+    merged = ds.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True) \
+        .groupby("key").aggregate(Sum(on="cnt", alias_name="cnt"))
+
+    # split the merged table: unigram counts + the pair-total sentinel
+    # are vocabulary-sized — they broadcast; pairs stay distributed
+    def only_uni(t: pa.Table) -> pa.Table:
+        m = pc.or_(pc.equal(pc.count_substring(t.column("key"), " "), 0),
+                   pc.equal(t.column("key"), " "))
+        return t.filter(m)
+
+    udf = merged.map_batches(only_uni, batch_format="pyarrow",
+                             zero_copy_batch=True).to_pandas()
+    n_pairs = int(udf.loc[udf.key == " ", "cnt"].sum())
+    uv = udf.loc[udf.key != " "]
+    uh = hashing.hash_strings(uv["key"].to_numpy(dtype=object))
+    order = np.argsort(uh)
+    ref = ray.put((uh[order],
+                   uv["cnt"].to_numpy().astype(np.int64)[order]))
+
+    def score(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater(pc.count_substring(t.column("key"), " "),
+                               0),
+                    pc.not_equal(t.column("key"), " "))
+        m = pc.and_(m, pc.greater_equal(t.column("cnt"),
+                                        pa.scalar(min_cnt, pa.int64())))
+        t = t.filter(m)
+        if t.num_rows == 0 or n_pairs == 0:
+            return pa.table({"tok_a": pa.array([], pa.string()),
+                             "tok_b": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64()),
+                             "lift_u": pa.array([], pa.int64())})
+        cnt = t.column("cnt").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        parts = pc.split_pattern(t.column("key"), " ")
+        a = pc.list_element(parts, 0).to_numpy(zero_copy_only=False)
+        b = pc.list_element(parts, 1).to_numpy(zero_copy_only=False)
+        kh, vals = ray.get(ref)
+        ca = vals[np.searchsorted(kh, hashing.hash_strings(a))]
+        cb = vals[np.searchsorted(kh, hashing.hash_strings(b))]
+        lift = np.int64(1_000_000) * cnt * np.int64(n_pairs) \
+            // (ca * cb)
+        return pa.table({"tok_a": pa.array(a, pa.string()),
+                         "tok_b": pa.array(b, pa.string()),
+                         "cnt": pa.array(cnt, pa.int64()),
+                         "lift_u": pa.array(lift, pa.int64())})
+
+    return merged.map_batches(score, batch_format="pyarrow",
+                              zero_copy_batch=True) \
+        .sort(["lift_u", "tok_a", "tok_b"],
+              descending=[True, False, False]).limit(topk)
+
+
+# --------------------------------------------- boilerplate line removal
+
+def boilerplate_dedup(ds, w: int = 2, min_docs: int = 12,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      num_partitions: int = 64,
+                      broadcast_blocked_rows: int = 5_000_000):
+    """CCNet-style boilerplate-line removal: the corpus is cut into
+    non-overlapping ``w``-token lines and every line whose content
+    appears in at least ``min_docs`` DISTINCT documents is deleted from
+    ALL of them (unlike :func:`span_dedup`'s first-occurrence-wins C4
+    rule, frequency-boilerplate dies everywhere — headers, cookie
+    banners, navigation chrome).  Emits ``(doc_id, clean_text,
+    n_lines_removed)``; trailing ``len % w`` tokens always survive.
+
+    Shape: pass 1 ships 12 B rows (u64 line hash, i64 doc id, distinct
+    per doc per batch — map-side combined) into one count-distinct
+    ``groupby``; the blocked set (frequency-bounded: at most
+    N/(w*min_docs) lines can qualify) broadcasts as a sorted u64 array
+    and pass 2 rebuilds each doc inline in one vectorized membership
+    sweep — no second shuffle.  Past ``broadcast_blocked_rows`` the
+    removed OCCURRENCES are computed distributed (semi-join of line
+    hashes against the blocked set) and docs rebuild through the same
+    hash(doc_id) exchange as :func:`span_dedup`
+    (:func:`_exchange_rebuild`)."""
+    from ray.data.aggregate import Count
+
+    P = num_partitions
+
+    def line_docs(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        _f, _r, _s, h, _packed, win_row = _doc_windows(
+            ids, t.column(text_col), w)
+        if len(h) == 0:
+            return pa.table({"h": pa.array([], pa.int64())})
+        order = np.lexsort((h, win_row))
+        hs, rs = h[order], win_row[order]
+        first = np.concatenate(([True], (hs[1:] != hs[:-1])
+                                | (rs[1:] != rs[:-1])))
+        return pa.table({"h": pa.array(hs[first].view(np.int64),
+                                       pa.int64())})
+
+    def freq_gate(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(
+            t.column("ndocs"), pa.scalar(min_docs, pa.int64()))) \
+            .select(["h"])
+
+    blocked = ds.select_columns([id_col, text_col]) \
+        .map_batches(line_docs, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby("h").aggregate(Count(alias_name="ndocs")) \
+        .map_batches(freq_gate, batch_format="pyarrow",
+                     zero_copy_batch=True).materialize()
+    n_blocked = blocked.count()
+
+    if n_blocked <= broadcast_blocked_rows:
+        chunks = [np.empty(0, np.int64)]
+        for b in blocked.iter_batches(batch_size=1 << 18,
+                                      batch_format="pyarrow"):
+            chunks.append(b.column("h").to_numpy(zero_copy_only=False))
+        bh = np.sort(np.concatenate(chunks).view(np.uint64))
+        ref = ray.put(bh)
+
+        def rebuild(t: pa.Table) -> pa.Table:
+            bh = ray.get(ref)
+            ids = t.column(id_col).to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            n = len(ids)
+            flat, rows, row_starts, h, _p, win_row = _doc_windows(
+                ids, t.column(text_col), w)
+            keep_tok = np.ones(len(flat), dtype=bool)
+            nrem = np.zeros(n, dtype=np.int64)
+            if len(h) and len(bh):
+                pos = np.searchsorted(bh, h)
+                hit = bh[np.minimum(pos, len(bh) - 1)] == h
+                if hit.any():
+                    wr = win_row[hit]
+                    widx = np.nonzero(hit)[0] \
+                        - np.searchsorted(win_row, wr)
+                    kill = (row_starts[wr] + w * widx)[:, None] \
+                        + np.arange(w, dtype=np.int64)[None, :]
+                    keep_tok[kill.ravel()] = False
+                    nrem += np.bincount(wr, minlength=n)
+            toks, trows = flat[keep_tok], rows[keep_tok]
+            bounds = np.searchsorted(trows, np.arange(n + 1))
+            clean = np.array([" ".join(toks[a:b])
+                              for a, b in zip(bounds[:-1], bounds[1:])],
+                             dtype=object)
+            return pa.table({id_col: pa.array(ids, pa.int64()),
+                             "clean_text": pa.array(clean, pa.string()),
+                             "n_lines_removed": pa.array(nrem, pa.int64())})
+
+        return ds.select_columns([id_col, text_col]) \
+            .map_batches(rebuild, batch_format="pyarrow",
+                         zero_copy_batch=True)
+
+    # distributed arm: removed occurrences via semi-join on the line
+    # hash, then the shared hash(doc_id) exchange rebuild
+    from kmcp_ray.joins import hash_join
+
+    def win_keys(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        _f, _r, _s, h, packed, _wr = _doc_windows(
+            ids, t.column(text_col), w)
+        return pa.table({"h": pa.array(h.view(np.int64), pa.int64()),
+                         "packed": pa.array(packed, pa.int64())})
+
+    wins = ds.select_columns([id_col, text_col]) \
+        .map_batches(win_keys, batch_format="pyarrow",
+                     zero_copy_batch=True)
+    removed = hash_join(wins, blocked, key="h", how="semi",
+                        left_cols=[("packed", pa.int64())], P=P) \
+        .select_columns(["packed"])
+    return _exchange_rebuild(ds, removed, w, id_col, text_col, P,
+                             cnt_col="n_lines_removed")

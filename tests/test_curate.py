@@ -445,3 +445,110 @@ def test_contrastive_triplets_planted(ray_session):
     assert out.anchor_id.tolist() == [1]
     assert out.pos_id.tolist() == [0]
     assert out.neg_id.tolist() == [2]
+
+
+def test_oov_rate_planted(ray_session):
+    """vocab_size=2 over a skewed corpus: 'a' and 'b' are in-vocab,
+    everything else counts as OOV; empty doc scores 0."""
+    import ray.data
+    texts = ["a a a b b z", "q r s", "a b", ""]
+    tbl = pa.table({"doc_id": pa.array(range(4), pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    out = curate.oov_rate(ray.data.from_arrow(tbl), vocab_size=2) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert out.n_tok.tolist() == [6, 3, 2, 0]
+    assert out.n_oov.tolist() == [1, 3, 0, 0]
+    assert out.oov_u.tolist() == [166666, 1000000, 0, 0]
+
+
+def test_heavy_hitters_exact(ray_session):
+    """k=2 -> threshold N/3: only tokens with true count > N/3 emerge,
+    with EXACT counts, despite the decremented per-batch sketches."""
+    import ray.data
+    # 12 tokens total: x*7, y*3, z*2 -> N/3 = 4: only x qualifies
+    texts = ["x x x y z", "x x y z", "x x y"]
+    tbl = pa.table({"doc_id": pa.array(range(3), pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    out = curate.heavy_hitters(ray.data.from_arrow(tbl), k=2) \
+        .to_pandas()
+    assert out.token.tolist() == ["x"]
+    assert out.cnt.tolist() == [7]
+
+
+def test_heavy_hitters_matches_bruteforce(ray_session):
+    """Random-ish corpus: MG candidates + recount == brute-force
+    threshold rule for several k."""
+    import ray.data
+    rng = np.random.RandomState(7)
+    vocab = np.array([f"t{i}" for i in range(20)], dtype=object)
+    p = 1.0 / (np.arange(20) + 1.0) ** 2; p /= p.sum()
+    texts = [" ".join(rng.choice(vocab, size=30, p=p)) for _ in range(40)]
+    tbl = pa.table({"doc_id": pa.array(range(40), pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    from collections import Counter
+    truth = Counter(w for t in texts for w in t.split())
+    n = sum(truth.values())
+    for k in (3, 8):
+        out = curate.heavy_hitters(
+            ray.data.from_arrow(tbl), k=k).to_pandas()
+        exp = sorted(((c, t) for t, c in truth.items()
+                      if c * (k + 1) > n),
+                     key=lambda x: (-x[0], x[1]))
+        if len(out) == 0:
+            assert exp == []
+        else:
+            assert out.token.tolist() == [t for _c, t in exp]
+            assert out.cnt.tolist() == [c for c, _t in exp]
+
+
+def test_pmi_pairs_planted(ray_session):
+    """'p q' always adjacent -> top lift; sentinel and unigram rows
+    never leak into the output."""
+    import ray.data
+    texts = ["p q r s", "p q s r", "r p q s", "s r p q"]
+    tbl = pa.table({"doc_id": pa.array(range(4), pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    out = curate.pmi_pairs(ray.data.from_arrow(tbl), window=1,
+                           min_cnt=2, topk=3).to_pandas()
+    assert out.iloc[0].tok_a == "p" and out.iloc[0].tok_b == "q"
+    assert out.iloc[0].cnt == 4
+    # n_pairs = 4 docs * 3 adjacent = 12; c_p = c_q = 4
+    assert out.iloc[0].lift_u == 1_000_000 * 4 * 12 // (4 * 4)
+    assert not (out.tok_a == " ").any()
+
+
+def test_boilerplate_dedup_planted(ray_session):
+    """A 2-token line planted in 3 docs dies everywhere at min_docs=3;
+    the same line in only 2 docs survives; trailing odd token kept."""
+    import ray.data
+    texts = ["aa bb xx yy tail",        # 'aa bb' + 'xx yy' + trail
+             "aa bb cc dd",
+             "aa bb dd cc",
+             "xx yy cc dd"]
+    tbl = pa.table({"doc_id": pa.array(range(4), pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    out = curate.boilerplate_dedup(
+        ray.data.from_arrow(tbl), w=2, min_docs=3) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    # 'aa bb' in docs 0,1,2 (3 docs) -> removed; 'xx yy' in 0,3 -> kept
+    assert out.clean_text.tolist() == [
+        "xx yy tail", "cc dd", "dd cc", "xx yy cc dd"]
+    assert out.n_lines_removed.tolist() == [1, 1, 1, 0]
+
+
+def test_boilerplate_dedup_exchange_arm(ray_session):
+    """Forcing broadcast_blocked_rows=0 drives the semi-join +
+    exchange-rebuild arm; output equals the broadcast arm."""
+    import ray.data
+    texts = ["aa bb xx yy tail", "aa bb cc dd", "aa bb dd cc",
+             "xx yy cc dd"]
+    tbl = pa.table({"doc_id": pa.array(range(4), pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    a = curate.boilerplate_dedup(
+        ray.data.from_arrow(tbl), w=2, min_docs=3) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = curate.boilerplate_dedup(
+        ray.data.from_arrow(tbl), w=2, min_docs=3,
+        broadcast_blocked_rows=0) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b[a.columns])

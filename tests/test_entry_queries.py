@@ -35,6 +35,8 @@ SQL_CHECKED = ["exact_dedup_docs", "token_count", "token_stats", "doc_stats",
                "consensus_pairs", "mixture_resample",
                "repetition_score", "shingle_hll", "token_cms",
                "hamming_topk", "novelty_score", "contrastive_triplets",
+               "oov_rate", "heavy_hitters", "pmi_pairs",
+               "boilerplate_dedup",
                "pack_sequences",
                "select_representatives", "corpus_diff",
                "normalized_dedup", "group_topk", "keyword_search",
