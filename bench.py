@@ -162,7 +162,9 @@ def run_bench() -> dict:
                      "fuzzy_decontaminate", "dsir_select",
                      "semantic_dedup", "hard_negatives",
                      "quality_filter_pctl", "perplexity_score",
-                     "hamming_topk", "novelty_score", "big_orders"]:
+                     "hamming_topk", "novelty_score", "big_orders",
+                     "oov_rate", "heavy_hitters", "pmi_pairs",
+                     "boilerplate_dedup", "contrastive_triplets"]:
             timed(name, lambda n=name: consume(qs[n](SF_DIR)))
 
     if not skip_queries:

@@ -1369,7 +1369,7 @@ def novelty_score(ds, id_col: str = "doc_id", text_col: str = "text",
 def contrastive_triplets(ds, *, max_id: int = 300,
                          min_jacc_u: int = 650000,
                          id_col: str = "doc_id", text_col: str = "text",
-                         P: int = 64):
+                         P: int = 16):
     """(anchor_id, pos_id, neg_id) — contrastive training triplets
     mined from the dedup signal: every doc with at least one
     exact-Jaccard near-duplicate partner becomes an anchor, positive =
@@ -1394,9 +1394,12 @@ def contrastive_triplets(ds, *, max_id: int = 300,
     from kmcp_ray import docs_dedup
     from kmcp_ray.joins import hash_join
 
+    # pair-sized; materialized because BOTH the positive mine and the
+    # anti-join key off it — lazy fan-out would re-run the exact
+    # Jaccard ground-truth DAG twice
     pairs = docs_dedup.token_jaccard_exact(
         ds, max_id=max_id, min_jacc_u=min_jacc_u,
-        id_col=id_col, text_col=text_col)
+        id_col=id_col, text_col=text_col).materialize()
 
     def sym(t: pa.Table) -> pa.Table:
         a = t.column("id_a").to_numpy(zero_copy_only=False) \

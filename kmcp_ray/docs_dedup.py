@@ -230,8 +230,11 @@ def token_jaccard_exact(ds, *, max_id: int = 300, min_jacc_u: int = 650000,
         # per-batch distinct is a global distinct
         return t.group_by(["doc", "tok"]).aggregate([])
 
+    # bounded-slice-sized (<= max_id * vocab rows); materialized because
+    # the count side and the pair side both consume it — lazy fan-out
+    # would run the explode twice
     toks = sub.map_batches(explode, batch_format="pyarrow",
-                           zero_copy_batch=True)
+                           zero_copy_batch=True).materialize()
 
     # per-doc distinct-token counts: <= max_id rows — the broadcast side
     cnt_rows = toks.groupby("doc").count().take_all()
