@@ -800,6 +800,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf, "documents", columns=["doc_id", "text"]),
             w=2, min_docs=20)
 
+    def q_winsorize(sf):
+        """Per-source winsorization of n_chars to the exact [p5, p95]
+        group order statistics — distributed histogram quantiles, the
+        tiny (lo, hi)-per-group table broadcast once
+        (relops.winsorize)."""
+        from kmcp_ray import relops
+        return relops.winsorize(
+            _read(sf, "documents",
+                  columns=["doc_id", "source", "n_chars"]))
+
+    def q_triangle_count(sf):
+        """Triangles in the exact-Jaccard dup-pair graph (bounded
+        ground-truth slice): two partitioned hash-join exchanges —
+        wedges on the middle vertex, closing-edge semi join — then one
+        count (cc.triangle_count). Cluster-density diagnostic: near-dup
+        components should be near-cliques."""
+        from kmcp_ray import cc, docs_dedup
+        pairs = docs_dedup.token_jaccard_exact(_docs(sf))
+        return cc.triangle_count(pairs)
+
     def q_novelty_score(sf):
         """Per-doc marginal-new-content score: fraction of the doc's
         distinct 3-shingles whose global first occurrence (min doc_id)
@@ -1565,6 +1585,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "novelty_score": q_novelty_score,
         "contrastive_triplets": q_contrastive_triplets,
         "oov_rate": q_oov_rate,
+        "winsorize": q_winsorize,
+        "triangle_count": q_triangle_count,
         "heavy_hitters": q_heavy_hitters,
         "pmi_pairs": q_pmi_pairs,
         "boilerplate_dedup": q_boilerplate_dedup,
@@ -2613,6 +2635,46 @@ def oracle_sql() -> dict[str, str]:
                 WHERE jp.id_a = least(n.anchor_id, n.neg_id)
                   AND jp.id_b = greatest(n.anchor_id, n.neg_id))
             ORDER BY anchor_id
+        """,
+        "winsorize": """
+            WITH q AS (
+                SELECT source,
+                       (array_agg(n_chars ORDER BY n_chars))
+                           [(count(*) - 1) * 5 // 100 + 1] AS lo,
+                       (array_agg(n_chars ORDER BY n_chars))
+                           [(count(*) - 1) * 95 // 100 + 1] AS hi
+                FROM documents GROUP BY source
+            )
+            SELECT d.doc_id, d.source, d.n_chars,
+                   least(greatest(d.n_chars, q.lo), q.hi) AS clipped
+            FROM documents d JOIN q USING (source)
+            ORDER BY doc_id
+        """,
+        "triangle_count": """
+            WITH toks AS (
+                SELECT DISTINCT doc_id,
+                       unnest(regexp_extract_all(lower(text),
+                                                 '[a-z0-9]+')) AS tok
+                FROM documents WHERE doc_id < 300
+            ), cnt AS (
+                SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id
+            ), shared AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       count(*) AS n_shared
+                FROM toks a JOIN toks b USING (tok)
+                WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+            ), jp AS (
+                SELECT id_a, id_b FROM shared
+                JOIN cnt ca ON ca.doc_id = id_a
+                JOIN cnt cb ON cb.doc_id = id_b
+                WHERE 1000000.0 * n_shared / (ca.n + cb.n - n_shared)
+                      >= 650000.0
+            ), w AS (
+                SELECT e1.id_a AS a, e2.id_b AS c
+                FROM jp e1 JOIN jp e2 ON e1.id_b = e2.id_a
+            )
+            SELECT count(*) AS n_triangles
+            FROM w JOIN jp ON w.a = jp.id_a AND w.c = jp.id_b
         """,
         "oov_rate": """
             WITH t AS (

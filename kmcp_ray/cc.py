@@ -257,3 +257,55 @@ def connected_components(edges_ds, reduce_rounds: int = 1,
         edges_ds, reduce_rounds=reduce_rounds,
         reduce_batch_size=reduce_batch_size)
     return dict(zip(nodes, roots))
+
+
+def triangle_count(pairs_ds, *, id_a: str = "id_a", id_b: str = "id_b",
+                   P: int = 16):
+    """Count triangles in an undirected edge set given as ordered pairs
+    (``id_a < id_b``, ids < 2^31): returns a one-row Dataset
+    ``(n_triangles,)``.  Density diagnostic for the dup-pair graph —
+    near-duplicate clusters should be near-cliques, so a low
+    triangle-to-wedge ratio flags LSH false-positive chains (the same
+    cluster-quality role as kmcp's index-density diagnostics,
+    reference: kmcp/cmd/index.go:640-667, semantics re-derived).
+
+    Shape: the textbook two-join decomposition, both as partitioned
+    :func:`kmcp_ray.joins.hash_join` exchanges — (1) wedges
+    ``a<b<c`` from edges ⨝ edges on the middle vertex (ordered input
+    makes every wedge emit exactly once), (2) a semi join of the packed
+    ``a<<32|c`` closing edge against the edge set, then one count.
+    Nothing broadcasts; wedge volume is Σ_v deg²(v) — pre-bound it
+    upstream by capping bucket sizes, exactly as the LSH pipeline
+    already does."""
+    from kmcp_ray.joins import hash_join
+
+    def pack_ac(t: pa.Table) -> pa.Table:
+        a = t.column(id_a).to_numpy(zero_copy_only=False).astype(np.int64)
+        c = t.column("id_c").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"ac": pa.array((a << np.int64(32)) | c,
+                                        pa.int64())})
+
+    def pack_edge(t: pa.Table) -> pa.Table:
+        a = t.column(id_a).to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t.column(id_b).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"ac": pa.array((a << np.int64(32)) | b,
+                                        pa.int64())})
+
+    edges = pairs_ds.select_columns([id_a, id_b]).materialize()
+    wedges = hash_join(
+        edges, edges.map_batches(
+            lambda t: t.rename_columns(["mid", "id_c"]),
+            batch_format="pyarrow", zero_copy_batch=True),
+        key=id_b, right_key="mid", how="inner",
+        left_cols=[(id_a, pa.int64())],
+        right_cols=[("id_c", pa.int64())], P=P)
+    closing = wedges.map_batches(pack_ac, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    tri = hash_join(
+        closing, edges.map_batches(pack_edge, batch_format="pyarrow",
+                                   zero_copy_batch=True),
+        key="ac", how="semi", P=P)
+    n = tri.count()
+    import ray.data
+    return ray.data.from_arrow(pa.table(
+        {"n_triangles": pa.array([n], pa.int64())}))

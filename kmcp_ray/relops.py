@@ -820,3 +820,52 @@ def region_revenue(region_ds, nation_ds, supplier_ds, customer_ds,
     return agg.map_batches(label, batch_format="pyarrow",
                            zero_copy_batch=True) \
         .sort(["revenue_c4", "n_name"], descending=[True, False])
+
+
+def winsorize(ds, group_col: str = "source", col: str = "n_chars",
+              *, lo_pct: int = 5, hi_pct: int = 95,
+              id_col: str = "doc_id"):
+    """Per-group winsorization: clip an integer metric to its group's
+    exact [lo_pct, hi_pct] order statistics (the :func:`group_quantiles`
+    rank rule, ``rank = (n-1)*q // 100``) — the outlier-taming stage
+    before length/quality features feed a mixture or curriculum
+    schedule.  Emits ``(id, group, col, clipped)``.
+
+    Shape: quantiles come from the histogram-collapsed distributed
+    selection (shuffle bounded by groups x distinct values, never
+    rows); the per-group (lo, hi) table — two i64 per group — is
+    broadcast once and applied in one vectorized clip pass.  At 10^6+
+    groups swap the broadcast for a partitioned
+    :func:`kmcp_ray.joins.hash_join` on the group key; the quantile
+    side is already distributed."""
+    import ray
+
+    from kmcp_ray import hashing
+
+    q = group_quantiles(ds, group_col, col,
+                        q_pcts=(lo_pct, hi_pct)).to_pandas()
+    lo_t = q[q.q_pct == lo_pct].set_index(group_col)["value"]
+    hi_t = q[q.q_pct == hi_pct].set_index(group_col)["value"]
+    groups = lo_t.index.to_numpy(dtype=object)
+    gh = hashing.hash_strings(groups)
+    order = np.argsort(gh)
+    ref = ray.put((gh[order],
+                   lo_t.to_numpy()[order].astype(np.int64),
+                   hi_t.reindex(lo_t.index).to_numpy()[order]
+                   .astype(np.int64)))
+
+    def clip(t: pa.Table) -> pa.Table:
+        gh_s, lo, hi = ray.get(ref)
+        g = t.column(group_col).to_numpy(zero_copy_only=False)
+        v = t.column(col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        pos = np.searchsorted(gh_s, hashing.hash_strings(g))
+        pos = np.minimum(pos, len(gh_s) - 1)
+        clipped = np.minimum(np.maximum(v, lo[pos]), hi[pos])
+        return pa.table({id_col: t.column(id_col),
+                         group_col: t.column(group_col),
+                         col: pa.array(v, pa.int64()),
+                         "clipped": pa.array(clipped, pa.int64())})
+
+    return ds.select_columns([id_col, group_col, col]) \
+        .map_batches(clip, batch_format="pyarrow", zero_copy_batch=True)

@@ -326,3 +326,44 @@ def test_fuzzy_decontaminate_drops_neardups_keeps_overlap(ray_session):
         ray.data.from_arrow(corpus), ray.data.from_arrow(eval_t),
         k=3).to_pandas()
     assert sorted(exact["doc_id"].tolist()) == [2]
+
+
+def test_winsorize_clips_to_group_order_stats(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from kmcp_ray import relops
+
+    rng = np.random.RandomState(3)
+    g = np.repeat(np.array(["x", "y"], dtype=object), 50)
+    v = np.concatenate([rng.randint(0, 1000, 50),
+                        rng.randint(500, 2000, 50)]).astype(np.int64)
+    tbl = pa.table({"doc_id": pa.array(range(100), pa.int64()),
+                    "source": pa.array(g, pa.string()),
+                    "n_chars": pa.array(v, pa.int64())})
+    out = relops.winsorize(ray.data.from_arrow(tbl)) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    for grp in ("x", "y"):
+        vals = np.sort(v[g == grp])
+        lo = vals[(len(vals) - 1) * 5 // 100]
+        hi = vals[(len(vals) - 1) * 95 // 100]
+        got = out[out.source == grp]
+        assert got.clipped.min() >= lo and got.clipped.max() <= hi
+        exp = np.clip(got.n_chars.to_numpy(), lo, hi)
+        assert (got.clipped.to_numpy() == exp).all()
+
+
+def test_triangle_count_known_graph(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from kmcp_ray import cc
+
+    # K4 on {0,1,2,3} (4 triangles) + pendant edge (4,5) + wedge 5-6-7
+    ea = [0, 0, 0, 1, 1, 2, 4, 5, 6]
+    eb = [1, 2, 3, 2, 3, 3, 5, 6, 7]
+    tbl = pa.table({"id_a": pa.array(ea, pa.int64()),
+                    "id_b": pa.array(eb, pa.int64())})
+    out = cc.triangle_count(ray.data.from_arrow(tbl)).to_pandas()
+    assert out.n_triangles.tolist() == [4]
