@@ -800,6 +800,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf, "documents", columns=["doc_id", "text"]),
             w=2, min_docs=20)
 
+    def q_edit_distance(sf):
+        """Edit-distance-verified near-dup pairs: exact-Jaccard >= 0.9
+        candidates re-verified with batch-vectorized char Levenshtein,
+        dist <= 150 kept.  The order-sensitive second opinion: on the
+        word-salad corpus only 7 of 3429 perfect-set-overlap candidate
+        pairs are true near-identical texts
+        (docs_dedup.edit_distance_pairs)."""
+        from kmcp_ray import docs_dedup
+        return docs_dedup.edit_distance_pairs(
+            _docs(sf), cand_jacc_u=900_000, max_dist=150)
+
     def q_winsorize(sf):
         """Per-source winsorization of n_chars to the exact [p5, p95]
         group order statistics — distributed histogram quantiles, the
@@ -1587,6 +1598,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "oov_rate": q_oov_rate,
         "winsorize": q_winsorize,
         "triangle_count": q_triangle_count,
+        "edit_distance_pairs": q_edit_distance,
         "heavy_hitters": q_heavy_hitters,
         "pmi_pairs": q_pmi_pairs,
         "boilerplate_dedup": q_boilerplate_dedup,
@@ -2635,6 +2647,38 @@ def oracle_sql() -> dict[str, str]:
                 WHERE jp.id_a = least(n.anchor_id, n.neg_id)
                   AND jp.id_b = greatest(n.anchor_id, n.neg_id))
             ORDER BY anchor_id
+        """,
+        "edit_distance_pairs": """
+            WITH toks AS (
+                SELECT DISTINCT doc_id,
+                       unnest(regexp_extract_all(lower(text),
+                                                 '[a-z0-9]+')) AS tok
+                FROM documents WHERE doc_id < 300
+            ), cnt AS (
+                SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id
+            ), shared AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       count(*) AS ns
+                FROM toks a JOIN toks b USING (tok)
+                WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+            ), jp AS (
+                SELECT id_a, id_b FROM shared
+                JOIN cnt ca ON ca.doc_id = id_a
+                JOIN cnt cb ON cb.doc_id = id_b
+                WHERE 1000000.0 * ns / (ca.n + cb.n - ns) >= 900000.0
+            ), nt AS (
+                SELECT doc_id,
+                       array_to_string(regexp_extract_all(lower(text),
+                                                          '[a-z0-9]+'),
+                                       ' ') AS s
+                FROM documents WHERE doc_id < 300
+            )
+            SELECT id_a, id_b,
+                   CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+            FROM jp JOIN nt a ON a.doc_id = id_a
+                    JOIN nt b ON b.doc_id = id_b
+            WHERE levenshtein(a.s, b.s) <= 150
+            ORDER BY id_a, id_b
         """,
         "winsorize": """
             WITH q AS (

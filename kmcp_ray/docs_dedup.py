@@ -683,3 +683,114 @@ def dedup_audit(ds, cfg_prod: DedupConfig = None, *, sample_pct: int = 20,
         "n_common": pa.array([n_common], pa.int64()),
         "recall_u": pa.array([recall_u], pa.int64()),
         "precision_u": pa.array([precision_u], pa.int64())})
+
+
+# ------------------------------------------------ edit-distance verify
+
+def levenshtein_batch(A, B) -> np.ndarray:
+    """Unit-cost Levenshtein distance for a BATCH of string pairs,
+    vectorized across pairs AND along the DP row (no per-cell Python).
+
+    The in-row dependence ``dp[i][j] = min(u[j], dp[i][j-1]+1)``
+    unrolls to ``dp[i][j] = j + min_{k<=j}(u[k]-k)`` — one
+    ``np.minimum.accumulate`` per row — so the whole batch advances one
+    DP row per iteration as 2-D (pairs x cols) kernels; ``max_len``
+    iterations total.  Semantics identical to DuckDB's
+    ``levenshtein()`` (insert/delete/substitute, cost 1 each), which is
+    the oracle mirror."""
+    P = len(A)
+    out = np.zeros(P, np.int64)
+    if P == 0:
+        return out
+    la = np.array([len(s) for s in A], np.int64)
+    lb = np.array([len(s) for s in B], np.int64)
+    Ma, Mb = int(la.max()), int(lb.max())
+    Abuf = np.zeros((P, max(Ma, 1)), np.uint8)
+    Bbuf = np.zeros((P, max(Mb, 1)), np.uint8)
+    for i, s in enumerate(A):
+        if s:
+            Abuf[i, :len(s)] = np.frombuffer(s.encode("utf-8")[:len(s)],
+                                             np.uint8)
+    for i, s in enumerate(B):
+        if s:
+            Bbuf[i, :len(s)] = np.frombuffer(s.encode("utf-8")[:len(s)],
+                                             np.uint8)
+    idx = np.arange(Mb + 1, dtype=np.int32)
+    dp = np.tile(idx, (P, 1))
+    out[la == 0] = lb[la == 0]
+    u = np.empty_like(dp)
+    for i in range(1, Ma + 1):
+        cost = (Abuf[:, i - 1:i] != Bbuf[:, :Mb]).astype(np.int32)
+        u[:, 0] = i
+        u[:, 1:] = np.minimum(dp[:, 1:] + 1, dp[:, :-1] + cost)
+        np.minimum(u, np.minimum.accumulate(u - idx, axis=1) + idx,
+                   out=u)
+        active = la >= i
+        dp[active] = u[active]
+        done = la == i
+        if done.any():
+            out[done] = dp[done, lb[done]]
+    return out
+
+
+def edit_distance_pairs(ds, *, max_id: int = 300,
+                        cand_jacc_u: int = 900_000, max_dist: int = 25,
+                        id_col: str = "doc_id", text_col: str = "text"):
+    """Edit-distance-verified near-duplicate pairs: exact-Jaccard
+    candidates (>= ``cand_jacc_u``) re-verified with CHARACTER-level
+    Levenshtein over the normalized token-joined strings, keeping
+    ``dist <= max_dist`` — ``(id_a, id_b, dist)``.  The order-sensitive
+    second opinion the set-based Jaccard can't give: token-permuted
+    texts share a perfect Jaccard but a large edit distance
+    (kmcp analogue: the match-verification funnel after k-mer
+    containment, reference kmcp/cmd/search.go:84-104, semantics
+    re-derived).
+
+    Scale shape: candidates are pair-bounded (here the bounded
+    ground-truth slice, in production the LSH mine — swap unchanged);
+    the ``max_id`` normalized texts broadcast once; verification is the
+    batch-vectorized :func:`levenshtein_batch` wavefront, distributed
+    across candidate partitions."""
+    import ray
+    import pyarrow.compute as pc
+
+    pairs = token_jaccard_exact(ds, max_id=max_id,
+                                min_jacc_u=cand_jacc_u,
+                                id_col=id_col, text_col=text_col)
+
+    def norm(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t[id_col], max_id))
+        lowered = pc.utf8_lower(t.column(text_col))
+        lists = pc.split_pattern_regex(lowered, pattern="[^a-z0-9]+")
+        joined = pc.binary_join(lists, " ")
+        # leading/trailing separators leave empty list slots
+        joined = pc.utf8_trim_whitespace(joined)
+        return pa.table({"did": t.column(id_col).cast(pa.int64()),
+                         "txt": joined})
+
+    side = [(np.empty(0, np.int64), [])]
+    for b in ds.select_columns([id_col, text_col]) \
+            .map_batches(norm, batch_format="pyarrow",
+                         zero_copy_batch=True) \
+            .iter_batches(batch_size=1 << 16, batch_format="pyarrow"):
+        side.append((b.column("did").to_numpy(zero_copy_only=False),
+                     b.column("txt").to_pylist()))
+    ids = np.concatenate([s[0] for s in side])
+    txts = np.array([t for s in side for t in s[1]], dtype=object)
+    order = np.argsort(ids)
+    ref = ray.put((ids[order], txts[order]))
+
+    def verify(t: pa.Table) -> pa.Table:
+        ids_s, txts_s = ray.get(ref)
+        a = t.column("id_a").to_numpy(zero_copy_only=False)
+        b = t.column("id_b").to_numpy(zero_copy_only=False)
+        ta = txts_s[np.searchsorted(ids_s, a)]
+        tb = txts_s[np.searchsorted(ids_s, b)]
+        d = levenshtein_batch(ta, tb)
+        keep = d <= max_dist
+        return pa.table({"id_a": pa.array(a[keep], pa.int64()),
+                         "id_b": pa.array(b[keep], pa.int64()),
+                         "dist": pa.array(d[keep], pa.int64())})
+
+    return pairs.map_batches(verify, batch_format="pyarrow",
+                             zero_copy_batch=True).sort(["id_a", "id_b"])

@@ -172,3 +172,53 @@ def test_dedup_audit_invariants(ray_session):
             docs_dedup.ngram_jaccard_pairs(sample, ex).take_all()}
     assert row["n_exact"] == len(want)
     assert row["n_sample"] == sample.count()
+
+
+def test_levenshtein_batch_vs_bruteforce():
+    import numpy as np
+
+    from kmcp_ray.docs_dedup import levenshtein_batch
+
+    def ref(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
+                                         prev + (ca != cb))
+        return dp[len(b)]
+
+    rng = np.random.RandomState(11)
+    alpha = "ab c"
+    A, B = [], []
+    for _ in range(60):
+        A.append("".join(rng.choice(list(alpha),
+                                    rng.randint(0, 15))))
+        B.append("".join(rng.choice(list(alpha),
+                                    rng.randint(0, 15))))
+    A += ["", "kitten", "same", ""]
+    B += ["abc", "sitting", "same", ""]
+    got = levenshtein_batch(np.array(A, object), np.array(B, object))
+    exp = [ref(a, b) for a, b in zip(A, B)]
+    assert got.tolist() == exp
+
+
+def test_edit_distance_pairs_planted(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from kmcp_ray import docs_dedup
+
+    texts = ["alpha beta gamma delta epsilon zeta",
+             "alpha beta gamma delta epsilon zett",   # 1 char swap-ish
+             "zeta epsilon delta gamma beta alpha",   # permuted: jacc 1.0
+             "one two three four five six"]
+    tbl = pa.table({"doc_id": pa.array(range(4), pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    out = docs_dedup.edit_distance_pairs(
+        ray.data.from_arrow(tbl), max_id=4, cand_jacc_u=500_000,
+        max_dist=5).to_pandas()
+    # (0,1): tiny char distance -> kept; (0,2)/(1,2): perfect-Jaccard
+    # permutation but HUGE edit distance -> rejected by the verify
+    assert list(zip(out.id_a, out.id_b)) == [(0, 1)]
+    assert out.dist.tolist()[0] <= 2
