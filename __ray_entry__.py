@@ -800,6 +800,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf, "documents", columns=["doc_id", "text"]),
             w=2, min_docs=20)
 
+    def q_curriculum_order(sf):
+        """Deterministic curriculum order: per-source easy→hard rank
+        (n_chars asc), sources interleaved round-robin via the
+        closed-form (r, source) rank — ONE groupby, no second shuffle
+        (curate.curriculum_order)."""
+        from kmcp_ray import curate
+        return curate.curriculum_order(
+            _read(sf, "documents",
+                  columns=["doc_id", "source", "n_chars"]))
+
     def q_edit_distance(sf):
         """Edit-distance-verified near-dup pairs: exact-Jaccard >= 0.9
         candidates re-verified with batch-vectorized char Levenshtein,
@@ -1599,6 +1609,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winsorize": q_winsorize,
         "triangle_count": q_triangle_count,
         "edit_distance_pairs": q_edit_distance,
+        "curriculum_order": q_curriculum_order,
         "heavy_hitters": q_heavy_hitters,
         "pmi_pairs": q_pmi_pairs,
         "boilerplate_dedup": q_boilerplate_dedup,
@@ -2647,6 +2658,18 @@ def oracle_sql() -> dict[str, str]:
                 WHERE jp.id_a = least(n.anchor_id, n.neg_id)
                   AND jp.id_b = greatest(n.anchor_id, n.neg_id))
             ORDER BY anchor_id
+        """,
+        "curriculum_order": """
+            WITH r AS (
+                SELECT doc_id, source,
+                       ROW_NUMBER() OVER (PARTITION BY source
+                                          ORDER BY n_chars, doc_id)
+                           - 1 AS r
+                FROM documents
+            )
+            SELECT doc_id, source, r,
+                   ROW_NUMBER() OVER (ORDER BY r, source) - 1 AS pos
+            FROM r ORDER BY doc_id
         """,
         "edit_distance_pairs": """
             WITH toks AS (

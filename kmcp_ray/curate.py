@@ -1806,3 +1806,71 @@ def boilerplate_dedup(ds, w: int = 2, min_docs: int = 12,
         .select_columns(["packed"])
     return _exchange_rebuild(ds, removed, w, id_col, text_col, P,
                              cnt_col="n_lines_removed")
+
+
+# ---------------------------------------------------- curriculum order
+
+def curriculum_order(ds, source_col: str = "source",
+                     key_col: str = "n_chars", id_col: str = "doc_id"):
+    """Deterministic curriculum training order: docs rank easy→hard
+    (``key_col`` asc, id asc) WITHIN each source, then sources
+    interleave round-robin — global position = rank under the
+    lexicographic key ``(r, source)``.  Emits ``(doc_id, source, r,
+    pos)``; reproducible across runs and cluster sizes, SQL-mirrorable
+    (two ROW_NUMBERs), auditable like :func:`global_shuffle`.
+
+    Shape: ONE groupby(source) ranks in-group (vectorized argsort);
+    the global interleave position needs NO second shuffle — with the
+    per-source size table broadcast (#sources rows), the rank of
+    ``(r, s)`` has the closed form ``Σ_{s'} min(size_{s'}, r) +
+    #{s' < s : size_{s'} > r}``, evaluated per batch as one
+    clip-matmul against the size vector.  Assumes a source's rows fit
+    one ``map_groups`` group (compose with the prefix-sum rank of
+    ``global_shuffle`` per source past that)."""
+    from ray.data.aggregate import Count
+
+    sizes = ds.groupby(source_col).aggregate(
+        Count(alias_name="n")).to_pandas().sort_values(source_col)
+    src = sizes[source_col].to_numpy(dtype=object)
+    n_s = sizes["n"].to_numpy().astype(np.int64)
+    sh = hashing.hash_strings(src)
+    order = np.argsort(sh)
+    # src sorted lexicographically for the "< s" term; hash-sorted for
+    # the per-batch lookup
+    lex_rank = np.empty(len(src), np.int64)
+    lex_rank[np.argsort(src)] = np.arange(len(src))
+    ref = ray.put((sh[order], lex_rank[order], n_s[order],
+                   n_s[np.argsort(src)]))
+
+    def rank_group(g: pa.Table) -> pa.Table:
+        ids = g.column(id_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        k = g.column(key_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        o = np.lexsort((ids, k))
+        r = np.empty(len(ids), np.int64)
+        r[o] = np.arange(len(ids), dtype=np.int64)
+        sh_s, lex_s, _n_s, n_lex = ray.get(ref)
+        s = g.column(source_col)
+        h = hashing.hash_strings(
+            s.to_numpy(zero_copy_only=False).astype(object))
+        pos_i = np.searchsorted(sh_s, h)
+        my_lex = lex_s[pos_i]
+        # closed-form global rank of (r, source):
+        #   sum_s' min(size_s', r)  +  #{s' <lex s : size_s' > r}
+        below = np.minimum(n_lex[None, :], r[:, None]).sum(axis=1)
+        bigger = (n_lex[None, :] > r[:, None])
+        same_r = bigger[:, :].cumsum(axis=1)
+        ties = np.where(my_lex > 0,
+                        np.take_along_axis(
+                            same_r, np.maximum(my_lex - 1, 0)[:, None],
+                            axis=1).ravel(), 0)
+        pos = below + ties
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         source_col: s,
+                         "r": pa.array(r, pa.int64()),
+                         "pos": pa.array(pos, pa.int64())})
+
+    return ds.select_columns([id_col, source_col, key_col]) \
+        .groupby(source_col).map_groups(rank_group,
+                                        batch_format="pyarrow")

@@ -552,3 +552,31 @@ def test_boilerplate_dedup_exchange_arm(ray_session):
         broadcast_blocked_rows=0) \
         .to_pandas().sort_values("doc_id").reset_index(drop=True)
     assert a.equals(b[a.columns])
+
+
+def test_curriculum_order_matches_two_rownumbers(ray_session):
+    """Closed-form interleave position == rank under (r, source) for
+    uneven source sizes; r == within-source (key, id) rank."""
+    import ray.data
+    rng = np.random.RandomState(5)
+    n = 120
+    src = rng.choice(np.array(["a", "bb", "c"], dtype=object),
+                     n, p=[0.5, 0.3, 0.2])
+    k = rng.randint(0, 40, n).astype(np.int64)
+    tbl = pa.table({"doc_id": pa.array(range(n), pa.int64()),
+                    "source": pa.array(src, pa.string()),
+                    "n_chars": pa.array(k, pa.int64())})
+    out = curate.curriculum_order(ray.data.from_arrow(tbl)) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    import pandas as pd
+    df = tbl.to_pandas()
+    df["r"] = df.sort_values(["n_chars", "doc_id"]) \
+        .groupby("source").cumcount().reindex(
+            df.sort_values(["n_chars", "doc_id"]).index)
+    df = df.sort_values("doc_id").reset_index(drop=True)
+    assert out.r.tolist() == df.r.tolist()
+    exp_pos = df.sort_values(["r", "source"]).reset_index()
+    pos_map = {int(row["doc_id"]): i
+               for i, row in exp_pos.iterrows()}
+    assert out.pos.tolist() == [pos_map[i] for i in range(n)]
+    assert sorted(out.pos.tolist()) == list(range(n))

@@ -37,7 +37,7 @@ SQL_CHECKED = ["exact_dedup_docs", "token_count", "token_stats", "doc_stats",
                "hamming_topk", "novelty_score", "contrastive_triplets",
                "oov_rate", "heavy_hitters", "pmi_pairs",
                "boilerplate_dedup", "winsorize", "triangle_count",
-               "edit_distance_pairs",
+               "edit_distance_pairs", "curriculum_order",
                "pack_sequences",
                "select_representatives", "corpus_diff",
                "normalized_dedup", "group_topk", "keyword_search",
