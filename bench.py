@@ -164,7 +164,9 @@ def run_bench() -> dict:
                      "quality_filter_pctl", "perplexity_score",
                      "hamming_topk", "novelty_score", "big_orders",
                      "oov_rate", "heavy_hitters", "pmi_pairs",
-                     "boilerplate_dedup", "contrastive_triplets"]:
+                     "boilerplate_dedup", "contrastive_triplets",
+                     "winsorize", "curriculum_order",
+                     "triangle_count", "edit_distance_pairs"]:
             timed(name, lambda n=name: consume(qs[n](SF_DIR)))
 
     if not skip_queries:
