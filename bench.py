@@ -150,8 +150,22 @@ def run_bench() -> dict:
         return ds_like.count()
 
     if not skip_queries:
-        for name in ["exact_dedup_docs", "minhash_dedup_docs",
-                     "simhash_dedup_docs", "doc_stats", "lineitem_pricing",
+        # minhash/simhash: the driver-verified queries() entries run the
+        # ORACLE-EXACT knob configuration (bucket_scale=1, verify_k→∞,
+        # skew caps lifted — an ~11M-pair exact verification on the
+        # word-salad sf corpus BY DESIGN, see __ray_entry__.ex_cfg), so
+        # they are timed under the ``*_oracle`` suffix; the PRIMARY
+        # names time the production sampled-bands + skew-caps configs a
+        # real corpus run uses — keeping round-over-round bench diffs
+        # like-for-like (r3 verdict #1).
+        from kmcp_ray.config import DedupConfig as _DC
+        from kmcp_ray import docs_dedup as _dd
+        _pcfg = _DC(num_partitions=16)
+        timed("minhash_dedup_docs",
+              lambda: _dd.minhash_dedup(em._docs(SF_DIR), _pcfg).count())
+        timed("simhash_dedup_docs",
+              lambda: _dd.simhash_dedup(em._docs(SF_DIR), _pcfg).count())
+        for name in ["exact_dedup_docs", "doc_stats", "lineitem_pricing",
                      "events_hourly_user", "ann_topk", "lsh_cosine_pairs",
                      "doc_fingerprint", "profile_em", "merge_regions",
                      "search_indexed_docs", "hash_sample", "decontaminate",
@@ -168,19 +182,13 @@ def run_bench() -> dict:
                      "winsorize", "curriculum_order",
                      "triangle_count", "edit_distance_pairs"]:
             timed(name, lambda n=name: consume(qs[n](SF_DIR)))
-
-    if not skip_queries:
-        # production-config counterpart of the oracle-exact
-        # minhash_dedup_docs entry (see the BASELINE.md bench note:
-        # the entry switched to exact mode in r3, which on the dense
-        # word-salad sf corpus verifies ~10x more candidates) — this is
-        # the sampled-bands + skew-caps config a real corpus run uses
-        from kmcp_ray.config import DedupConfig as _DC
-        from kmcp_ray import docs_dedup as _dd
-        import __ray_entry__ as _em
-        timed("minhash_dedup_production",
-              lambda: _dd.minhash_dedup(
-                  _em._docs(SF_DIR), _DC(num_partitions=16)).count())
+        # exact-mode twins (the driver-verified queries() entries):
+        # timed separately so their cost is visible but never conflated
+        # with the production numbers above
+        timed("minhash_dedup_oracle",
+              lambda: consume(qs["minhash_dedup_docs"](SF_DIR)))
+        timed("simhash_dedup_oracle",
+              lambda: consume(qs["simhash_dedup_docs"](SF_DIR)))
 
     n_assign = ray.data.read_parquet(out_dir).count()
     result = {

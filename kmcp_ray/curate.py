@@ -1677,8 +1677,23 @@ def pmi_pairs(ds, *, window: int = 2, min_cnt: int = 5, topk: int = 50,
         kh, vals = ray.get(ref)
         ca = vals[np.searchsorted(kh, hashing.hash_strings(a))]
         cb = vals[np.searchsorted(kh, hashing.hash_strings(b))]
-        lift = np.int64(1_000_000) * cnt * np.int64(n_pairs) \
-            // (ca * cb)
+        # 1e6 * cnt * n_pairs wraps int64 once n_pairs approaches ~1e12
+        # (corpus skip-gram total at 100 TB scale) while the DuckDB
+        # oracle promotes to HUGEINT — so guard the fast int64 path and
+        # fall back to exact arbitrary-precision integers (numpy object
+        # math == Python ints, still elementwise-vectorized).  The
+        # RESULT must fit int64 (lift_u ≤ 1e6·n_pairs/max(ca,cb)); if a
+        # degenerate corpus exceeds that, pa.array raises rather than
+        # silently wrapping.
+        if (int(cnt.max(initial=0)) * n_pairs < (1 << 63) // 1_000_000
+                and int(ca.max(initial=0)) * int(cb.max(initial=0))
+                < (1 << 63)):
+            lift = np.int64(1_000_000) * cnt * np.int64(n_pairs) \
+                // (ca * cb)
+        else:
+            lift = (1_000_000 * cnt.astype(object) * n_pairs
+                    // (ca.astype(object) * cb.astype(object))) \
+                .astype(np.int64)
         return pa.table({"tok_a": pa.array(a, pa.string()),
                          "tok_b": pa.array(b, pa.string()),
                          "cnt": pa.array(cnt, pa.int64()),
@@ -1858,13 +1873,20 @@ def curriculum_order(ds, source_col: str = "source",
         my_lex = lex_s[pos_i]
         # closed-form global rank of (r, source):
         #   sum_s' min(size_s', r)  +  #{s' <lex s : size_s' > r}
-        below = np.minimum(n_lex[None, :], r[:, None]).sum(axis=1)
-        bigger = (n_lex[None, :] > r[:, None])
-        same_r = bigger[:, :].cumsum(axis=1)
-        ties = np.where(my_lex > 0,
-                        np.take_along_axis(
-                            same_r, np.maximum(my_lex - 1, 0)[:, None],
-                            axis=1).ravel(), 0)
+        # evaluated via searchsorted over the SORTED size vector —
+        # O(rows log sources), no dense (rows x sources) intermediate:
+        #   sum min(size, r) = prefix_sum(sizes <= r) + r * #(sizes > r)
+        ss = np.sort(n_lex)
+        ps = np.concatenate(([0], np.cumsum(ss)))
+        c = np.searchsorted(ss, r, side="right")
+        below = ps[c] + r * (len(ss) - c)
+        # map_groups is per source, so my_lex is one value per group in
+        # practice; the unique-loop keeps mixed batches correct anyway
+        ties = np.empty(len(r), np.int64)
+        for ml in np.unique(my_lex):
+            m = my_lex == ml
+            pre = np.sort(n_lex[:ml])
+            ties[m] = ml - np.searchsorted(pre, r[m], side="right")
         pos = below + ties
         return pa.table({id_col: pa.array(ids, pa.int64()),
                          source_col: s,

@@ -695,9 +695,11 @@ def levenshtein_batch(A, B) -> np.ndarray:
     unrolls to ``dp[i][j] = j + min_{k<=j}(u[k]-k)`` — one
     ``np.minimum.accumulate`` per row — so the whole batch advances one
     DP row per iteration as 2-D (pairs x cols) kernels; ``max_len``
-    iterations total.  Semantics identical to DuckDB's
-    ``levenshtein()`` (insert/delete/substitute, cost 1 each), which is
-    the oracle mirror."""
+    iterations total.  Strings are compared as UNICODE CODE POINTS
+    (fixed-width utf-32 buffers), so semantics are identical to
+    DuckDB's character-level ``levenshtein()`` (insert/delete/
+    substitute, cost 1 each) for non-ASCII input too, which is the
+    oracle mirror."""
     P = len(A)
     out = np.zeros(P, np.int64)
     if P == 0:
@@ -705,16 +707,16 @@ def levenshtein_batch(A, B) -> np.ndarray:
     la = np.array([len(s) for s in A], np.int64)
     lb = np.array([len(s) for s in B], np.int64)
     Ma, Mb = int(la.max()), int(lb.max())
-    Abuf = np.zeros((P, max(Ma, 1)), np.uint8)
-    Bbuf = np.zeros((P, max(Mb, 1)), np.uint8)
+    Abuf = np.zeros((P, max(Ma, 1)), np.uint32)
+    Bbuf = np.zeros((P, max(Mb, 1)), np.uint32)
     for i, s in enumerate(A):
         if s:
-            Abuf[i, :len(s)] = np.frombuffer(s.encode("utf-8")[:len(s)],
-                                             np.uint8)
+            Abuf[i, :len(s)] = np.frombuffer(s.encode("utf-32-le"),
+                                             np.uint32)
     for i, s in enumerate(B):
         if s:
-            Bbuf[i, :len(s)] = np.frombuffer(s.encode("utf-8")[:len(s)],
-                                             np.uint8)
+            Bbuf[i, :len(s)] = np.frombuffer(s.encode("utf-32-le"),
+                                             np.uint32)
     idx = np.arange(Mb + 1, dtype=np.int32)
     dp = np.tile(idx, (P, 1))
     out[la == 0] = lb[la == 0]

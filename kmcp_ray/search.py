@@ -536,46 +536,86 @@ def to_kmcp_tsv(matches, path: str, cfg: DedupConfig, total_queries: int,
     kept shingles, chunkIdx/chunks decode "id#c/n" chunk identities
     (plain ids → 0/1), queryIdx is the dense rank of the query id (a
     content-derived stand-in for kmcp's input-order index — this engine
-    has no ordering contract).  A CLI convenience: the result is
-    collected to the driver for one flat file, exactly like kmcp's
-    single-writer TSV; Parquet stays the scale path.
+    has no ordering contract).  A CLI convenience matching kmcp's
+    single-writer TSV — but STREAMED: columns derive per batch, the
+    ordering contract runs as a distributed sort, and the driver only
+    formats one batch at a time (``iter_batches``), so driver RSS is
+    bounded by (batch size + the distinct-query rank table), never by
+    the match count (r3 verdict #4).  Parquet stays the scale path.
     """
-    hits_ds = add_hits(matches, num_partitions=num_partitions)
-    df = hits_ds.to_pandas()
-    q = df["query"].astype(str)
-    t = df["target"].astype(str)
-    tdoc = t.str.replace(r"#.*$", "", regex=True)
-    has_chunk = t.str.contains("#")
-    chunk_idx = np.where(has_chunk,
-                         t.str.replace(r"^.*#|/.*$", "", regex=True)
-                          .replace("", "0"), "0").astype(np.int64)
-    n_chunks = np.where(has_chunk,
-                        t.str.replace(r"^.*/", "", regex=True)
-                         .replace("", "1"), "1").astype(np.int64)
-    order = {v: i for i, v in enumerate(sorted(set(q)))}
-    out = df.assign(
-        qLen=df["q_ntok"], qKmers=df["q_kept"], FPR=df["fpr"],
-        target_doc=tdoc, chunkIdx=chunk_idx, chunks=n_chunks,
-        tLen=df["t_ntok"], kSize=cfg.shingle_k, mKmers=df["m_shared"],
-        qCov=df["qcov"], tCov=df["tcov"],
-        queryIdx=q.map(order).astype(np.int64))
+    import pyarrow.compute as pc
+    import ray
+
+    hits_ds = add_hits(matches, num_partitions=num_partitions) \
+        .materialize()       # consumed twice: query ranks + the rows
+    # distinct query ids → dense rank table (query-count-bounded, NOT
+    # match-count-bounded; broadcast once as a sorted fixed-width array)
+    chunks = [np.empty(0, dtype="S1")]
+    for b in hits_ds.select_columns(["query"]).map_batches(
+            lambda t: pa.table({"query": pc.unique(t["query"])}),
+            batch_format="pyarrow", zero_copy_batch=True) \
+            .iter_batches(batch_size=1 << 18, batch_format="pyarrow"):
+        chunks.append(np.asarray(
+            b.column("query").to_numpy(zero_copy_only=False), dtype="S"))
+    width = max(c.dtype.itemsize for c in chunks)
+    uniq = np.unique(np.concatenate(
+        [c.astype(f"S{width}") for c in chunks]))
+    matched = len(uniq)
+    uniq_ref = ray.put(uniq)
+
+    def derive(t: pa.Table) -> pa.Table:
+        import pandas as pd
+        keys = ray.get(uniq_ref)
+        qn = t.column("query").to_numpy(zero_copy_only=False)
+        ts = pd.Series(t.column("target").to_numpy(zero_copy_only=False),
+                       dtype=object).astype(str)
+        tdoc = ts.str.replace(r"#.*$", "", regex=True)
+        has_chunk = ts.str.contains("#")
+        chunk_idx = np.where(has_chunk,
+                             ts.str.replace(r"^.*#|/.*$", "", regex=True)
+                               .replace("", "0"), "0").astype(np.int64)
+        n_chunks = np.where(has_chunk,
+                            ts.str.replace(r"^.*/", "", regex=True)
+                              .replace("", "1"), "1").astype(np.int64)
+        probes = np.asarray(qn, dtype="S")
+        w = max(keys.dtype.itemsize, probes.dtype.itemsize, 1)
+        qidx = np.searchsorted(keys.astype(f"S{w}"),
+                               probes.astype(f"S{w}")).astype(np.int64)
+        n = t.num_rows
+        return pa.table({
+            "query": t.column("query"), "qLen": t.column("q_ntok"),
+            "qKmers": t.column("q_kept"), "FPR": t.column("fpr"),
+            "hits": t.column("hits"),
+            "target_doc": pa.array(tdoc.to_numpy(dtype=object),
+                                   pa.string()),
+            "chunkIdx": pa.array(chunk_idx, pa.int64()),
+            "chunks": pa.array(n_chunks, pa.int64()),
+            "tLen": t.column("t_ntok"),
+            "kSize": pa.array(np.full(n, cfg.shingle_k, np.int64)),
+            "mKmers": t.column("m_shared"), "qCov": t.column("qcov"),
+            "tCov": t.column("tcov"), "jacc": t.column("jacc"),
+            "queryIdx": pa.array(qidx, pa.int64())})
+
     cols = ["query", "qLen", "qKmers", "FPR", "hits", "target_doc",
             "chunkIdx", "chunks", "tLen", "kSize", "mKmers", "qCov",
             "tCov", "jacc", "queryIdx"]
-    out = out.sort_values(["queryIdx", "target_doc", "chunkIdx"])
-    matched = out["query"].nunique()
+    out_ds = hits_ds.map_batches(derive, batch_format="pyarrow",
+                                 zero_copy_batch=True) \
+        .sort(["queryIdx", "target_doc", "chunkIdx"])
+    rows = 0
     with open(path, "w") as f:
         f.write("\t".join(["query", "qLen", "qKmers", "FPR", "hits",
-                            "target", "chunkIdx", "chunks", "tLen",
-                            "kSize", "mKmers", "qCov", "tCov", "jacc",
-                            "queryIdx"]) + "\n")
-        for row in out[cols].itertuples(index=False):
-            f.write("\t".join(
-                f"{v:.4f}" if isinstance(v, float) else str(v)
-                for v in row) + "\n")
+                           "target", "chunkIdx", "chunks", "tLen",
+                           "kSize", "mKmers", "qCov", "tCov", "jacc",
+                           "queryIdx"]) + "\n")
+        for b in out_ds.iter_batches(batch_size=65536,
+                                     batch_format="pandas"):
+            rows += len(b)
+            b[cols].to_csv(f, sep="\t", header=False, index=False,
+                           float_format="%.4f")
         f.write(f"# input queries: {total_queries}\n")
         f.write(f"# matched queries: {matched}\n")
         pct = 100.0 * matched / max(total_queries, 1)
         f.write(f"# matched percentage: {pct:.4f}%\n")
-    return {"rows": len(out), "matched": int(matched),
+    return {"rows": rows, "matched": int(matched),
             "total": int(total_queries)}

@@ -144,3 +144,72 @@ def test_ray_address_flag_attach_mode(ray_session, monkeypatch):
     ns.ray_address = "local"
     cli._init(ns)
     assert calls[0]["num_cpus"] == 32 and calls[0]["address"] == "local"
+
+
+def test_search_tsv_streams_large(ray_session, tmp_path):
+    """The TSV writer streams: a multi-block ~120k-match table renders
+    byte-identically to an independent in-memory pandas rendering —
+    driver RSS is bounded by batch size, not by the match count
+    (search.to_kmcp_tsv, r3 verdict #4)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+    from kmcp_ray import search as search_mod
+
+    rng = np.random.default_rng(11)
+    n = 120_000
+    qi = rng.integers(0, 4000, n)
+    ti = rng.integers(0, 500, n)
+    targets = np.array([f"r{t:04d}#{t % 4}/4" if t % 3 == 0
+                        else f"r{t:04d}" for t in ti], object)
+    m = rng.integers(1, 40, n).astype(np.int64)
+    tbl = pa.table({
+        "query": pa.array([f"q{q:05d}" for q in qi], pa.string()),
+        "q_kept": pa.array(m + 2, pa.int64()),
+        "target": pa.array(targets, pa.string()),
+        "t_kept": pa.array(m + 5, pa.int64()),
+        "m_shared": pa.array(m, pa.int64()),
+        "qcov": pa.array(m / (m + 2.0), pa.float64()),
+        "tcov": pa.array(m / (m + 5.0), pa.float64()),
+        "jacc": pa.array(m / (m + 7.0), pa.float64()),
+        "fpr": pa.array(rng.random(n) * 1e-3, pa.float64()),
+        "q_ntok": pa.array(m + 3, pa.int64()),
+        "t_ntok": pa.array(m + 6, pa.int64())})
+    ds = ray.data.from_arrow(tbl).repartition(8)
+    path = str(tmp_path / "big.tsv")
+    stats = search_mod.to_kmcp_tsv(ds, path, CFG, total_queries=4000,
+                                   num_partitions=8)
+    assert stats["rows"] == n
+
+    # independent rendering: plain pandas over the same table
+    df = tbl.to_pandas()
+    hits = df.groupby("query")["target"].transform("size")
+    t = df["target"].astype(str)
+    tdoc = t.str.replace(r"#.*$", "", regex=True)
+    has_chunk = t.str.contains("#")
+    cidx = np.where(has_chunk, t.str.replace(r"^.*#|/.*$", "", regex=True),
+                    "0").astype(np.int64)
+    nch = np.where(has_chunk, t.str.replace(r"^.*/", "", regex=True),
+                   "1").astype(np.int64)
+    order = {v: i for i, v in enumerate(sorted(set(df["query"])))}
+    out = pd.DataFrame({
+        "query": df["query"], "qLen": df["q_ntok"],
+        "qKmers": df["q_kept"], "FPR": df["fpr"], "hits": hits,
+        "target": tdoc, "chunkIdx": cidx, "chunks": nch,
+        "tLen": df["t_ntok"], "kSize": CFG.shingle_k,
+        "mKmers": df["m_shared"], "qCov": df["qcov"],
+        "tCov": df["tcov"], "jacc": df["jacc"],
+        "queryIdx": df["query"].map(order).astype(np.int64)})
+    out = out.sort_values(["queryIdx", "target", "chunkIdx"],
+                          kind="stable")
+    import io
+    buf = io.StringIO()
+    buf.write("\t".join(out.columns) + "\n")
+    out.to_csv(buf, sep="\t", header=False, index=False,
+               float_format="%.4f")
+    buf.write(f"# input queries: 4000\n")
+    buf.write(f"# matched queries: {out['query'].nunique()}\n")
+    pct = 100.0 * out["query"].nunique() / 4000
+    buf.write(f"# matched percentage: {pct:.4f}%\n")
+    got = open(path).read()
+    assert got == buf.getvalue()
