@@ -25,6 +25,13 @@ from typing import Any
 
 import numpy as np
 
+import os as _os
+
+#: golden-output directory for the image-stage oracles (absolute so the
+#: DuckDB SQL works from any driver cwd)
+_GOLDEN_DIR = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                            "tests", "golden")
+
 
 def _docs(sf_dir: str):
     return _read(sf_dir, "documents")
@@ -466,28 +473,59 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def q_decode_verify(sf):
         """actor-pool multimodal decode + integrity stage on the
-        synthetic image corpus."""
-        import pyarrow.parquet as pq
+        (n, seed)-deterministic synthetic image corpus — sf-independent
+        by construction, so the per-image pixel checksums precomputed
+        into tests/golden/decode_verify.parquet are the DuckDB oracle
+        (the kmcp version-pinned golden-profile pattern,
+        demo-profiling/README.md)."""
+        import pyarrow as pa
         import ray.data
         from kmcp_ray import testgen
         from kmcp_ray.imagecodec import decode_verify
-        texts = pq.read_table(f"{sf}/documents.parquet",
-                              columns=["text"]).column("text").to_pylist()
-        table, _p, _n = testgen.make_pairs_corpus(n=400, seed=42, cfg=cfg,
-                                                  captions=texts)
-        return decode_verify(ray.data.from_arrow(table), concurrency=2)
+        table, _p, _n = testgen.make_pairs_corpus(n=400, seed=42, cfg=cfg)
+        out = decode_verify(ray.data.from_arrow(table), concurrency=2)
+
+        def to_int(t: "pa.Table") -> "pa.Table":
+            ok = t.column("phash_ok").to_numpy(zero_copy_only=False)
+            ps = t.column("psnr_db").to_numpy(zero_copy_only=False)
+            return pa.table({
+                "image_id": t.column("image_id"),
+                "phash_ok": pa.array(ok.astype(np.int64), pa.int64()),
+                "psnr_cdb": pa.array(np.floor(ps * 100).astype(np.int64),
+                                     pa.int64()),
+                "w_decoded": pa.array(
+                    t.column("w_decoded").to_numpy(zero_copy_only=False)
+                    .astype(np.int64), pa.int64()),
+                "h_decoded": pa.array(
+                    t.column("h_decoded").to_numpy(zero_copy_only=False)
+                    .astype(np.int64), pa.int64()),
+                "pix_sum": t.column("pix_sum")})
+        return out.map_batches(to_int, batch_format="pyarrow",
+                               zero_copy_batch=True).sort("image_id")
 
     def q_resize_images(sf):
         """actor-pool resize stage: decode → 16x16 resample → lossless
         re-encode + fresh phash; output keeps the image-table shape so
         it composes with decode_verify / the dedup pipeline."""
+        import pyarrow as pa
         import ray.data
         from kmcp_ray import testgen
         from kmcp_ray.imagecodec import resize_images
         table, _p, _n = testgen.make_pairs_corpus(n=400, seed=42, cfg=cfg)
-        return resize_images(ray.data.from_arrow(table), out_w=16,
-                             out_h=16, concurrency=2) \
-            .select_columns(["image_id", "w", "h", "fmt", "phash"])
+        out = resize_images(ray.data.from_arrow(table), out_w=16,
+                            out_h=16, concurrency=2) \
+            .select_columns(["image_id", "w", "h", "fmt", "phash",
+                             "pix_sum"])
+
+        def widen(t: "pa.Table") -> "pa.Table":
+            return pa.table({
+                "image_id": t.column("image_id"),
+                "w": t.column("w").cast(pa.int64()),
+                "h": t.column("h").cast(pa.int64()),
+                "fmt": t.column("fmt"), "phash": t.column("phash"),
+                "pix_sum": t.column("pix_sum")})
+        return out.map_batches(widen, batch_format="pyarrow",
+                               zero_copy_batch=True).sort("image_id")
 
     def q_frame_sample(sf):
         """actor-pool video frame sampling (every 5th frame of a
@@ -505,10 +543,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
             blobs.append(encode_video(fr))
         tbl = _pa.table({"video_id": _pa.array(vids, _pa.string()),
                          "bytes": _pa.array(blobs, _pa.binary())})
-        return frame_sample(ray.data.from_arrow(tbl).repartition(4),
-                            every=5, concurrency=2) \
+        out = frame_sample(ray.data.from_arrow(tbl).repartition(4),
+                           every=5, concurrency=2) \
             .select_columns(["image_id", "video_id", "frame_idx",
-                             "w", "h", "phash"])
+                             "w", "h", "phash", "pix_sum"])
+
+        def widen(t: "_pa.Table") -> "_pa.Table":
+            return _pa.table({
+                "image_id": t.column("image_id"),
+                "video_id": t.column("video_id"),
+                "frame_idx": t.column("frame_idx"),
+                "w": t.column("w").cast(_pa.int64()),
+                "h": t.column("h").cast(_pa.int64()),
+                "phash": t.column("phash"),
+                "pix_sum": t.column("pix_sum")})
+        return out.map_batches(widen, batch_format="pyarrow",
+                               zero_copy_batch=True).sort("image_id")
 
     def q_corpus_funnel(sf):
         """Training-data funnel: quality gate → lang ID → exact dedup
@@ -629,31 +679,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_image_dedup(sf):
         """PIXEL-space near-dup clustering (the image leg of the dedup
         tier): decode -> DCT structure embedding (DC/means stripped) ->
-        cosine pairs -> spanning forest -> min-id labels.  Rows-only
-        (images are synthesized); planted-pair recall pinned in
+        cosine pairs -> spanning forest -> min-id labels.  The
+        (n, seed)-deterministic sf-independent corpus makes the cluster
+        assignments golden-pinnable (tests/golden/image_dedup.parquet =
+        the DuckDB oracle); planted-pair recall additionally pinned in
         tests/test_imagecodec.py."""
-        import pyarrow.parquet as pq
         import ray.data
         from kmcp_ray import testgen
         from kmcp_ray.imagecodec import image_feature_dedup
-        texts = pq.read_table(f"{sf}/documents.parquet",
-                              columns=["text"]).column("text").to_pylist()
-        table, _p, _n = testgen.make_pairs_corpus(n=400, seed=42, cfg=cfg,
-                                                  captions=texts)
+        table, _p, _n = testgen.make_pairs_corpus(n=400, seed=42, cfg=cfg)
         return image_feature_dedup(ray.data.from_arrow(table),
-                                   threshold=0.99, concurrency=2)
+                                   threshold=0.99, concurrency=2) \
+            .sort("image_id")
 
     def q_image_features(sf):
         """actor-pool multimodal decode -> feature-extract stage
-        (DCT embedding per image; the model-inference plumbing)."""
-        import pyarrow.parquet as pq
+        (DCT embedding per image; the model-inference plumbing).
+        sf-independent deterministic corpus → integer embedding summary
+        pinned by tests/golden/image_features.parquet (DuckDB oracle)."""
         import ray.data
         from kmcp_ray import testgen
         from kmcp_ray.imagecodec import image_features
-        texts = pq.read_table(f"{sf}/documents.parquet",
-                              columns=["text"]).column("text").to_pylist()
-        table, _p, _n = testgen.make_pairs_corpus(n=400, seed=42, cfg=cfg,
-                                                  captions=texts)
+        table, _p, _n = testgen.make_pairs_corpus(n=400, seed=42, cfg=cfg)
         feats = image_features(ray.data.from_arrow(table), concurrency=2)
 
         def summarize(t):
@@ -672,7 +719,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                      pa.int64())})
         # scalar summary (the list column itself breaks value hashing)
         return feats.map_batches(summarize, batch_format="pyarrow",
-                                 zero_copy_batch=True)
+                                 zero_copy_batch=True).sort("image_id")
 
     def q_bucket_stats(sf):
         from kmcp_ray.diagnostics import bucket_stats
@@ -3807,5 +3854,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(rank AS BIGINT) AS rank,
                    CAST(n_registers AS BIGINT) AS n_registers
             FROM hist ORDER BY rank
+        """,
+        # ---- golden-output oracles for the image stages: the corpora
+        # are (n, seed)-deterministic with NO sf dependence, so the
+        # frozen per-image integer outputs under tests/golden/ ARE the
+        # expected values (kmcp's version-pinned golden profile,
+        # demo-profiling/mock.kmcp.gz.kmcp.profile.v0.8.2 analogue;
+        # regenerated only via tools/make_golden.py, drift caught by
+        # tests/test_imagecodec.py before the driver ever runs) -------
+        "decode_verify": f"""
+            SELECT image_id, phash_ok, psnr_cdb, w_decoded, h_decoded,
+                   pix_sum
+            FROM read_parquet('{_GOLDEN_DIR}/decode_verify.parquet')
+            ORDER BY image_id
+        """,
+        "resize_images": f"""
+            SELECT image_id, w, h, fmt, phash, pix_sum
+            FROM read_parquet('{_GOLDEN_DIR}/resize_images.parquet')
+            ORDER BY image_id
+        """,
+        "frame_sample": f"""
+            SELECT image_id, video_id, frame_idx, w, h, phash, pix_sum
+            FROM read_parquet('{_GOLDEN_DIR}/frame_sample.parquet')
+            ORDER BY image_id
+        """,
+        "image_features": f"""
+            SELECT image_id, emb_dim, emb_l2_u
+            FROM read_parquet('{_GOLDEN_DIR}/image_features.parquet')
+            ORDER BY image_id
+        """,
+        "image_dedup": f"""
+            SELECT image_id, cluster_id
+            FROM read_parquet('{_GOLDEN_DIR}/image_dedup.parquet')
+            ORDER BY image_id
         """,
     }

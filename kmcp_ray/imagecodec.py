@@ -135,6 +135,24 @@ def resize_pixels(px: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     return px[np.ix_(yi, xi)]
 
 
+def pixel_checksum64(px: np.ndarray) -> int:
+    """Order-sensitive 63-bit checksum of a uint8 pixel array: each
+    byte weighted by a splitmix64 stream keyed on its position, summed
+    mod 2^64, top bit dropped so the value rides int64/SQL BIGINT.
+
+    The golden-output anchor for the image stages (kmcp's
+    version-pinned profile goldens, demo-profiling/README.md
+    "Compared to KMCP v0.8.2" analogue): the stub codec is
+    deterministic, so per-image checksums precomputed into
+    tests/golden/*.parquet let DuckDB hash-verify the decode / resize /
+    frame-sample outputs value-exactly."""
+    from kmcp_ray import hashing
+    flat = px.reshape(-1).astype(np.uint64)
+    w = hashing.splitmix64(np.arange(flat.size, dtype=np.uint64))
+    total = (flat * w).sum(dtype=np.uint64)
+    return int((total >> np.uint64(1)).astype(np.int64))
+
+
 def hamming64(a, b) -> "np.ndarray | int":
     """Bitwise Hamming distance between int64/uint64 phash values."""
     from kmcp_ray.hashing import popcount64
@@ -209,11 +227,13 @@ class DecodeStage:
         psnr_db = np.zeros(n, dtype=np.float64)
         ws = np.zeros(n, dtype=np.int32)
         hs = np.zeros(n, dtype=np.int32)
+        sums = np.zeros(n, dtype=np.int64)
         pixels = []
         for i, data in enumerate(bts):          # stub-inherent decode loop
             px = self.decode(data)
             pixels.append(px)
             hs[i], ws[i] = px.shape[0], px.shape[1]
+            sums[i] = pixel_checksum64(px)
             rt = self.decode(encode(px, fmts[i]))
             p = psnr(px, rt)
             psnr_db[i] = 99.0 if p == float("inf") else p
@@ -225,6 +245,7 @@ class DecodeStage:
             "psnr_db": pa.array(psnr_db, pa.float64()),
             "w_decoded": pa.array(ws, pa.int32()),
             "h_decoded": pa.array(hs, pa.int32()),
+            "pix_sum": pa.array(sums, pa.int64()),
         })
 
 
@@ -311,9 +332,11 @@ class ResizeStage:
         n = len(bts)
         out = []
         pixels = []
-        for data in bts:                        # stub-inherent decode loop
+        sums = np.zeros(n, dtype=np.int64)
+        for i, data in enumerate(bts):          # stub-inherent decode loop
             px = resize_pixels(self.decode(data), self.out_h, self.out_w)
             pixels.append(px)
+            sums[i] = pixel_checksum64(px)
             out.append(encode(px, "png"))
         phs = phash64_batch(pixels)             # one stacked DCT pass
         return pa.table({
@@ -323,6 +346,7 @@ class ResizeStage:
             "h": pa.array(np.full(n, self.out_h, np.int32)),
             "fmt": pa.array(["png"] * n, pa.string()),
             "phash": pa.array(phs, pa.int64()),
+            "pix_sum": pa.array(sums, pa.int64()),
         })
 
 
@@ -404,6 +428,7 @@ class FrameSampleStage:
                 hs.append(h)
                 pixels.append(frames[j])
         phs = phash64_batch(pixels)
+        sums = np.array([pixel_checksum64(p) for p in pixels], np.int64)
         return pa.table({
             "image_id": pa.array(ids, pa.string()),
             "bytes": pa.array(out_b, pa.binary()),
@@ -411,6 +436,7 @@ class FrameSampleStage:
             "h": pa.array(hs, pa.int32()),
             "fmt": pa.array(["png"] * len(ids), pa.string()),
             "phash": pa.array(phs, pa.int64()),
+            "pix_sum": pa.array(sums, pa.int64()),
             "video_id": pa.array(
                 [i.split("#f")[0] for i in ids], pa.string()),
             "frame_idx": pa.array(fidx, pa.int64()),

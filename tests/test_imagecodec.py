@@ -184,3 +184,28 @@ def test_image_feature_dedup_planted_exact_pairs(ray_session):
                    if lab[a] == lab[b]
                    and frozenset((a, b)) not in planted_set]
     assert not false_pairs, f"{len(false_pairs)} noise pairs clustered"
+
+
+def test_image_queries_match_golden(ray_session):
+    """The five image-stage driver entries equal their frozen goldens
+    (tests/golden/*.parquet, tools/make_golden.py) — the version-pinned
+    golden-output pattern (kmcp demo-profiling/mock.kmcp.gz.kmcp
+    .profile.v0.8.2); any codec/stage drift fails here before it ever
+    reaches the driver's DuckDB compare."""
+    import os
+    import sys
+
+    import pyarrow.parquet as pq
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as entrymod
+
+    qs = entrymod.queries()
+    gd = os.path.join("/root/repo", "tests", "golden")
+    for name in ["decode_verify", "resize_images", "frame_sample",
+                 "image_features", "image_dedup"]:
+        got = qs[name]("/root/testdata/sf0.001").to_pandas() \
+            .reset_index(drop=True)
+        exp = pq.read_table(os.path.join(gd, f"{name}.parquet")) \
+            .to_pandas()
+        assert list(got.columns) == list(exp.columns), name
+        assert got.equals(exp), f"{name} drifted from golden"
