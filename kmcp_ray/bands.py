@@ -24,7 +24,7 @@ kmcp packing 8-file batches into block columns (kmcp/cmd/index.go:1066+).
 **Identity compression (r3)**: the ``image_id`` string rides ONLY each
 row's DESIGNATED entries — its first MinHash band (or first containment
 key when MinHash is off), its pHash chunk 0, and its exact entry; all
-other entries ship just ``(key u64, kind i8, ident u64)`` ≈ 17 B.
+other entries ship just ``(bkey u32, ident u64)`` = 12 B.
 ``ident`` is the row's content-equivalence-class key for the entry's
 kind (whole-sketch fold for minhash/contain, the 64-bit pHash for
 phash): rows with equal ident are duplicates by construction, share
@@ -36,6 +36,22 @@ classes and re-attaches strings from the (tiny) membership table.  This
 roughly halves the one wide shuffle's bytes — the reference's analogue
 is kmcp indexing k-mers against compact integer reference indices, not
 names (kmcp/cmd/index.go:213+, semantics re-derived).
+
+**Bucket-key truncation (r4)**: the shipped bucket key is ONE u32 —
+kind in the top 2 bits, the full key's HIGH 30 bits below (``bkey =
+kind << 30 | key >> 34``); the shuffle partition still derives from the
+FULL 64-bit key map-side, so a truncated collision only merges buckets
+when both the low bits (mod num_partitions) and the high 30 bits agree
+(~2^-37 per entry pair at P=128).  Collisions can only ADD candidate
+pairs — every sketch pair is exactly re-verified downstream and every
+phash pair Hamming-verified on its full 64-bit ident in the bucket —
+never lose them (equal full keys ⇒ equal bkey + part), so recall and
+verified-edge semantics are unchanged while the id-free entry stream
+drops from 17 B to 12 B (-30%): the expected false-candidate volume at
+10^12 rows (~3e13 entries, P~10^6) is ~1e11 pairs, a bounded verify
+surcharge traded for ~120 TB less exchange traffic.  The reference's
+analogue is kmcp's Bloom-FPR knob — accepted false positives at the
+candidate stage, exact verification after (kmcp/cmd/index.go:88-92).
 """
 
 from __future__ import annotations
@@ -55,7 +71,26 @@ _CONTAIN_SALT = np.uint64(0x9FB21C651E98DF25)
 
 #: packed band-row columns: the id-free entry stream + the designated
 #: (id-carrying) entry stream, offsets aligned on the same ``part`` rows
-PACKED_COLS = ("key", "kind", "ident", "dkey", "dkind", "dident", "did")
+PACKED_COLS = ("bkey", "ident", "dbkey", "dident", "did")
+
+#: bits of the full 64-bit bucket key kept in the shipped u32 (the top
+#: 2 bits carry the kind)
+BKEY_BITS = 30
+
+
+def pack_bkey(keys: np.ndarray, kinds: np.ndarray) -> np.ndarray:
+    """(full u64 key, kind) → shipped u32 bucket key: kind in the top
+    2 bits, the key's high ``BKEY_BITS`` bits below.  Equal full keys
+    (same kind) always map to equal bkeys; the partition is derived
+    from the full key separately, so truncated collisions must also
+    agree mod num_partitions to ever share a bucket."""
+    return ((kinds.astype(np.uint32) << np.uint32(BKEY_BITS))
+            | (keys >> np.uint64(64 - BKEY_BITS)).astype(np.uint32))
+
+
+def bkey_kind(bkey: np.ndarray) -> np.ndarray:
+    """Shipped u32 bucket key → kind (top 2 bits)."""
+    return (bkey >> np.uint32(BKEY_BITS)).astype(np.int8)
 
 
 def _segment_gather(starts: np.ndarray, lengths: np.ndarray) -> np.ndarray:
@@ -130,6 +165,7 @@ def make_band_fn(cfg: DedupConfig, enable=("minhash", "contain", "phash", "exact
         kinds = np.concatenate(kind_parts) if kind_parts else np.empty(0, np.int8)
         desig = np.concatenate(desig_parts) if desig_parts else np.empty(0, bool)
         part = (keys % np.uint64(cfg.num_partitions)).astype(np.int64)
+        bkeys = pack_bkey(keys, kinds)
 
         # per-entry identity payload — ONE u64, selected by kind: the
         # phash travels only with phash-band entries (Hamming verify +
@@ -167,11 +203,9 @@ def make_band_fn(cfg: DedupConfig, enable=("minhash", "contain", "phash", "exact
 
         return pa.table({
             "part": pa.array(uparts, pa.int64()),
-            "key": pack_list(off1, keys[o1], pa.uint64()),
-            "kind": pack_list(off1, kinds[o1], pa.int8()),
+            "bkey": pack_list(off1, bkeys[o1], pa.uint32()),
             "ident": pack_list(off1, ident[o1], pa.uint64()),
-            "dkey": pack_list(off2, keys[o2], pa.uint64()),
-            "dkind": pack_list(off2, kinds[o2], pa.int8()),
+            "dbkey": pack_list(off2, bkeys[o2], pa.uint32()),
             "dident": pack_list(off2, ident[o2], pa.uint64()),
             "did": pack_list(off2, ids_np[rows[o2]], pa.string()),
         })

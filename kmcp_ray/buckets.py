@@ -139,13 +139,13 @@ def make_bucket_verifier(cfg: DedupConfig, fresh_gate: bool = False):
 
     def verify_partition(batch: pa.Table) -> pa.Table:
         from kmcp_ray.arrowutil import column, list_to_numpy
+        from kmcp_ray.bands import bkey_kind
 
-        k1, off1 = list_to_numpy(column(batch, "kind"), dtype=np.int8)
-        keys1, _ = list_to_numpy(column(batch, "key"), dtype=np.uint64)
+        keys1, off1 = list_to_numpy(column(batch, "bkey"), dtype=np.uint32)
         idn1, _ = list_to_numpy(column(batch, "ident"), dtype=np.uint64)
-        k2, off2 = list_to_numpy(column(batch, "dkind"), dtype=np.int8)
-        keys2, _ = list_to_numpy(column(batch, "dkey"), dtype=np.uint64)
+        keys2, off2 = list_to_numpy(column(batch, "dbkey"), dtype=np.uint32)
         idn2, _ = list_to_numpy(column(batch, "dident"), dtype=np.uint64)
+        k1, k2 = bkey_kind(keys1), bkey_kind(keys2)
         ids2 = column(batch, "did").flatten().to_numpy(zero_copy_only=False)
         n1, n2 = len(k1), len(k2)
         m = n1 + n2
@@ -176,15 +176,16 @@ def make_bucket_verifier(cfg: DedupConfig, fresh_gate: bool = False):
                     np.full(nm, via, dtype=object),
                     np.zeros(nm), idn2[mask], None))
 
-        # unified entry view: id-free stream first, designated second
+        # unified entry view: id-free stream first, designated second.
+        # bkey embeds the kind in its top 2 bits, so sorting by bkey IS
+        # the (kind, key) order and a bkey change IS a bucket boundary.
         kinds = np.concatenate((k1, k2))
         keys = np.concatenate((keys1, keys2))
         ident = np.concatenate((idn1, idn2))
 
-        order = np.lexsort((ident, keys, kinds))
+        order = np.lexsort((ident, keys))
         k_s, key_s, idn_s = kinds[order], keys[order], ident[order]
-        seg_first = np.concatenate(([True],
-                                    (k_s[1:] != k_s[:-1]) | (key_s[1:] != key_s[:-1])))
+        seg_first = np.concatenate(([True], key_s[1:] != key_s[:-1]))
         seg_id = np.cumsum(seg_first) - 1
         seg_start = np.nonzero(seg_first)[0]
         seg_end = np.concatenate((seg_start[1:], [m]))
@@ -300,10 +301,13 @@ def make_bucket_verifier(cfg: DedupConfig, fresh_gate: bool = False):
             # pass is needed anywhere downstream
             ph_mask = ccls == 0
             if ph_mask.any():
+                from kmcp_ray.bands import KIND_PHASH as _KP, pack_bkey
                 pa_i, pb_i = ia2[ph_mask], ib2[ph_mask]
                 ham = np.asarray(imagecodec.hamming64(pa_i, pb_i))
-                d0 = imagecodec.phash_first_agree_key(
-                    pa_i, pb_i, cfg.phash_chunks)
+                d0 = pack_bkey(
+                    imagecodec.phash_first_agree_key(
+                        pa_i, pb_i, cfg.phash_chunks),
+                    np.full(int(ph_mask.sum()), _KP, np.int8))
                 ok = (ham <= cfg.hamming_radius) & (key_s[pi[ph_mask]] == d0)
                 if ok.any():
                     nph = int(ok.sum())

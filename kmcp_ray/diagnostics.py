@@ -27,13 +27,13 @@ def bucket_stats(sig_ds, cfg: DedupConfig, enable=("minhash", "contain",
 
     def hist_partition(group: pa.Table) -> pa.Table:
         from kmcp_ray.arrowutil import column, list_to_numpy
-        # both packed entry streams (id-free + designated) form buckets
-        k1, _ = list_to_numpy(column(group, "kind"), dtype=np.int8)
-        k2, _ = list_to_numpy(column(group, "dkind"), dtype=np.int8)
-        kinds = np.concatenate((k1, k2))
-        key1, _ = list_to_numpy(column(group, "key"), dtype=np.uint64)
-        key2, _ = list_to_numpy(column(group, "dkey"), dtype=np.uint64)
+        from kmcp_ray.bands import bkey_kind
+        # both packed entry streams (id-free + designated) form buckets;
+        # bkey embeds the kind in its top 2 bits (bands.pack_bkey)
+        key1, _ = list_to_numpy(column(group, "bkey"), dtype=np.uint32)
+        key2, _ = list_to_numpy(column(group, "dbkey"), dtype=np.uint32)
         keys = np.concatenate((key1, key2))
+        kinds = bkey_kind(keys)
         if len(kinds) == 0:
             return pa.table({"kind": pa.array([], pa.int8()),
                              "bucket_size": pa.array([], pa.int64()),

@@ -196,6 +196,14 @@ def edges_stage(sig_ds, cfg: DedupConfig, enable=ALL_GENERATORS,
     ids before tokenization) instead of a ``vsk`` column on ``sig_ds``
     — so the materialized signature table never carries the blob.
     """
+    # batch_size=4096 DELIBERATELY breaks fusion with the read→sketch
+    # chain: packing density dominates — fusing (whole-block batches at
+    # the parquet reader's granularity) was measured 13.5-14.0 s for
+    # this exchange at 800k rows vs 8.5-9.0 s unfused@4096, and
+    # unfused@1024 reproduces the fused cost (12.8-13.2 s), so the ~5 s
+    # is small-batch packing overhead (4x the part-rows through the
+    # shuffle sort), not the ~274 B/row signature hop this op re-adds
+    # (r4 A/B, recorded in BASELINE.md)
     band_fn = bands_mod.make_band_fn(cfg, enable=enable)
     band_ds = sig_ds.map_batches(band_fn, batch_format="pyarrow",
                                  batch_size=4096, zero_copy_batch=True)
