@@ -104,7 +104,7 @@ def run_bench() -> dict:
     # leaves a 3.2M timed rep paying the (machine-serialized) fault tax
     warm = ray.data.read_parquet(
         paths, columns=["image_id", "bytes", "caption", "phash"])
-    dedup_pipeline(warm, cfg).assignments.count()
+    dedup_pipeline(warm, cfg, materialize_edges=False).assignments.count()
     out_dir = "/tmp/kmcp_bench_out_%d%s" % (
         NCPU, os.environ.get("GRAFT_BENCH_TAG", ""))
     import shutil
@@ -121,7 +121,10 @@ def run_bench() -> dict:
         t0 = time.time()
         ds = ray.data.read_parquet(
             paths, columns=["image_id", "bytes", "caption", "phash"])
-        res = dedup_pipeline(ds, cfg)
+        # materialize_edges=False: the headline consumes only the
+        # assignments — the verified-edge stream flows straight into
+        # the forest reduction, one fewer barrier (see pipeline.py)
+        res = dedup_pipeline(ds, cfg, materialize_edges=False)
         res.assignments.write_parquet(out_dir)
         reps.append(time.time() - t0)
         # release materialized datasets so the next rep doesn't run

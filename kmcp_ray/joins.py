@@ -59,10 +59,53 @@ def _probe_kernel(bk_sorted: np.ndarray, pk: np.ndarray, how: str):
     return rep, gather, miss
 
 
+def detect_hot_keys(ds, key: str, P: int, *, hot_factor: float = 2.0,
+                    max_salt: "int | None" = None):
+    """One column-pruned pass over ``ds[key]`` → (sorted hot-key array,
+    salt factor S, estimated total rows).
+
+    Per batch, keys with a local count ≥ batch_rows/(4P) are candidate
+    heavy hitters (a key with global share ≥ 1/P is locally hot in any
+    large batch on average; the 4x margin covers batch variance); their
+    counts accumulate on the driver — bounded by ~4P candidates per
+    batch, never the key cardinality.  A key is HOT when its estimated
+    count exceeds ``hot_factor`` × the mean partition load n/P; the
+    returned S = clip(ceil(max_hot_share / (n/P)), 1, P) is the number
+    of sub-partitions that levels the hottest key back to ~one
+    partition's fair share.  This is the same measured-decision pattern
+    as the broadcast/exchange gates (pipeline.edges_from_raw) — and the
+    automatic analogue of kmcp shrinking its block size for huge
+    references (reference: kmcp/cmd/index.go:213-259)."""
+    import pyarrow.compute as pc
+
+    counts: dict = {}
+    n_total = 0
+    for b in ds.select_columns([key]).iter_batches(
+            batch_size=1 << 16, batch_format="pyarrow"):
+        k = _np(b.column(key))
+        n = len(k)
+        n_total += n
+        if n == 0:
+            continue
+        u, c = np.unique(k, return_counts=True)
+        gate = max(2, n // (4 * P))
+        for kk, cc in zip(u[c >= gate], c[c >= gate]):
+            counts[int(kk)] = counts.get(int(kk), 0) + int(cc)
+    if not n_total or not counts:
+        return np.empty(0, np.int64), 1, n_total
+    mean_load = max(n_total / P, 1.0)
+    hot = {k: c for k, c in counts.items() if c > hot_factor * mean_load}
+    if not hot:
+        return np.empty(0, np.int64), 1, n_total
+    S = int(min(P, max_salt or P,
+                -(-max(hot.values()) // int(mean_load))))
+    return np.sort(np.array(list(hot), np.int64)), max(S, 1), n_total
+
+
 def hash_join(left_ds, right_ds, *, key: str, how: str = "inner",
               left_cols=(), right_cols=(), P: int = 64,
               key_type=pa.int64(), right_key: str = None,
-              salt: int = 1):
+              salt: "int | str" = 1):
     """Distributed equi-join of two Datasets on an integer key.
 
     ``how``: ``inner`` | ``left`` | ``semi`` | ``anti``.  ``semi`` keeps
@@ -83,9 +126,25 @@ def hash_join(left_ds, right_ds, *, key: str, how: str = "inner",
     modes, at the cost of ``salt``× right-side shuffle volume.  Use
     when one probe key carries a data-proportional share of rows (a
     viral doc id, a null-ish default key) and would otherwise pin one
-    partition."""
+    partition.
+
+    ``salt="auto"`` (r4, r3 verdict #5) measures instead of guessing:
+    one column-pruned pass over the LEFT key column
+    (:func:`detect_hot_keys`) finds keys whose share exceeds 2× a
+    partition's fair load and picks S to level the hottest one; then
+    ONLY hot-key probe rows spread over S sub-partitions and ONLY
+    hot-key build rows replicate ×S — non-hot keys pay nothing (vs the
+    whole-build ×salt replication of the manual lever).  No hot keys →
+    plain salt=1 join, and the output is identical in every case."""
     if how not in ("inner", "left", "semi", "anti"):
         raise ValueError(f"unknown join mode {how!r}")
+    hot_sorted = None
+    if salt == "auto":
+        hot_sorted, s_auto, _n = detect_hot_keys(left_ds, key, P)
+        if len(hot_sorted) == 0 or s_auto <= 1:
+            hot_sorted, salt = None, 1
+        else:
+            salt = min(int(s_auto), P)
     salt = int(salt)
     if salt < 1:
         raise ValueError("salt must be >= 1")
@@ -123,12 +182,26 @@ def hash_join(left_ds, right_ds, *, key: str, how: str = "inner",
     else:
         pack = ex.make_pack_fn(u64_part_fn("k", P=P))
 
+    def _hot_mask(kv: np.ndarray) -> np.ndarray:
+        pos = np.searchsorted(hot_sorted, kv)
+        pos_c = np.minimum(pos, len(hot_sorted) - 1)
+        return (pos < len(hot_sorted)) & (hot_sorted[pos_c] == kv)
+
     def tag_left(t: pa.Table) -> pa.Table:
         n = t.num_rows
+        karr = t.column(key).cast(key_type)
         cols = {"side": pa.array(np.ones(n, np.int8), pa.int8()),
-                "k": t.column(key).cast(key_type)}
+                "k": karr}
         if salt > 1:
-            cols["salt"] = pa.array(np.arange(n, dtype=np.int64) % salt)
+            if hot_sorted is not None:
+                # auto mode: only hot-key probe rows spread over salt
+                s = np.zeros(n, np.int64)
+                hm = _hot_mask(_np(karr).astype(np.int64))
+                s[hm] = np.arange(int(hm.sum()), dtype=np.int64) % salt
+                cols["salt"] = pa.array(s)
+            else:
+                cols["salt"] = pa.array(np.arange(n, dtype=np.int64)
+                                        % salt)
         for nm, typ in left_cols:
             cols[f"l_{nm}"] = t.column(nm).cast(typ)
         if emit_right:
@@ -148,7 +221,19 @@ def hash_join(left_ds, right_ds, *, key: str, how: str = "inner",
         base = pa.table(cols)
         if salt == 1:
             return base
-        # replicate the build side ×salt: copy s goes to sub-partition s
+        if hot_sorted is not None:
+            # auto mode: replicate ONLY hot-key build rows ×salt — copy
+            # s probes sub-partition (hash(k) + s) % P
+            hm = _hot_mask(_np(base.column("k")).astype(np.int64))
+            idx = np.nonzero(hm)[0]
+            hot_rows = base.take(pa.array(idx, pa.int64()))
+            parts = [base.add_column(
+                2, "salt", pa.array(np.zeros(n, np.int64)))]
+            for s in range(1, salt):
+                parts.append(hot_rows.add_column(
+                    2, "salt", pa.array(np.full(len(idx), s, np.int64))))
+            return pa.concat_tables(parts)
+        # manual mode: replicate the whole build side ×salt
         rep = pa.concat_tables([base] * salt)
         return rep.add_column(
             2, "salt", pa.array(np.repeat(np.arange(salt, dtype=np.int64),

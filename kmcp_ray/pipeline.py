@@ -482,7 +482,8 @@ def dedup_pipeline(ds, cfg: DedupConfig = DedupConfig(), *,
                    enable=ALL_GENERATORS,
                    workdir: Optional[str] = None,
                    sketch_batch_size: "int | None" = None,
-                   size_sort: bool = False) -> PipelineResult:
+                   size_sort: bool = False,
+                   materialize_edges: bool = True) -> PipelineResult:
     """Run (or resume) the full near-dup pipeline on an input Dataset.
 
     ``size_sort``: globally sort signatures by sketch size before
@@ -490,6 +491,14 @@ def dedup_pipeline(ds, cfg: DedupConfig = DedupConfig(), *,
     packing, reference: kmcp/cmd/index.go:657-667) so each packed
     shuffle batch carries similar-sized rows — cheap skew control for
     corpora with extreme document-length variance.
+
+    ``materialize_edges=False`` (in-memory runs only): skip pinning the
+    verified edge table and stream it straight into the spanning-forest
+    reduction — one fewer barrier + materialization when the caller
+    consumes only ``assignments`` (the bench headline shape).  The
+    returned ``edges`` Dataset is then LAZY: reading it re-runs the
+    final verify map (the broadcast vsk table is already collected, so
+    the re-run is pair-sized, not corpus-sized).
     """
     if workdir:
         _check_config(workdir, cfg)
@@ -540,7 +549,7 @@ def dedup_pipeline(ds, cfg: DedupConfig = DedupConfig(), *,
                                vsk_provider=vsk_provider)
         if workdir:
             edges_ds = _checkpoint(edges_ds, workdir, "02_edges")
-        else:
+        elif materialize_edges:
             # consumed at least twice (edge count for the mode switch +
             # connected components + caller analytics): pin the small
             # edge table instead of re-running verification per consumer

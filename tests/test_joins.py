@@ -122,3 +122,81 @@ def test_hash_join_salted_equals_unsalted(ray_session):
         if how == "inner":
             want = int((lk == 7).sum()) * int((rk == 7).sum())
             assert sum(1 for r in outs[0] if r[0] == 7) == want
+
+
+def test_hash_join_auto_salt_90pct_one_key(ray_session):
+    """salt="auto" on a 90%-one-key corpus (r3 verdict #5): the sampled
+    key-histogram pass finds the hot key, picks S that levels it to a
+    partition's fair share, the output equals the unsalted join in all
+    four modes, and the resulting partition walls are balanced (max
+    load < 2x the mean vs ~0.9 of ALL rows on one partition without
+    salting)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from kmcp_ray import hashing
+    from kmcp_ray.joins import detect_hot_keys, hash_join
+
+    rng = np.random.default_rng(9)
+    P = 16
+    n = 40_000
+    lk = np.where(rng.random(n) < 0.9, 7,
+                  rng.integers(0, 1000, n)).astype(np.int64)
+    left = pa.table({"k": pa.array(lk, pa.int64()),
+                     "lv": pa.array(np.arange(n), pa.int64())})
+    rk = np.arange(1000, dtype=np.int64)
+    right = pa.table({"k": pa.array(rk, pa.int64()),
+                      "rv": pa.array(rk * 10, pa.int64())})
+    lds = ray.data.from_arrow(left).repartition(8)
+    rds = ray.data.from_arrow(right)
+
+    hot, S, n_est = detect_hot_keys(lds, "k", P)
+    assert list(hot) == [7]
+    assert n_est == n
+    # the hot key holds ~0.9n; fair load is n/P → S should level it
+    assert S >= int(0.9 * P) - 2
+
+    for how in ("inner", "left", "semi", "anti"):
+        a = hash_join(lds, rds, key="k", how=how,
+                      left_cols=[("lv", pa.int64())],
+                      right_cols=[("rv", pa.int64())],
+                      P=P, salt="auto").to_pandas()
+        b = hash_join(lds, rds, key="k", how=how,
+                      left_cols=[("lv", pa.int64())],
+                      right_cols=[("rv", pa.int64())],
+                      P=P, salt=1).to_pandas()
+        sa = sorted(map(tuple, a.fillna(-1).values.tolist()))
+        sb = sorted(map(tuple, b.fillna(-1).values.tolist()))
+        assert sa == sb, how
+
+    # partition-wall balance under the chosen (hot, S): hot rows spread
+    # round-robin over S consecutive partitions, cold rows by key hash —
+    # the load model the tagger implements
+    h = (hashing.splitmix64(lk.view(np.uint64)) % np.uint64(P)) \
+        .astype(np.int64)
+    s_col = np.zeros(n, np.int64)
+    hm = lk == 7
+    s_col[hm] = np.arange(int(hm.sum())) % S
+    part = (h + s_col) % P
+    loads = np.bincount(part, minlength=P)
+    assert loads.max() < 2.0 * loads.mean(), loads
+    # without salting the hot partition would hold >= 90% of all rows
+    loads_nosalt = np.bincount(h, minlength=P)
+    assert loads_nosalt.max() > 0.9 * n
+
+
+def test_detect_hot_keys_uniform_corpus_no_salt(ray_session):
+    """A uniform key distribution must NOT trigger salting: the
+    histogram pass returns no hot keys and salt="auto" degenerates to
+    the plain salt=1 join."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from kmcp_ray.joins import detect_hot_keys
+
+    rng = np.random.default_rng(4)
+    lk = rng.integers(0, 10_000, 50_000).astype(np.int64)
+    lds = ray.data.from_arrow(
+        pa.table({"k": pa.array(lk, pa.int64())})).repartition(4)
+    hot, S, n_est = detect_hot_keys(lds, "k", 16)
+    assert len(hot) == 0 and S == 1 and n_est == 50_000
