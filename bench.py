@@ -83,7 +83,12 @@ def run_bench() -> dict:
     from kmcp_ray.config import DedupConfig
     from kmcp_ray.pipeline import dedup_pipeline
 
-    cfg = DedupConfig(num_partitions=max(64, NCPU * 4))
+    # GRAFT_NUM_PARTS pins the partition count — the scaling protocol
+    # sets it to the HIGH level's P so both levels run the IDENTICAL
+    # job (partitioning is a property of the job/data, sized for the
+    # largest cluster, not re-derived per cluster size)
+    n_parts = int(os.environ.get("GRAFT_NUM_PARTS", max(64, NCPU * 4)))
+    cfg = DedupConfig(num_partitions=n_parts)
     corpus = os.path.join(CACHE, f"pairs_n{BENCH_ROWS}_s42")
     testgen.make_corpus_parquet(corpus, BENCH_ROWS, seed=42, cfg=cfg)
     paths = os.path.join(corpus, "pairs")
@@ -232,9 +237,15 @@ def run_scaling() -> dict:
 
     def run(ncpu: int) -> dict:
         # scaling measures the headline pipeline only — the secondary
-        # query suite would quadruple wall time without adding signal
+        # query suite would quadruple wall time without adding signal.
+        # GRAFT_NUM_PARTS pinned to the HIGH level's P: both levels run
+        # the identical job (see run_bench)
+        hi_p = str(max(64, int(os.environ.get(
+            "GRAFT_SCALING_HI", "32")) * 4))
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    GRAFT_BENCH_ROWS=str(rows),
+                   GRAFT_NUM_PARTS=os.environ.get(
+                       "GRAFT_NUM_PARTS", hi_p),
                    GRAFT_SKIP_QUERIES="1")
         out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                              env=env, capture_output=True, text=True,

@@ -103,6 +103,13 @@ class DedupConfig:
     #: attached by a partitioned join (pipeline.assign_via_join) — no
     #: driver-resident dict of duplicate rows on dup-heavy corpora.
     broadcast_assign_edges: int = 2_000_000
+    #: candidate class-pair streams up to this many rows are extracted
+    #: + deduplicated in ONE driver pass over the materialized verifier
+    #: output (16 B/pair ⇒ ~512 MB at the default) instead of a
+    #: distributed dedup exchange — the r4 tail profile shows those
+    #: barriers are ~2-3 s of n-independent latency; past the cap the
+    #: exchange arm runs unchanged (pipeline._extract_class_pairs_driver).
+    driver_class_pair_rows: int = 32_000_000
 
     @property
     def rows_per_band(self) -> int:

@@ -212,14 +212,105 @@ def edges_stage(sig_ds, cfg: DedupConfig, enable=ALL_GENERATORS,
     return edges_from_raw(raw, sig_ds, cfg, vsk_provider=vsk_provider)
 
 
+def _extract_class_pairs_driver(raw, cap: int):
+    """Small arm of the class-pair extraction: one projected pass over
+    the MATERIALIZED verifier output pulls the ``cand`` and ``phashc``
+    rows' ident/score columns to the driver (zero-copy local-plasma
+    batch reads; the id-bearing membership/star rows never leave the
+    object store), dedups cand class pairs with one lexsort, and
+    returns ``(pairs_cls, phc)`` as multi-block in-memory Datasets.
+
+    Returns ``None`` once more than ``cap`` pair rows accumulate, or
+    when the materialized raw exceeds the 2 GB block-bytes gate (on a
+    multi-node cluster the driver would have to FETCH every block to
+    filter it — past the gate the distributed dedup exchange is the
+    right arm; edges_from_raw falls back; same measured-gate pattern
+    as the broadcast/exchange switches).  Blocks are read via
+    ``to_arrow_refs`` + ``ray.get`` — zero-copy on the driver's node,
+    NO executor run (an extra projection execution was measured at
+    ~3.5 s of the tail this pass replaces)."""
+    import pyarrow.compute as pc
+
+    if (raw.size_bytes() or (1 << 62)) > (2 << 30):
+        return None
+    _SEL = pa.array(["cand", "phashc"])
+    ca, cb, pa_a, pa_b, pa_s = [], [], [], [], []
+    total = 0
+    for ref in raw.to_arrow_refs():
+        t = ray.get(ref)
+        if t.num_rows == 0 or "via" not in t.column_names:
+            # hash-shuffle aggregators emit schema-less empty bundles
+            # for empty partitions (the Ray 2.49.2 artifact documented
+            # below) — nothing to extract from them
+            continue
+        b = t.select(["via", "ident_a", "ident_b", "score"]) \
+             .filter(pc.is_in(t["via"], value_set=_SEL))
+        total += b.num_rows
+        if total > cap:
+            return None
+        via = b.column("via").to_numpy(zero_copy_only=False)
+        ia = b.column("ident_a").to_numpy(zero_copy_only=False)
+        ib = b.column("ident_b").to_numpy(zero_copy_only=False)
+        m = via == "cand"
+        ca.append(ia[m]); cb.append(ib[m])
+        mp = ~m
+        if mp.any():
+            pa_a.append(ia[mp]); pa_b.append(ib[mp])
+            pa_s.append(b.column("score")
+                        .to_numpy(zero_copy_only=False)[mp])
+
+    a = np.concatenate(ca) if ca else np.empty(0, np.uint64)
+    b_ = np.concatenate(cb) if cb else np.empty(0, np.uint64)
+    if len(a):
+        order = np.lexsort((b_, a))
+        a, b_ = a[order], b_[order]
+        first = np.concatenate(([True], (a[1:] != a[:-1])
+                                | (b_[1:] != b_[:-1])))
+        a, b_ = a[first], b_[first]
+    pairs_tbl = pa.table({"ident_a": pa.array(a, pa.uint64()),
+                          "ident_b": pa.array(b_, pa.uint64())})
+    phc_tbl = pa.table({
+        "ident_a": pa.array(np.concatenate(pa_a) if pa_a
+                            else np.empty(0, np.uint64), pa.uint64()),
+        "ident_b": pa.array(np.concatenate(pa_b) if pa_b
+                            else np.empty(0, np.uint64), pa.uint64()),
+        "score": pa.array(np.concatenate(pa_s) if pa_s
+                          else np.empty(0, np.float64), pa.float64())})
+
+    def _to_ds(tbl: pa.Table, chunks: int = 32):
+        # multi-block so downstream expansion maps parallelize (a
+        # single from_arrow block would serialize them)
+        n = tbl.num_rows
+        step = max(1, -(-n // chunks))
+        slices = [tbl.slice(i, step) for i in range(0, max(n, 1), step)]
+        return ray.data.from_arrow(slices)
+
+    return _to_ds(pairs_tbl), _to_ds(phc_tbl)
+
+
 def edges_from_raw(raw, sig_ds, cfg: DedupConfig, vsk_provider=None):
     """Verifier output stream → final verified edge dataset (the part
     of the edge stage shared by the full and the incremental band
     exchanges: class-pair dedup, class→member expansion, sketch attach,
-    pair verification)."""
+    pair verification).
+
+    ``KMCP_STAGE_TIMERS=1`` prints per-step wall times to stderr — the
+    n-independent-tail diagnostic behind the r4 scaling work."""
     import pyarrow.compute as pc
 
+    _timers = os.environ.get("KMCP_STAGE_TIMERS") == "1"
+    import time as _time
+    _t0 = [_time.time()]
+
+    def _tick(name):
+        if _timers:
+            import sys as _sys
+            print(f"[edges {name}] {_time.time() - _t0[0]:.2f}s",
+                  file=_sys.stderr)
+        _t0[0] = _time.time()
+
     raw = raw.materialize()          # small: pairs, stars + membership rows
+    _tick("raw_mat")
 
     # hash shuffle (when the caller enabled it, see perf.py) is proven
     # for the one wide exchange above — but the pinned Ray release's
@@ -283,29 +374,47 @@ def edges_from_raw(raw, sig_ds, cfg: DedupConfig, vsk_provider=None):
         return members_ds.map_batches(filt, batch_format="pyarrow",
                                       zero_copy_batch=True)
 
-    cand = raw.map_batches(
-        lambda t: t.filter(pc.equal(t["via"], "cand"))
-                   .select(["ident_a", "ident_b"]),
-        batch_format="pyarrow", zero_copy_batch=True)
-    # no cand.count() empty-check: an empty candidate stream flows
-    # through dedup/expand/attach/verify as empty tables — skipping the
-    # serial count barrier (scaling-efficiency lever, r1 verdict)
-
     from kmcp_ray.exchange import (dedup_pairs, expand_ident_pairs,
                                    expand_ident_pairs_broadcast)
-    # materialize: class pairs are tiny, and fusing this groupby's Sort
-    # into the downstream union DAG makes this Ray release's streaming
-    # executor schedule the whole edge stage ~6x slower (measured 102 s
-    # vs 16 s at 800k rows) — the barrier is cheaper than the fused plan
-    pairs_cls = dedup_pairs(
-        cand.map_batches(lambda t: pa.table({"id_a": t["ident_a"],
-                                             "id_b": t["ident_b"]}),
-                         batch_format="pyarrow", zero_copy_batch=True),
-        cfg.num_partitions, typ=pa.uint64()) \
-        .map_batches(lambda t: pa.table({"ident_a": t["id_a"],
-                                         "ident_b": t["id_b"]}),
-                     batch_format="pyarrow", zero_copy_batch=True) \
-        .materialize()
+    # class-pair extraction, two arms behind a measured row cap (the
+    # same gate pattern as the broadcast/exchange switches):
+    #
+    # small arm — ONE projected pass over the materialized verifier
+    # output pulls cand + phashc rows to the driver (ident/score
+    # columns only, id strings never leave plasma) and dedups cand
+    # pairs with one lexsort; replaces two executor runs + one dedup
+    # exchange, which the r4 tail profile shows are ~2-3 s of pure
+    # n-independent barrier latency.
+    #
+    # large arm (past the cap, or any iteration failure) — the
+    # distributed dedup_pairs exchange below, unchanged.  materialize
+    # there: class pairs are tiny, and fusing that groupby's Sort into
+    # the downstream union DAG makes this Ray release's streaming
+    # executor schedule the whole edge stage ~6x slower (measured
+    # 102 s vs 16 s at 800k rows).
+    extracted = _extract_class_pairs_driver(
+        raw, cap=cfg.driver_class_pair_rows)
+    _tick("extract_cls")
+    if extracted is not None:
+        pairs_cls, phc = extracted
+    else:
+        cand = raw.map_batches(
+            lambda t: t.filter(pc.equal(t["via"], "cand"))
+                       .select(["ident_a", "ident_b"]),
+            batch_format="pyarrow", zero_copy_batch=True)
+        pairs_cls = dedup_pairs(
+            cand.map_batches(lambda t: pa.table({"id_a": t["ident_a"],
+                                                 "id_b": t["ident_b"]}),
+                             batch_format="pyarrow", zero_copy_batch=True),
+            cfg.num_partitions, typ=pa.uint64()) \
+            .map_batches(lambda t: pa.table({"ident_a": t["id_a"],
+                                             "ident_b": t["id_b"]}),
+                         batch_format="pyarrow", zero_copy_batch=True) \
+            .materialize()
+        phc = raw.map_batches(
+            lambda t: t.filter(pc.equal(t["via"], "phashc"))
+                       .select(["ident_a", "ident_b", "score"]),
+            batch_format="pyarrow", zero_copy_batch=True).materialize()
 
     def _expand(pairs_mat, members_via, **kw):
         """Class pairs → member pairs, broadcast arm when the filtered
@@ -327,16 +436,14 @@ def edges_from_raw(raw, sig_ds, cfg: DedupConfig, vsk_provider=None):
     # id-level shuffle used to emit: class members share their whole
     # key vector, so every member pair did co-occur in the buckets)
     pairs = _expand(pairs_cls, "member_sk").materialize()
+    _tick("expand_pairs")
 
     # verified-in-bucket pHash class pairs → member-level phash edges
-    phc = raw.map_batches(
-        lambda t: t.filter(pc.equal(t["via"], "phashc"))
-                   .select(["ident_a", "ident_b", "score"]),
-        batch_format="pyarrow", zero_copy_batch=True).materialize()
     ph_edges = _expand(phc, "member_ph", with_score=True,
                        via_value="phash") \
         .map_batches(lambda t: t.select(FINAL_COLS),
                      batch_format="pyarrow", zero_copy_batch=True)
+    _tick("expand_phc")
 
     # Two verification modes, mirroring kmcp's load-whole vs mmap index
     # modes (reference: kmcp/cmd/search.go:66-83).  The switch keys on
@@ -359,6 +466,7 @@ def edges_from_raw(raw, sig_ds, cfg: DedupConfig, vsk_provider=None):
             id_chunks.append(pc.unique(b.column("id_b"))
                              .to_numpy(zero_copy_only=False))
         need = np.unique(np.concatenate(id_chunks).astype("S"))
+        _tick("need_ids")
 
         if vsk_provider is not None:
             sig_needed = vsk_provider(need)
@@ -376,6 +484,7 @@ def edges_from_raw(raw, sig_ds, cfg: DedupConfig, vsk_provider=None):
                              zero_copy_batch=True)
         table = collect_blob_table(sig_needed, "image_id", "vsk")
         ref = ray.put(table)       # three numpy arrays: near-zero-copy gets
+        _tick("collect_vsk")
 
         def attach_local(batch: pa.Table) -> pa.Table:
             tbl = ray.get(ref)
@@ -404,6 +513,7 @@ def edges_from_raw(raw, sig_ds, cfg: DedupConfig, vsk_provider=None):
     verified_pairs = attached.map_batches(pair_verifier, batch_format="pyarrow",
                                           batch_size=8192,
                                           zero_copy_batch=True)
+    _tick("plan_verify")
     return verified.union(verified_pairs).union(ph_edges)
 
 
