@@ -43,10 +43,13 @@ kind << 30 | key >> 34``); the shuffle partition still derives from the
 FULL 64-bit key map-side, so a truncated collision only merges buckets
 when both the low bits (mod num_partitions) and the high 30 bits agree
 (~2^-37 per entry pair at P=128).  Collisions can only ADD candidate
-pairs — every sketch pair is exactly re-verified downstream and every
-phash pair Hamming-verified on its full 64-bit ident in the bucket —
-never lose them (equal full keys ⇒ equal bkey + part), so recall and
-verified-edge semantics are unchanged while the id-free entry stream
+pairs — every sketch pair is exactly re-verified downstream, every
+phash pair Hamming-verified on its full 64-bit ident in the bucket,
+and phashc class pairs that re-emit from a colliding later chunk's
+bucket (~2^-30 per extra agreeing chunk) are deduplicated in
+edges_from_raw — never lose them (equal full keys ⇒ equal bkey +
+part), so recall and verified-edge semantics are unchanged while the
+id-free entry stream
 drops from 17 B to 12 B (-30%): the expected false-candidate volume at
 10^12 rows (~3e13 entries, P~10^6) is ~1e11 pairs, a bounded verify
 surcharge traded for ~120 TB less exchange traffic.  The reference's

@@ -295,10 +295,14 @@ def make_bucket_verifier(cfg: DedupConfig, fresh_gate: bool = False):
             ia2 = np.where(swap, ib, ia)
             ib2 = np.where(swap, ia, ib)
 
-            # pHash class pairs: Hamming-verify in place; emit ONLY in
-            # the pair's first agreeing chunk's bucket — one bucket
-            # globally (the chunk key fixes the partition), so no dedup
-            # pass is needed anywhere downstream
+            # pHash class pairs: Hamming-verify in place; emit in the
+            # pair's first agreeing chunk's bucket.  With full keys
+            # that bucket is globally unique; under bkey truncation
+            # (bands.py r4) a later agreeing chunk whose truncated key
+            # + partition collide with the first's (~2^-30 per extra
+            # chunk) can re-emit the pair — edges_from_raw dedups
+            # phashc class pairs in both extraction arms, so edge
+            # multiplicity is unaffected
             ph_mask = ccls == 0
             if ph_mask.any():
                 from kmcp_ray.bands import KIND_PHASH as _KP, pack_bkey

@@ -269,13 +269,23 @@ def _extract_class_pairs_driver(raw, cap: int):
         a, b_ = a[first], b_[first]
     pairs_tbl = pa.table({"ident_a": pa.array(a, pa.uint64()),
                           "ident_b": pa.array(b_, pa.uint64())})
+    # phashc class pairs dedup too (ADVICE r4): bkey truncation lets a
+    # pair whose extra agreeing chunk collides after truncation
+    # (~2^-30) re-emit from a second bucket — scores are deterministic
+    # per ident pair, so first-wins is exact
+    pha = np.concatenate(pa_a) if pa_a else np.empty(0, np.uint64)
+    phb = np.concatenate(pa_b) if pa_b else np.empty(0, np.uint64)
+    phs = np.concatenate(pa_s) if pa_s else np.empty(0, np.float64)
+    if len(pha):
+        order = np.lexsort((phb, pha))
+        pha, phb, phs = pha[order], phb[order], phs[order]
+        first = np.concatenate(([True], (pha[1:] != pha[:-1])
+                                | (phb[1:] != phb[:-1])))
+        pha, phb, phs = pha[first], phb[first], phs[first]
     phc_tbl = pa.table({
-        "ident_a": pa.array(np.concatenate(pa_a) if pa_a
-                            else np.empty(0, np.uint64), pa.uint64()),
-        "ident_b": pa.array(np.concatenate(pa_b) if pa_b
-                            else np.empty(0, np.uint64), pa.uint64()),
-        "score": pa.array(np.concatenate(pa_s) if pa_s
-                          else np.empty(0, np.float64), pa.float64())})
+        "ident_a": pa.array(pha, pa.uint64()),
+        "ident_b": pa.array(phb, pa.uint64()),
+        "score": pa.array(phs, pa.float64())})
 
     def _to_ds(tbl: pa.Table, chunks: int = 32):
         # multi-block so downstream expansion maps parallelize (a
@@ -411,10 +421,32 @@ def edges_from_raw(raw, sig_ds, cfg: DedupConfig, vsk_provider=None):
                                              "ident_b": t["id_b"]}),
                          batch_format="pyarrow", zero_copy_batch=True) \
             .materialize()
-        phc = raw.map_batches(
-            lambda t: t.filter(pc.equal(t["via"], "phashc"))
-                       .select(["ident_a", "ident_b", "score"]),
-            batch_format="pyarrow", zero_copy_batch=True).materialize()
+        # dedup phashc class pairs globally (same truncation-collision
+        # duplicate source as the driver arm); the score is recomputed
+        # from the full 64-bit idents — bit-identical to the bucket's
+        # own 1 - hamming/64
+        from kmcp_ray import imagecodec as _ic
+
+        def _phc_rescore(t: pa.Table) -> pa.Table:
+            ia = t.column("id_a").to_numpy(zero_copy_only=False) \
+                .astype(np.uint64)
+            ib = t.column("id_b").to_numpy(zero_copy_only=False) \
+                .astype(np.uint64)
+            ham = np.asarray(_ic.hamming64(ia, ib), np.float64)
+            return pa.table({
+                "ident_a": pa.array(ia, pa.uint64()),
+                "ident_b": pa.array(ib, pa.uint64()),
+                "score": pa.array(1.0 - ham / 64.0, pa.float64())})
+
+        phc = dedup_pairs(
+            raw.map_batches(
+                lambda t: t.filter(pc.equal(t["via"], "phashc"))
+                           .select(["ident_a", "ident_b"])
+                           .rename_columns(["id_a", "id_b"]),
+                batch_format="pyarrow", zero_copy_batch=True),
+            cfg.num_partitions, typ=pa.uint64()) \
+            .map_batches(_phc_rescore, batch_format="pyarrow",
+                         zero_copy_batch=True).materialize()
 
     def _expand(pairs_mat, members_via, **kw):
         """Class pairs → member pairs, broadcast arm when the filtered

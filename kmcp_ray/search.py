@@ -555,8 +555,12 @@ def to_kmcp_tsv(matches, path: str, cfg: DedupConfig, total_queries: int,
             lambda t: pa.table({"query": pc.unique(t["query"])}),
             batch_format="pyarrow", zero_copy_batch=True) \
             .iter_batches(batch_size=1 << 18, batch_format="pyarrow"):
-        chunks.append(np.asarray(
-            b.column("query").to_numpy(zero_copy_only=False), dtype="S"))
+        # cast utf8 -> binary so numpy packs UTF-8 bytes (never an
+        # implicit ASCII encode, which raised on non-ASCII ids); UTF-8
+        # byte order == code-point order, so ranks are unchanged.
+        qb = pc.cast(b.column("query"), pa.binary()) \
+            .to_numpy(zero_copy_only=False)
+        chunks.append(np.asarray(qb, dtype="S"))
     width = max(c.dtype.itemsize for c in chunks)
     uniq = np.unique(np.concatenate(
         [c.astype(f"S{width}") for c in chunks]))
@@ -566,7 +570,8 @@ def to_kmcp_tsv(matches, path: str, cfg: DedupConfig, total_queries: int,
     def derive(t: pa.Table) -> pa.Table:
         import pandas as pd
         keys = ray.get(uniq_ref)
-        qn = t.column("query").to_numpy(zero_copy_only=False)
+        qn = pc.cast(t.column("query"), pa.binary()) \
+            .to_numpy(zero_copy_only=False)
         ts = pd.Series(t.column("target").to_numpy(zero_copy_only=False),
                        dtype=object).astype(str)
         tdoc = ts.str.replace(r"#.*$", "", regex=True)

@@ -200,3 +200,64 @@ def test_detect_hot_keys_uniform_corpus_no_salt(ray_session):
         pa.table({"k": pa.array(lk, pa.int64())})).repartition(4)
     hot, S, n_est = detect_hot_keys(lds, "k", 16)
     assert len(hot) == 0 and S == 1 and n_est == 50_000
+
+
+def test_auto_salt_uint64_keys_above_2_63(ray_session):
+    """key_type=pa.uint64() with keys >= 2^63 and salt="auto" (ADVICE
+    r4): detect_hot_keys bit-views uint64 keys to int64 (no
+    OverflowError), the mask side views identically, and the
+    auto-salted join equals salt=1 in all four modes."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from kmcp_ray.joins import detect_hot_keys, hash_join
+
+    rng = np.random.default_rng(17)
+    P = 8
+    n = 20_000
+    hot_key = np.uint64(2**63 + 12_345)
+    lk = np.where(rng.random(n) < 0.8, hot_key,
+                  (rng.integers(0, 500, n).astype(np.uint64)
+                   + np.uint64(2**63))).astype(np.uint64)
+    left = pa.table({"k": pa.array(lk, pa.uint64()),
+                     "lv": pa.array(np.arange(n), pa.int64())})
+    rk = (np.arange(500, dtype=np.uint64) + np.uint64(2**63))
+    rk = np.concatenate((rk, np.array([hot_key], np.uint64)))
+    right = pa.table({"k": pa.array(rk, pa.uint64()),
+                      "rv": pa.array(np.arange(len(rk)), pa.int64())})
+    lds = ray.data.from_arrow(left).repartition(4)
+    rds = ray.data.from_arrow(right)
+
+    hot, S, n_est = detect_hot_keys(lds, "k", P)
+    assert n_est == n and S > 1
+    assert list(hot) == [np.int64(hot_key.view(np.int64))]
+
+    for how in ("inner", "left", "semi", "anti"):
+        a = hash_join(lds, rds, key="k", how=how, key_type=pa.uint64(),
+                      left_cols=[("lv", pa.int64())],
+                      right_cols=[("rv", pa.int64())],
+                      P=P, salt="auto").to_pandas()
+        b = hash_join(lds, rds, key="k", how=how, key_type=pa.uint64(),
+                      left_cols=[("lv", pa.int64())],
+                      right_cols=[("rv", pa.int64())],
+                      P=P, salt=1).to_pandas()
+        sa = sorted(map(tuple, a.fillna(-1).values.tolist()))
+        sb = sorted(map(tuple, b.fillna(-1).values.tolist()))
+        assert sa == sb, how
+
+
+def test_detect_hot_keys_tiny_batch_cap(ray_session):
+    """Batches small enough that the gate clamps to 2 can no longer
+    admit O(batch) candidates: every key appears exactly twice, so all
+    keys pass the local gate, but the per-batch cap (top 4P) bounds
+    driver-side fold state and no key is globally hot."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from kmcp_ray.joins import detect_hot_keys
+
+    lk = np.repeat(np.arange(5_000, dtype=np.int64), 2)
+    lds = ray.data.from_arrow(
+        pa.table({"k": pa.array(lk, pa.int64())})).repartition(16)
+    hot, S, n_est = detect_hot_keys(lds, "k", 4)
+    assert len(hot) == 0 and S == 1 and n_est == 10_000
