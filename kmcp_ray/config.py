@@ -40,6 +40,16 @@ class DedupConfig:
     #: position).  The frozen oracle contract covers "scaled".
     sketcher: str = "scaled"
     minimizer_w: int = 8
+    #: shingle/content hash family: "siphash" (production — pandas
+    #: SipHash token fold, vectorized C) or "md5" (SQL-mirrorable
+    #: oracle twin: md5-prefix64 of the space-joined shingle STRING and
+    #: of the raw caption — DuckDB ('0x'||substr(md5(s),1,16))::UBIGINT;
+    #: see hashing.md5_lower64).  Everything downstream of the shingle
+    #: hash (MinHash perms, band folds, contain salt, exact combine,
+    #: bkey packing) is the SAME code in both modes — the md5 twin
+    #: exists so driver entries like bucket_stats get a DuckDB oracle,
+    #: the same pattern as the simhash/fingerprint oracle entries.
+    hash_mode: str = "siphash"
     #: multi-k accumulation (kmcp -k 21,31,41 analogue,
     #: compute.go:746-803): when non-empty, the "scaled" sketch unions
     #: every listed k's shingle hashes (k-tagged folds never collide

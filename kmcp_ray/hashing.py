@@ -125,7 +125,9 @@ def md5_lower64(strings) -> np.ndarray:
         return np.empty(0, dtype=np.uint64)
     uniq, inv = np.unique(arr, return_inverse=True)
     hv = np.fromiter(
-        (int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "big")
+        (int.from_bytes(hashlib.md5(
+            s if isinstance(s, bytes) else s.encode("utf-8"))
+            .digest()[:8], "big")
          for s in uniq), dtype=np.uint64, count=len(uniq))
     return hv[inv]
 

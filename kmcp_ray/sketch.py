@@ -140,12 +140,18 @@ def make_sketch_fn(cfg: DedupConfig, id_col: str = "image_id",
 
         cap_np = texts.combine_chunks().to_numpy(zero_copy_only=False) \
             if isinstance(texts, pa.ChunkedArray) else texts.to_numpy(zero_copy_only=False)
-        cap_h = hashing.hash_strings(np.where(cap_np == None, "", cap_np))  # noqa: E711
+        # hash_mode="md5": the SQL-oracle twin hashes whole strings with
+        # md5-prefix64 (mirrored by DuckDB md5()); production uses the
+        # vectorized SipHash path
+        _content_hash = hashing.md5_lower64 \
+            if getattr(cfg, "hash_mode", "siphash") == "md5" \
+            else hashing.hash_strings
+        cap_h = _content_hash(np.where(cap_np == None, "", cap_np))  # noqa: E711
         if bytes_col is not None and bytes_col in batch.column_names:
             bts = batch.column(bytes_col).combine_chunks() \
                 if isinstance(batch.column(bytes_col), pa.ChunkedArray) \
                 else batch.column(bytes_col)
-            byte_h = hashing.hash_strings(bts.to_numpy(zero_copy_only=False))
+            byte_h = _content_hash(bts.to_numpy(zero_copy_only=False))
         else:
             byte_h = np.zeros(n, dtype=np.uint64)
         exact_key = hashing.combine3(cap_h, byte_h, np.full(n, _EXACT_SALT))

@@ -154,6 +154,64 @@ def multi_k_shingle_sets(texts, ks, max_hash: int):
             else np.zeros(n, np.int64), "n_distinct": n_distinct}
 
 
+def shingle_sets_md5(texts, k: int, max_hash: int):
+    """SQL-mirrorable twin of :func:`shingle_sets`: the shingle hash is
+    ``hashing.md5_lower64`` of the SPACE-JOINED shingle string (DuckDB:
+    ``('0x' || substr(md5(s), 1, 16))::UBIGINT``) instead of the
+    splitmix64 fold of SipHash token hashes.  Same contract otherwise:
+    per-row distinct HASH sets, rows with 1..k-1 tokens yield one
+    all-token shingle, the scale filter keeps hash <= max_hash, and
+    ``n_distinct`` counts before the filter.  Used by driver-oracled
+    entries only (DedupConfig.hash_mode="md5"); production stays on the
+    vectorized SipHash fold — md5 is a per-distinct-string Python-loop
+    hash, wrong for the 10^12-row hot path."""
+    flat_tokens, row_ids, n = tokenize(texts)
+    n_tokens = np.bincount(row_ids, minlength=n).astype(np.int64) \
+        if len(row_ids) else np.zeros(n, dtype=np.int64)
+
+    m = len(flat_tokens)
+    wstr = np.empty(0, dtype=object)
+    wrow = np.empty(0, dtype=np.int64)
+    if m >= k:
+        nw = m - k + 1
+        valid = row_ids[:nw] == row_ids[k - 1:]
+        idx = np.nonzero(valid)[0]
+        if len(idx):
+            s = flat_tokens[idx].astype(object)
+            for j in range(1, k):
+                s = s + " "
+                s = s + flat_tokens[idx + j]
+            wstr, wrow = s, row_ids[idx]
+    short_rows = np.nonzero((n_tokens > 0) & (n_tokens < k))[0]
+    if len(short_rows):
+        order = np.argsort(row_ids, kind="stable")
+        starts = np.searchsorted(row_ids[order], short_rows, side="left")
+        ends = np.searchsorted(row_ids[order], short_rows, side="right")
+        extr = np.array([" ".join(flat_tokens[order[s0:e0]])
+                         for s0, e0 in zip(starts, ends)], dtype=object)
+        wstr = np.concatenate([wstr, extr])
+        wrow = np.concatenate([wrow, short_rows.astype(np.int64)])
+
+    wh = hashing.md5_lower64(wstr)
+    n_distinct = np.zeros(n, dtype=np.int64)
+    if len(wh):
+        order = np.lexsort((wh, wrow))
+        wh, wrow = wh[order], wrow[order]
+        first = np.ones(len(wh), dtype=bool)
+        first[1:] = (wrow[1:] != wrow[:-1]) | (wh[1:] != wh[:-1])
+        wh, wrow = wh[first], wrow[first]
+        n_distinct = np.bincount(wrow, minlength=n).astype(np.int64)
+        if max_hash < int(hashing.MAX_U64):
+            keep = wh <= U64(max_hash)
+            wh, wrow = wh[keep], wrow[keep]
+    counts = np.bincount(wrow, minlength=n).astype(np.int64) if len(wrow) \
+        else np.zeros(n, dtype=np.int64)
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    return {"hashes": wh, "offsets": offsets,
+            "n_tokens": n_tokens, "n_distinct": n_distinct}
+
+
 def minhash_signatures(hashes: np.ndarray, offsets: np.ndarray,
                        num_perm: int, perm_chunk: int = 8) -> np.ndarray:
     """(n_rows, num_perm) uint64 MinHash signature matrix.
@@ -214,6 +272,12 @@ def shingle_sets_sketcher(texts, cfg):
                 hash within it is at the first or last position
                 (kmcp -S, compute.go:763-775 semantics re-derived)
     """
+    if getattr(cfg, "hash_mode", "siphash") == "md5":
+        if cfg.sketcher != "scaled" or cfg.shingle_ks:
+            raise ValueError(
+                "hash_mode='md5' (the SQL-oracle twin) supports only the "
+                "single-k 'scaled' sketcher")
+        return shingle_sets_md5(texts, cfg.shingle_k, cfg.max_hash)
     if cfg.sketcher == "scaled":
         if cfg.shingle_ks:
             return multi_k_shingle_sets(texts, cfg.shingle_ks, cfg.max_hash)

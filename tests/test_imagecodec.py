@@ -187,25 +187,52 @@ def test_image_feature_dedup_planted_exact_pairs(ray_session):
 
 
 def test_image_queries_match_golden(ray_session):
-    """The five image-stage driver entries equal their frozen goldens
+    """Every golden-pinned driver entry equals its frozen golden
     (tests/golden/*.parquet, tools/make_golden.py) — the version-pinned
     golden-output pattern (kmcp demo-profiling/mock.kmcp.gz.kmcp
     .profile.v0.8.2); any codec/stage drift fails here before it ever
-    reaches the driver's DuckDB compare."""
+    reaches the driver's DuckDB compare.  The golden list is imported
+    from tools/make_golden.py so new pins are covered automatically."""
     import os
     import sys
 
     import pyarrow.parquet as pq
     sys.path.insert(0, "/root/repo")
     import __ray_entry__ as entrymod
+    from tools.make_golden import GOLDEN_QUERIES
 
     qs = entrymod.queries()
     gd = os.path.join("/root/repo", "tests", "golden")
-    for name in ["decode_verify", "resize_images", "frame_sample",
-                 "image_features", "image_dedup"]:
+    for name in GOLDEN_QUERIES:
         got = qs[name]("/root/testdata/sf0.001").to_pandas() \
             .reset_index(drop=True)
         exp = pq.read_table(os.path.join(gd, f"{name}.parquet")) \
             .to_pandas()
         assert list(got.columns) == list(exp.columns), name
         assert got.equals(exp), f"{name} drifted from golden"
+
+
+def test_pixel_checksum64_independent_reimplementation():
+    """ADVICE r4: the golden parquets are generated by this engine, so
+    their hash-match certifies determinism, not independent
+    correctness.  This pins the checksum kernel the goldens hang off
+    (pixel_checksum64) against a pure-PYTHON big-int reimplementation
+    — no numpy uint64 arithmetic, no kmcp_ray.hashing — derived
+    directly from the published splitmix64 constant set."""
+    import numpy as np
+    from kmcp_ray.imagecodec import pixel_checksum64
+
+    M = (1 << 64) - 1
+
+    def sm64(x):
+        z = (x + 0x9E3779B97F4A7C15) & M
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & M
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & M
+        return z ^ (z >> 31)
+
+    rng = np.random.default_rng(5)
+    for shape in [(4, 7, 3), (16, 16), (1,), (3, 5)]:
+        px = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        total = sum(int(b) * sm64(i)
+                    for i, b in enumerate(px.reshape(-1))) & M
+        assert pixel_checksum64(px) == total >> 1

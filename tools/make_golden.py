@@ -26,7 +26,11 @@ import os
 import sys
 
 GOLDEN_QUERIES = ["decode_verify", "resize_images", "frame_sample",
-                  "image_features", "image_dedup"]
+                  "image_features", "image_dedup",
+                  # r5: both (n, seed)-deterministic and bit-stable
+                  # across runs (verified twice-run-equal before
+                  # freezing) — the same version-pinned pattern
+                  "profile_em", "audio_features"]
 
 GOLDEN_DIR = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "tests", "golden")
