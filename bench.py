@@ -53,6 +53,28 @@ def _quiet_known_ray_warnings():
         logging.getLogger(name).addFilter(_Drop())
 
 
+def _calibration_wall() -> float:
+    """Fixed synthetic workload timed per bench run (r4 verdict #2):
+    ~1 s nominal on a quiet host — CPU (matmul) plus fresh first-touch
+    pages (new 8 MB allocation per iteration), the two host-regime
+    variables that drifted the r3→r4 secondary queries 10-30% with no
+    code change.  Emitted as ``calibration_wall`` in the bench JSON so
+    round-over-round query diffs are machine-separable: read query
+    walls as (query / calibration_wall) ratios; a query that moves with
+    the calibration number is regime drift, one that moves against it
+    is code."""
+    import numpy as np
+    t0 = time.time()
+    a = np.random.default_rng(0).random((512, 512))
+    s = 0.0
+    for _ in range(40):
+        s += float((a @ a).sum())
+        b = np.zeros(8 << 20, dtype=np.uint8)   # 8 MB first-touch
+        b[::4096] = 1
+        s += float(b[::4096].sum())
+    return round(time.time() - t0, 3)
+
+
 def run_bench() -> dict:
     import ray
     import ray.data
@@ -114,6 +136,8 @@ def run_bench() -> dict:
         NCPU, os.environ.get("GRAFT_BENCH_TAG", ""))
     import shutil
     shutil.rmtree(out_dir, ignore_errors=True)
+
+    calib = _calibration_wall()
 
     import gc
     reps = []
@@ -211,6 +235,7 @@ def run_bench() -> dict:
         "images_per_sec": round(BENCH_ROWS / t_headline, 1),
         "headline_reps": [round(r, 3) for r in reps],
         "assignments": n_assign,
+        "calibration_wall": calib,
     }
     ray.shutdown()
     return result
@@ -258,9 +283,12 @@ def run_scaling() -> dict:
     lo = int(os.environ.get("GRAFT_SCALING_LO", "8"))
     hi = int(os.environ.get("GRAFT_SCALING_HI", "32"))
     obs = {lo: [], hi: []}
+    calibs = []
     for _ in range(2):
-        obs[lo].append(run(lo)["value"])
-        obs[hi].append(run(hi)["value"])
+        for lvl in (lo, hi):
+            r = run(lvl)
+            obs[lvl].append(r["value"])
+            calibs.append(r.get("calibration_wall"))
     t_lo, t_hi = min(obs[lo]), min(obs[hi])
     eff = (t_lo / t_hi) / (hi / lo)
     return {
@@ -268,6 +296,7 @@ def run_scaling() -> dict:
                   f"num_cpus={lo} vs {hi}; best of 2 alternating runs)",
         "sec_8": t_lo, "sec_32": t_hi,
         "all_sec_8": obs[lo], "all_sec_32": obs[hi],
+        "calibration_walls": calibs,
         "images_per_sec_8": round(rows / t_lo, 1),
         "images_per_sec_32": round(rows / t_hi, 1),
         "scaling_efficiency": round(eff, 3),

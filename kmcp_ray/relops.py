@@ -247,7 +247,7 @@ def group_quantiles(ds, group_col: str, col: str,
 def order_revenue_topk(customer_ds, orders_ds, lineitem_ds, *,
                        segment: str = "BUILDING",
                        cutoff: str = "1998-06-01", k: int = 10,
-                       num_partitions: int = 64):
+                       num_partitions: int = 64, salt: "int | str" = "auto"):
     """Top-k orders by post-cutoff revenue within a market segment —
     the canonical 3-table star join (customer ⨝ orders ⨝ lineitem),
     TPC-H Q3's shape, composed scale-first:
@@ -260,19 +260,25 @@ def order_revenue_topk(customer_ds, orders_ds, lineitem_ds, *,
       separate global groupby.  Revenue is exact integer arithmetic —
       ``round(price*100) * (100 - round(disc*100))`` — so engine and
       SQL agree bitwise.
-    * customer ⨝ orders is a packed-exchange semi-join on custkey
-      (exchange.Exchange): both sides hash-partition once, each
-      partition keeps orders whose custkey appears in its customer
-      slice via sorted ``np.isin`` — no broadcast, either side may be
-      huge.
-    * order-revenue ⨝ filtered-orders is a second packed exchange on
-      orderkey (inner, searchsorted).
+    * customer ⨝ orders is :func:`kmcp_ray.joins.hash_join` semi on
+      custkey — no broadcast, either side may be huge, and
+      ``salt="auto"`` (the default, r4 verdict #7) measures the orders
+      custkey histogram and spreads only hot keys (a viral customer
+      with a data-proportional order share would otherwise pin one
+      partition); uniform corpora degenerate to the plain join.
+    * order-revenue ⨝ filtered-orders is a packed exchange on orderkey
+      (inner, searchsorted) where the revenue partials FINISH summing.
+      That exchange deliberately takes no salt: per-orderkey row volume
+      is bounded by the per-batch map-side combine (≤ #input blocks
+      rows per key, data-independent), and salting would split the
+      in-exchange partial sums.
     * global top-k: per-block partial top-k, then one tiny sort+limit
       over ≤ k×blocks survivors.
 
     Returns ``(l_orderkey, rev_c4, o_orderdate_us)``, revenue
     descending, orderkey ascending on ties."""
     from kmcp_ray.exchange import Exchange, u64_part_fn
+    from kmcp_ray.joins import hash_join
 
     P = int(num_partitions)
     cutoff_us = int(np.datetime64(cutoff, "us").astype(np.int64))
@@ -302,48 +308,30 @@ def order_revenue_topk(customer_ds, orders_ds, lineitem_ds, *,
     rev = lineitem_ds.map_batches(li_partial, batch_format="pyarrow",
                                   zero_copy_batch=True)
 
-    # ---- customer ⨝ orders: packed semi-join on custkey
-    ex1 = Exchange([("side", pa.int8()), ("ck", pa.int64()),
-                    ("okey", pa.int64()), ("od", pa.int64())], P)
-    pack1 = ex1.make_pack_fn(u64_part_fn("ck", P=P))
-
-    def tag_cust(t: pa.Table) -> pa.Table:
+    # ---- customer ⨝ orders: generic hash_join semi on custkey — the
+    # auto-salt arm (hot custkey spread + replicate, joins.py) replaces
+    # the former bespoke packed semi; identical output, skew-protected
+    def cust_slim(t: pa.Table) -> pa.Table:
         keep = pc.equal(t.column("c_mktsegment"), pa.scalar(segment))
-        ck = t.filter(keep).column("c_custkey")
-        n = len(ck)
-        return pa.table({"side": pa.array(np.zeros(n, np.int8), pa.int8()),
-                         "ck": ck.cast(pa.int64()),
-                         "okey": pa.array(np.zeros(n, np.int64), pa.int64()),
-                         "od": pa.array(np.zeros(n, np.int64), pa.int64())})
+        return pa.table({"ck": t.filter(keep).column("c_custkey")
+                         .cast(pa.int64())})
 
-    def tag_orders(t: pa.Table) -> pa.Table:
+    def orders_slim(t: pa.Table) -> pa.Table:
         od = pc.cast(t.column("o_orderdate"), pa.int64())
         t = t.filter(pc.less(od, pa.scalar(cutoff_us, pa.int64())))
-        n = t.num_rows
-        return pa.table({"side": pa.array(np.ones(n, np.int8), pa.int8()),
-                         "ck": t.column("o_custkey").cast(pa.int64()),
+        return pa.table({"ck": t.column("o_custkey").cast(pa.int64()),
                          "okey": t.column("o_orderkey").cast(pa.int64()),
-                         "od": pc.cast(t.column("o_orderdate"), pa.int64())})
+                         "od": pc.cast(t.column("o_orderdate"),
+                                       pa.int64())})
 
-    def semi(group: pa.Table) -> pa.Table:
-        u = ex1.unpack(group)
-        side = u["side"].to_numpy(zero_copy_only=False)
-        ck = u["ck"].to_numpy(zero_copy_only=False)
-        cust = np.unique(ck[side == 0])
-        m = side == 1
-        keep = np.isin(ck[m], cust, assume_unique=False)
-        return pa.table({
-            "okey": pa.array(u["okey"].to_numpy(
-                zero_copy_only=False)[m][keep], pa.int64()),
-            "od": pa.array(u["od"].to_numpy(
-                zero_copy_only=False)[m][keep], pa.int64())})
-
-    sel_orders = customer_ds.map_batches(tag_cust, batch_format="pyarrow",
-                                         zero_copy_batch=True) \
-        .union(orders_ds.map_batches(tag_orders, batch_format="pyarrow",
-                                     zero_copy_batch=True)) \
-        .map_batches(pack1, batch_format="pyarrow", zero_copy_batch=True) \
-        .groupby("part").map_groups(semi, batch_format="pyarrow")
+    sel_orders = hash_join(
+        orders_ds.map_batches(orders_slim, batch_format="pyarrow",
+                              zero_copy_batch=True),
+        customer_ds.map_batches(cust_slim, batch_format="pyarrow",
+                                zero_copy_batch=True),
+        key="ck", how="semi",
+        left_cols=[("okey", pa.int64()), ("od", pa.int64())],
+        P=P, salt=salt)
 
     # ---- revenue ⨝ selected orders: packed inner join on orderkey
     ex2 = Exchange([("side", pa.int8()), ("okey", pa.int64()),
@@ -470,7 +458,7 @@ def rollup_agg(docs_ds, *, g1: str = "lang", g2: str = "source",
 
 def big_orders_topk(customer_ds, orders_ds, lineitem_ds, *,
                     min_qty_c2: int = 15000, k: int = 100,
-                    num_partitions: int = 64):
+                    num_partitions: int = 64, salt: "int | str" = "auto"):
     """Large-volume orders (TPC-H Q18's shape — the group-HAVING +
     double join + top-k classic): orders whose total lineitem quantity
     exceeds a threshold, joined back to orders and customer, top-k by
@@ -483,9 +471,16 @@ def big_orders_topk(customer_ds, orders_ds, lineitem_ds, *,
       summing inside it (the HAVING filter runs where the sums
       complete — no separate global groupby);
     * the surviving order rows carry (custkey, date, totalprice)
-      through a second packed exchange on custkey where the customer
-      name attaches via sorted searchsorted — either side may be huge,
-      nothing broadcasts;
+      through :func:`kmcp_ray.joins.hash_join` inner on custkey where
+      the customer name attaches — either side may be huge, nothing
+      broadcasts, and ``salt="auto"`` (default, r4 verdict #7) levels a
+      hot custkey (one customer owning a data-proportional share of
+      big orders).  The survivors are materialized first so the
+      auto-salt histogram pass re-reads the (small, post-HAVING) table
+      instead of re-running the quantity exchange.  The orderkey
+      exchange itself takes no salt: per-key partial volume is bounded
+      by the map-side combine (≤ #input blocks rows/key) and salting
+      would split the in-exchange sums;
     * global top-k = block-local partial cut (total order: totalprice
       desc, orderkey asc — orderkey is unique so the cut is exact),
       then one tiny sort+limit.
@@ -585,75 +580,32 @@ def big_orders_topk(customer_ds, orders_ds, lineitem_ds, *,
         .map_batches(pack1, batch_format="pyarrow", zero_copy_batch=True) \
         .groupby("part").map_groups(having_join, batch_format="pyarrow")
 
-    # ---- exchange 2 (custkey): attach customer name
-    ex2 = Exchange([("side", pa.int8()), ("ck", pa.int64()),
-                    ("name", pa.string()), ("okey", pa.int64()),
-                    ("od", pa.int64()), ("tp_c2", pa.int64()),
-                    ("qty_c2", pa.int64())], P)
-    pack2 = ex2.make_pack_fn(u64_part_fn("ck", P=P))
+    # ---- custkey attach: generic hash_join inner (auto-salted) — the
+    # survivor table is small (post-HAVING), so materialize it once and
+    # let the auto-salt histogram pass read the materialized blocks
+    # rather than re-running the quantity exchange
+    from kmcp_ray.joins import hash_join
+    if salt == "auto":
+        big_orders = big_orders.materialize()
+    joined0 = hash_join(
+        big_orders,
+        customer_ds.select_columns(["c_custkey", "c_name"]),
+        key="ck", right_key="c_custkey", how="inner",
+        left_cols=[("okey", pa.int64()), ("od", pa.int64()),
+                   ("tp_c2", pa.int64()), ("qty_c2", pa.int64())],
+        right_cols=[("c_name", pa.string())], P=P, salt=salt)
 
-    def tag_cust(t: pa.Table) -> pa.Table:
-        n = t.num_rows
-        z = pa.array(np.zeros(n, np.int64), pa.int64())
-        return pa.table({"side": pa.array(np.zeros(n, np.int8), pa.int8()),
-                         "ck": t.column("c_custkey").cast(pa.int64()),
-                         "name": t.column("c_name").cast(pa.string()),
-                         "okey": z, "od": z, "tp_c2": z, "qty_c2": z})
-
-    def tag_big(t: pa.Table) -> pa.Table:
-        n = t.num_rows
-        return pa.table({"side": pa.array(np.ones(n, np.int8), pa.int8()),
-                         "ck": t.column("ck"),
-                         "name": pa.array([""] * n, pa.string()),
-                         "okey": t.column("okey"), "od": t.column("od"),
-                         "tp_c2": t.column("tp_c2"),
-                         "qty_c2": t.column("qty_c2")})
-
-    def attach_name(group: pa.Table) -> pa.Table:
-        u = ex2.unpack(group)
-        side = u["side"].to_numpy(zero_copy_only=False)
-        ck = u["ck"].to_numpy(zero_copy_only=False)
-        cm = side == 0
-        cust_ck = ck[cm]
-        if len(cust_ck) == 0 or len(cust_ck) == len(ck):
-            return pa.table({
-                "c_custkey": pa.array([], pa.int64()),
-                "c_name": pa.array([], pa.string()),
-                "o_orderkey": pa.array([], pa.int64()),
-                "o_orderdate_us": pa.array([], pa.int64()),
-                "tp_c2": pa.array([], pa.int64()),
-                "qty_c2": pa.array([], pa.int64())})
-        names = u["name"].filter(pa.array(cm))
-        o2 = np.argsort(cust_ck, kind="stable")
-        cust_s = cust_ck[o2]
-        bm = ~cm
-        bck = ck[bm]
-        pos = np.searchsorted(cust_s, bck)
-        pos_c = np.clip(pos, 0, max(len(cust_s) - 1, 0))
-        hit = (pos < len(cust_s)) & (cust_s[pos_c] == bck) if len(cust_s) \
-            else np.zeros(len(bck), dtype=bool)
-        take_names = names.take(pa.array(o2[pos_c][hit], pa.int64()))
+    def rename(t: pa.Table) -> pa.Table:
         return pa.table({
-            "c_custkey": pa.array(bck[hit], pa.int64()),
-            "c_name": take_names,
-            "o_orderkey": pa.array(
-                u["okey"].to_numpy(zero_copy_only=False)[bm][hit],
-                pa.int64()),
-            "o_orderdate_us": pa.array(
-                u["od"].to_numpy(zero_copy_only=False)[bm][hit], pa.int64()),
-            "tp_c2": pa.array(
-                u["tp_c2"].to_numpy(zero_copy_only=False)[bm][hit],
-                pa.int64()),
-            "qty_c2": pa.array(
-                u["qty_c2"].to_numpy(zero_copy_only=False)[bm][hit],
-                pa.int64())})
+            "c_custkey": t.column("ck"),
+            "c_name": t.column("c_name"),
+            "o_orderkey": t.column("okey"),
+            "o_orderdate_us": t.column("od"),
+            "tp_c2": t.column("tp_c2"),
+            "qty_c2": t.column("qty_c2")})
 
-    joined = customer_ds.map_batches(tag_cust, batch_format="pyarrow",
-                                     zero_copy_batch=True) \
-        .union(big_orders.map_batches(tag_big, batch_format="pyarrow",
-                                      zero_copy_batch=True)) \
-        .map_batches(pack2, batch_format="pyarrow", zero_copy_batch=True) \
-        .groupby("part").map_groups(attach_name, batch_format="pyarrow")
+    joined = joined0.map_batches(rename, batch_format="pyarrow",
+                                 zero_copy_batch=True)
 
     def partial_topk(t: pa.Table) -> pa.Table:
         if t.num_rows <= k:
@@ -673,7 +625,7 @@ def region_revenue(region_ds, nation_ds, supplier_ds, customer_ds,
                    orders_ds, lineitem_ds, *, region: str = "ASIA",
                    date_from: str = "1996-01-01",
                    date_to: str = "1997-01-01",
-                   num_partitions: int = 64):
+                   num_partitions: int = 64, salt: "int | str" = "auto"):
     """Per-nation revenue inside one region where customer and supplier
     share the nation — the canonical 6-table join (TPC-H Q5's shape),
     composed from this engine's join arsenal by side size:
@@ -690,6 +642,12 @@ def region_revenue(region_ds, nation_ds, supplier_ds, customer_ds,
     * orders ⨝ customer, lineitem ⨝ that: the generic packed-exchange
       ``joins.hash_join`` — two wide shuffles total, lineitem rows
       pre-slimmed map-side to (orderkey, s_nat, rev_c4) partials.
+      ``salt="auto"`` (default, r4 verdict #7) applies to the custkey
+      join (the skew-sensitive key: a viral customer); the orderkey
+      join runs unsalted because its probe side is the per-batch
+      lineitem PARTIALS — per-key volume ≤ #input blocks by the
+      map-side combine — and an auto histogram pass there would re-read
+      the whole lineitem table for no bound improvement.
     * final: nation-count-sized groupby.sum, names re-attached
       map-side.
 
@@ -749,7 +707,8 @@ def region_revenue(region_ds, nation_ds, supplier_ds, customer_ds,
     ord_nat = hash_join(orders, cust, key="o_custkey",
                         right_key="c_custkey", how="inner",
                         left_cols=[("o_orderkey", pa.int64())],
-                        right_cols=[("c_nat", pa.int64())], P=P)
+                        right_cols=[("c_nat", pa.int64())], P=P,
+                        salt=salt)
 
     # supplier (suppkey → region nationkey) broadcast map
     sup = supplier_ds.select_columns(["s_suppkey", "s_nationkey"]) \

@@ -367,3 +367,67 @@ def test_triangle_count_known_graph(ray_session):
                     "id_b": pa.array(eb, pa.int64())})
     out = cc.triangle_count(ray.data.from_arrow(tbl)).to_pandas()
     assert out.n_triangles.tolist() == [4]
+
+
+def test_relops_auto_salt_skewed_custkey(ray_session):
+    """r4 verdict #7: the TPC-H-shaped paths inherit the auto hot-key
+    salting.  On a 90%-one-customer corpus (the viral-customer skew the
+    salt exists for), order_revenue_topk and big_orders_topk with the
+    default salt="auto" equal their salt=1 runs exactly."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from kmcp_ray import relops
+
+    rng = np.random.default_rng(31)
+    n_ord = 4000
+    hot = 7
+    ck = np.where(rng.random(n_ord) < 0.9, hot,
+                  rng.integers(0, 200, n_ord)).astype(np.int64)
+    okey = np.arange(n_ord, dtype=np.int64)
+    odate = np.datetime64("1996-06-01", "us") + \
+        rng.integers(0, 300, n_ord) * np.timedelta64(86400_000_000, "us")
+    customer = pa.table({
+        "c_custkey": pa.array(np.arange(200, dtype=np.int64), pa.int64()),
+        "c_name": pa.array([f"cust{i}" for i in range(200)], pa.string()),
+        "c_mktsegment": pa.array(
+            ["BUILDING" if i % 2 == 0 else "AUTO" for i in range(200)],
+            pa.string())})
+    orders = pa.table({
+        "o_orderkey": pa.array(okey, pa.int64()),
+        "o_custkey": pa.array(ck, pa.int64()),
+        "o_orderdate": pa.array(odate, pa.timestamp("us")),
+        "o_totalprice": pa.array(rng.random(n_ord) * 1000, pa.float64())})
+    n_li = 12_000
+    li_ok = rng.integers(0, n_ord, n_li).astype(np.int64)
+    lineitem = pa.table({
+        "l_orderkey": pa.array(li_ok, pa.int64()),
+        "l_quantity": pa.array(
+            rng.integers(1, 50, n_li).astype(np.float64), pa.float64()),
+        "l_extendedprice": pa.array(rng.random(n_li) * 100, pa.float64()),
+        "l_discount": pa.array(rng.random(n_li) * 0.1, pa.float64()),
+        "l_shipdate": pa.array(
+            np.datetime64("1996-06-01", "us")
+            + rng.integers(0, 600, n_li)
+            * np.timedelta64(86400_000_000, "us"), pa.timestamp("us"))})
+
+    def mk():
+        return (ray.data.from_arrow(customer).repartition(4),
+                ray.data.from_arrow(orders).repartition(4),
+                ray.data.from_arrow(lineitem).repartition(4))
+
+    outs = []
+    for s in ("auto", 1):
+        c, o, l = mk()
+        outs.append(relops.order_revenue_topk(
+            c, o, l, segment="BUILDING", cutoff="1996-12-01", k=20,
+            num_partitions=8, salt=s).to_pandas())
+    assert outs[0].values.tolist() == outs[1].values.tolist()
+
+    outs2 = []
+    for s in ("auto", 1):
+        c, o, l = mk()
+        outs2.append(relops.big_orders_topk(
+            c, o, l, min_qty_c2=3000, k=30, num_partitions=8,
+            salt=s).to_pandas())
+    assert outs2[0].values.tolist() == outs2[1].values.tolist()
