@@ -207,6 +207,76 @@ def join_lookup(probe_ds, key_col: str, kv_ds, kv_key: str, kv_val: str,
     return out
 
 
+def build_member_table(idn: np.ndarray, ids: np.ndarray):
+    """(ident u64, id object) rows → the sorted lookup tuple
+    ``(uniq, starts, counts, ids_sorted)`` the broadcast expansion
+    probes — shared by the broadcast arm (ray.put per task) and the
+    r5 driver fast path (pipeline.edges_from_raw, zero executor
+    runs)."""
+    o = np.argsort(idn, kind="stable")
+    idn, ids = idn[o], ids[o]
+    first = np.concatenate(([True], idn[1:] != idn[:-1])) \
+        if len(idn) else np.empty(0, bool)
+    uniq = idn[first]
+    starts = np.nonzero(first)[0]
+    counts = np.diff(np.append(starts, len(idn)))
+    return (uniq, starts.astype(np.int64), counts.astype(np.int64), ids)
+
+
+def member_lookup(table, v: np.ndarray):
+    """Probe a :func:`build_member_table` tuple: per value →
+    (start, count), zeros where absent."""
+    uniq_l, starts_l, counts_l, _ids = table
+    pos = np.searchsorted(uniq_l, v)
+    pos_c = np.minimum(pos, max(len(uniq_l) - 1, 0))
+    found = (pos < len(uniq_l)) & (uniq_l[pos_c] == v) \
+        if len(uniq_l) else np.zeros(len(v), bool)
+    return (np.where(found, starts_l[pos_c], 0),
+            np.where(found, counts_l[pos_c], 0))
+
+
+def expand_pairs_with_table(table, ia: np.ndarray, ib: np.ndarray, *,
+                            score: "np.ndarray | None" = None,
+                            via_value: str = None) -> pa.Table:
+    """The class→member cross-product expansion kernel over a
+    :func:`build_member_table` tuple — pure numpy, shared by the
+    broadcast map_batches arm and the driver fast path."""
+    ids_l = table[3]
+    n = len(ia)
+    sa, ca = member_lookup(table, ia)
+    sb, cb = member_lookup(table, ib)
+    tot = ca * cb
+    T = int(tot.sum())
+    cum = np.concatenate(([0], np.cumsum(tot)))
+    pair_of = np.repeat(np.arange(n), tot)
+    local = np.arange(T) - cum[pair_of]
+    cb_p = cb[pair_of]
+    a_ids = ids_l[sa[pair_of] + local // cb_p] if T \
+        else np.empty(0, object)
+    b_ids = ids_l[sb[pair_of] + local % cb_p] if T \
+        else np.empty(0, object)
+    aS = np.asarray(a_ids, dtype="S")
+    bS = np.asarray(b_ids, dtype="S")
+    w = max(aS.dtype.itemsize, bS.dtype.itemsize, 1)
+    swap = aS.astype(f"S{w}") > bS.astype(f"S{w}")
+    out = {"id_a": pa.array(np.where(swap, b_ids, a_ids), pa.string()),
+           "id_b": pa.array(np.where(swap, a_ids, b_ids), pa.string())}
+    if via_value is not None:
+        out["via"] = pa.array(np.full(T, via_value, dtype=object),
+                              pa.string())
+    if score is not None:
+        out["score"] = pa.array(score[pair_of], pa.float64())
+    return pa.table(out)
+
+
+def expansion_volume(table, ia: np.ndarray, ib: np.ndarray) -> int:
+    """Exact output-row count the expansion would produce — cheap
+    (two lookups), used to gate the driver fast path."""
+    _sa, ca = member_lookup(table, ia)
+    _sb, cb = member_lookup(table, ib)
+    return int((ca * cb).sum())
+
+
 def expand_ident_pairs_broadcast(pairs_ds, members_mat, *,
                                  with_score: bool = False,
                                  via_value: str = None):
@@ -232,57 +302,19 @@ def expand_ident_pairs_broadcast(pairs_ds, members_mat, *,
         idn_chunks.append(b.column("ident").to_numpy(zero_copy_only=False)
                           .astype(np.uint64))
         id_chunks.append(b.column("id").to_numpy(zero_copy_only=False))
-    idn = np.concatenate(idn_chunks)
-    ids = np.concatenate(id_chunks)
-    o = np.argsort(idn, kind="stable")
-    idn, ids = idn[o], ids[o]
-    first = np.concatenate(([True], idn[1:] != idn[:-1])) \
-        if len(idn) else np.empty(0, bool)
-    uniq = idn[first]
-    starts = np.nonzero(first)[0]
-    counts = np.diff(np.append(starts, len(idn)))
-    table_ref = ray.put((uniq, starts.astype(np.int64),
-                         counts.astype(np.int64), ids))
+    table_ref = ray.put(build_member_table(np.concatenate(idn_chunks),
+                                           np.concatenate(id_chunks)))
 
     def expand(batch: pa.Table) -> pa.Table:
-        uniq_l, starts_l, counts_l, ids_l = ray.get(table_ref)
+        table = ray.get(table_ref)
         ia = batch.column("ident_a").to_numpy(zero_copy_only=False) \
             .astype(np.uint64)
         ib = batch.column("ident_b").to_numpy(zero_copy_only=False) \
             .astype(np.uint64)
-        n = len(ia)
-
-        def lookup(v):
-            pos = np.searchsorted(uniq_l, v)
-            pos_c = np.minimum(pos, max(len(uniq_l) - 1, 0))
-            found = (pos < len(uniq_l)) & (uniq_l[pos_c] == v) \
-                if len(uniq_l) else np.zeros(len(v), bool)
-            return (np.where(found, starts_l[pos_c], 0),
-                    np.where(found, counts_l[pos_c], 0))
-
-        sa, ca = lookup(ia)
-        sb, cb = lookup(ib)
-        tot = ca * cb
-        T = int(tot.sum())
-        cum = np.concatenate(([0], np.cumsum(tot)))
-        pair_of = np.repeat(np.arange(n), tot)
-        local = np.arange(T) - cum[pair_of]
-        cb_p = cb[pair_of]
-        a_ids = ids_l[sa[pair_of] + local // cb_p]
-        b_ids = ids_l[sb[pair_of] + local % cb_p]
-        aS = np.asarray(a_ids, dtype="S")
-        bS = np.asarray(b_ids, dtype="S")
-        w = max(aS.dtype.itemsize, bS.dtype.itemsize, 1)
-        swap = aS.astype(f"S{w}") > bS.astype(f"S{w}")
-        out = {"id_a": pa.array(np.where(swap, b_ids, a_ids), pa.string()),
-               "id_b": pa.array(np.where(swap, a_ids, b_ids), pa.string())}
-        if via_value is not None:
-            out["via"] = pa.array(np.full(T, via_value, dtype=object),
-                                  pa.string())
-        if with_score:
-            sc = batch.column("score").to_numpy(zero_copy_only=False)
-            out["score"] = pa.array(sc[pair_of], pa.float64())
-        return pa.table(out)
+        sc = batch.column("score").to_numpy(zero_copy_only=False) \
+            if with_score else None
+        return expand_pairs_with_table(table, ia, ib, score=sc,
+                                       via_value=via_value)
 
     return pairs_ds.map_batches(expand, batch_format="pyarrow",
                                 zero_copy_batch=True)

@@ -212,29 +212,42 @@ def edges_stage(sig_ds, cfg: DedupConfig, enable=ALL_GENERATORS,
     return edges_from_raw(raw, sig_ds, cfg, vsk_provider=vsk_provider)
 
 
-def _extract_class_pairs_driver(raw, cap: int):
-    """Small arm of the class-pair extraction: one projected pass over
-    the MATERIALIZED verifier output pulls the ``cand`` and ``phashc``
-    rows' ident/score columns to the driver (zero-copy local-plasma
-    batch reads; the id-bearing membership/star rows never leave the
-    object store), dedups cand class pairs with one lexsort, and
-    returns ``(pairs_cls, phc)`` as multi-block in-memory Datasets.
+def _extract_class_pairs_driver(raw, cap: int, member_cap: int):
+    """Small arm of the class-pair + membership extraction: ONE
+    projected zero-copy pass over the MATERIALIZED verifier output
+    (``to_arrow_refs`` + local-plasma ``ray.get``; no executor run)
+    that does three things at once (r5 — the r4 version made two
+    string-filter passes costing ~5.7 s at 3.2M rows):
 
-    Returns ``None`` once more than ``cap`` pair rows accumulate, or
-    when the materialized raw exceeds the 2 GB block-bytes gate (on a
-    multi-node cluster the driver would have to FETCH every block to
-    filter it — past the gate the distributed dedup exchange is the
-    right arm; edges_from_raw falls back; same measured-gate pattern
-    as the broadcast/exchange switches).  Blocks are read via
-    ``to_arrow_refs`` + ``ray.get`` — zero-copy on the driver's node,
-    NO executor run (an extra projection execution was measured at
-    ~3.5 s of the tail this pass replaces)."""
+    * pulls the ``cand``/``phashc`` rows' ident/score columns and
+      dedups both pair families with one lexsort each (phashc dedup:
+      ADVICE r4 — bkey truncation can re-emit a pair from a colliding
+      later chunk's bucket, ~2^-30/extra chunk; scores deterministic
+      per ident pair so first-wins is exact);
+    * classifies every row ONCE via ``pc.index_in`` (a single string
+      scan instead of four equality filters) and stashes the
+      ``member_sk``/``member_ph`` row indices + idents per block;
+    * after pair dedup, gathers the member ID STRINGS only for idents
+      that occur in a pair — ``ChunkedArray.take`` on hit rows, so the
+      heavy id column is never materialized for non-candidate rows.
+
+    Returns ``(pairs_tbl, phc_tbl, mem_sk, mem_ph)`` where ``mem_*``
+    are ``(ident u64 array, id object array)`` pairs — or ``mem_* =
+    None`` when the filtered membership exceeds ``member_cap`` (the
+    caller then runs the distributed expansion arms with the pair
+    tables).  Returns ``None`` outright once more than ``cap`` pair
+    rows accumulate or the materialized raw exceeds the 2 GB
+    block-bytes gate (on a multi-node cluster the driver would have to
+    FETCH every block — past the gate the distributed dedup exchange
+    is the right arm; same measured-gate pattern as the
+    broadcast/exchange switches)."""
     import pyarrow.compute as pc
 
     if (raw.size_bytes() or (1 << 62)) > (2 << 30):
         return None
-    _SEL = pa.array(["cand", "phashc"])
+    _VIAS = pa.array(["cand", "phashc", "member_sk", "member_ph"])
     ca, cb, pa_a, pa_b, pa_s = [], [], [], [], []
+    stash = []      # (block table, sk_rows, sk_idents, ph_rows, ph_idents)
     total = 0
     for ref in raw.to_arrow_refs():
         t = ray.get(ref)
@@ -243,59 +256,100 @@ def _extract_class_pairs_driver(raw, cap: int):
             # for empty partitions (the Ray 2.49.2 artifact documented
             # below) — nothing to extract from them
             continue
-        b = t.select(["via", "ident_a", "ident_b", "score"]) \
-             .filter(pc.is_in(t["via"], value_set=_SEL))
-        total += b.num_rows
-        if total > cap:
-            return None
-        via = b.column("via").to_numpy(zero_copy_only=False)
-        ia = b.column("ident_a").to_numpy(zero_copy_only=False)
-        ib = b.column("ident_b").to_numpy(zero_copy_only=False)
-        m = via == "cand"
-        ca.append(ia[m]); cb.append(ib[m])
-        mp = ~m
-        if mp.any():
-            pa_a.append(ia[mp]); pa_b.append(ib[mp])
-            pa_s.append(b.column("score")
-                        .to_numpy(zero_copy_only=False)[mp])
+        code = pc.fill_null(
+            pc.index_in(t["via"], value_set=_VIAS), -1) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        ia = t.column("ident_a").to_numpy(zero_copy_only=False)
+        m = code == 0
+        mp = code == 1
+        if m.any() or mp.any():
+            ib = t.column("ident_b").to_numpy(zero_copy_only=False)
+            total += int(m.sum()) + int(mp.sum())
+            if total > cap:
+                return None
+            if m.any():
+                ca.append(ia[m])
+                cb.append(ib[m])
+            if mp.any():
+                pa_a.append(ia[mp])
+                pa_b.append(ib[mp])
+                pa_s.append(t.column("score")
+                            .to_numpy(zero_copy_only=False)[mp])
+        sk_rows = np.nonzero(code == 2)[0]
+        ph_rows = np.nonzero(code == 3)[0]
+        if len(sk_rows) or len(ph_rows):
+            stash.append((t, sk_rows, ia[sk_rows], ph_rows, ia[ph_rows]))
 
-    a = np.concatenate(ca) if ca else np.empty(0, np.uint64)
-    b_ = np.concatenate(cb) if cb else np.empty(0, np.uint64)
-    if len(a):
-        order = np.lexsort((b_, a))
-        a, b_ = a[order], b_[order]
-        first = np.concatenate(([True], (a[1:] != a[:-1])
-                                | (b_[1:] != b_[:-1])))
-        a, b_ = a[first], b_[first]
+    def _dedup(aa, bb, ss=None):
+        a = np.concatenate(aa) if aa else np.empty(0, np.uint64)
+        b = np.concatenate(bb) if bb else np.empty(0, np.uint64)
+        s = (np.concatenate(ss) if ss else np.empty(0, np.float64)) \
+            if ss is not None else None
+        if len(a):
+            order = np.lexsort((b, a))
+            a, b = a[order], b[order]
+            first = np.concatenate(([True], (a[1:] != a[:-1])
+                                    | (b[1:] != b[:-1])))
+            if s is not None:
+                s = s[order][first]
+            a, b = a[first], b[first]
+        return a, b, s
+
+    a, b_, _ = _dedup(ca, cb)
+    pha, phb, phs = _dedup(pa_a, pa_b, pa_s)
     pairs_tbl = pa.table({"ident_a": pa.array(a, pa.uint64()),
                           "ident_b": pa.array(b_, pa.uint64())})
-    # phashc class pairs dedup too (ADVICE r4): bkey truncation lets a
-    # pair whose extra agreeing chunk collides after truncation
-    # (~2^-30) re-emit from a second bucket — scores are deterministic
-    # per ident pair, so first-wins is exact
-    pha = np.concatenate(pa_a) if pa_a else np.empty(0, np.uint64)
-    phb = np.concatenate(pa_b) if pa_b else np.empty(0, np.uint64)
-    phs = np.concatenate(pa_s) if pa_s else np.empty(0, np.float64)
-    if len(pha):
-        order = np.lexsort((phb, pha))
-        pha, phb, phs = pha[order], phb[order], phs[order]
-        first = np.concatenate(([True], (pha[1:] != pha[:-1])
-                                | (phb[1:] != phb[:-1])))
-        pha, phb, phs = pha[first], phb[first], phs[first]
     phc_tbl = pa.table({
         "ident_a": pa.array(pha, pa.uint64()),
         "ident_b": pa.array(phb, pa.uint64()),
         "score": pa.array(phs, pa.float64())})
 
-    def _to_ds(tbl: pa.Table, chunks: int = 32):
-        # multi-block so downstream expansion maps parallelize (a
-        # single from_arrow block would serialize them)
-        n = tbl.num_rows
-        step = max(1, -(-n // chunks))
-        slices = [tbl.slice(i, step) for i in range(0, max(n, 1), step)]
-        return ray.data.from_arrow(slices)
+    # ---- member id gather, restricted to pair-involved idents ------
+    need_sk = np.unique(np.concatenate((a, b_))) if len(a) \
+        else np.empty(0, np.uint64)
+    need_ph = np.unique(np.concatenate((pha, phb))) if len(pha) \
+        else np.empty(0, np.uint64)
 
-    return _to_ds(pairs_tbl), _to_ds(phc_tbl)
+    def _in(sorted_keys: np.ndarray, v: np.ndarray) -> np.ndarray:
+        if len(sorted_keys) == 0 or len(v) == 0:
+            return np.zeros(len(v), bool)
+        pos = np.searchsorted(sorted_keys, v)
+        pos_c = np.minimum(pos, len(sorted_keys) - 1)
+        return (pos < len(sorted_keys)) & (sorted_keys[pos_c] == v)
+
+    sk_idn, sk_ids, ph_idn, ph_ids = [], [], [], []
+    n_mem = 0
+    for t, sk_rows, sk_i, ph_rows, ph_i in stash:
+        hit = _in(need_sk, sk_i)
+        hit_ph = _in(need_ph, ph_i)
+        n_mem += int(hit.sum()) + int(hit_ph.sum())
+        if n_mem > member_cap:
+            return pairs_tbl, phc_tbl, None, None
+        if hit.any():
+            sk_idn.append(sk_i[hit])
+            sk_ids.append(t.column("id_a")
+                          .take(pa.array(sk_rows[hit], pa.int64()))
+                          .to_numpy(zero_copy_only=False))
+        if hit_ph.any():
+            ph_idn.append(ph_i[hit_ph])
+            ph_ids.append(t.column("id_a")
+                          .take(pa.array(ph_rows[hit_ph], pa.int64()))
+                          .to_numpy(zero_copy_only=False))
+
+    def _cat(idn_l, ids_l):
+        return (np.concatenate(idn_l) if idn_l else np.empty(0, np.uint64),
+                np.concatenate(ids_l) if ids_l else np.empty(0, object))
+
+    return pairs_tbl, phc_tbl, _cat(sk_idn, sk_ids), _cat(ph_idn, ph_ids)
+
+
+def _to_ds(tbl: pa.Table, chunks: int = 32):
+    """Arrow table → multi-block in-memory Dataset so downstream maps
+    parallelize (a single from_arrow block would serialize them)."""
+    n = tbl.num_rows
+    step = max(1, -(-n // chunks))
+    slices = [tbl.slice(i, step) for i in range(0, max(n, 1), step)]
+    return ray.data.from_arrow(slices)
 
 
 def edges_from_raw(raw, sig_ds, cfg: DedupConfig, vsk_provider=None):
@@ -403,10 +457,80 @@ def edges_from_raw(raw, sig_ds, cfg: DedupConfig, vsk_provider=None):
     # executor schedule the whole edge stage ~6x slower (measured
     # 102 s vs 16 s at 800k rows).
     extracted = _extract_class_pairs_driver(
-        raw, cap=cfg.driver_class_pair_rows)
+        raw, cap=cfg.driver_class_pair_rows,
+        member_cap=cfg.broadcast_verify_rows)
     _tick("extract_cls")
+    # r5 driver fast path (r4 verdict #1 — collapse the barrier tail):
+    # when the class pairs fit the driver arm, the SAME zero-copy pass
+    # also pulled the pair-involved membership rows; the class→member
+    # expansion then runs INSIDE the verify consumers (each worker
+    # batch expands from the ray.put member table) — so the former two
+    # membership-filter executor runs, the expansion materialize, and
+    # the need-id scan (4 barriers) all disappear, and the pair stream
+    # shipped to workers is class-pair-sized, not member-pair-sized.
+    # Every step is gated on measured sizes; any gate miss falls back
+    # to the distributed arms unchanged.
+    pairs = None          # member-pair Dataset (lazy-expanding if fast)
+    ph_edges = None       # phash edge  Dataset (lazy-expanding if fast)
+    need = None           # vsk-needing id array  (sorted S) when fast
+    n_pairs_known = None  # expansion volume, known without executing
     if extracted is not None:
-        pairs_cls, phc = extracted
+        from kmcp_ray.exchange import (build_member_table,
+                                       expand_pairs_with_table,
+                                       expansion_volume)
+        pairs_tbl, phc_tbl, mem_sk, mem_ph = extracted
+        ia = pairs_tbl.column("ident_a").to_numpy(zero_copy_only=False)
+        ib = pairs_tbl.column("ident_b").to_numpy(zero_copy_only=False)
+        pha = phc_tbl.column("ident_a").to_numpy(zero_copy_only=False)
+        phb = phc_tbl.column("ident_b").to_numpy(zero_copy_only=False)
+        if mem_sk is not None:
+            sk_table = build_member_table(*mem_sk)
+            ph_table = build_member_table(*mem_ph)
+            t_sk = expansion_volume(sk_table, ia, ib)
+            t_ph = expansion_volume(ph_table, pha, phb)
+            # 2*t_sk bound keeps the downstream verify-arm switch on
+            # the broadcast arm — the fast path never changes arms
+            if 2 * t_sk <= cfg.broadcast_verify_rows \
+                    and t_ph <= cfg.broadcast_verify_rows:
+                sk_ref = ray.put(sk_table)
+                ph_ref = ray.put(ph_table)
+
+                def _exp_sk(t: pa.Table) -> pa.Table:
+                    tb = ray.get(sk_ref)
+                    return expand_pairs_with_table(
+                        tb,
+                        t.column("ident_a").to_numpy(
+                            zero_copy_only=False).astype(np.uint64),
+                        t.column("ident_b").to_numpy(
+                            zero_copy_only=False).astype(np.uint64))
+
+                def _exp_ph(t: pa.Table) -> pa.Table:
+                    tb = ray.get(ph_ref)
+                    return expand_pairs_with_table(
+                        tb,
+                        t.column("ident_a").to_numpy(
+                            zero_copy_only=False).astype(np.uint64),
+                        t.column("ident_b").to_numpy(
+                            zero_copy_only=False).astype(np.uint64),
+                        score=t.column("score").to_numpy(
+                            zero_copy_only=False),
+                        via_value="phash").select(FINAL_COLS)
+
+                pairs = _to_ds(pairs_tbl).map_batches(
+                    _exp_sk, batch_format="pyarrow", zero_copy_batch=True)
+                ph_edges = _to_ds(phc_tbl).map_batches(
+                    _exp_ph, batch_format="pyarrow", zero_copy_batch=True)
+                n_pairs_known = t_sk
+                # vsk-needing ids == the pair-involved member ids (a
+                # superset of the expanded pair ids: every member of a
+                # paired, non-empty class expands into >=1 pair)
+                need = np.unique(np.asarray(mem_sk[1], dtype="S")) \
+                    if len(mem_sk[1]) else np.empty(0, dtype="S1")
+                _tick("expand_plan")
+        if pairs is None:
+            # gates missed: hand the extracted tables to the
+            # distributed arms below
+            pairs_cls, phc = _to_ds(pairs_tbl), _to_ds(phc_tbl)
     else:
         cand = raw.map_batches(
             lambda t: t.filter(pc.equal(t["via"], "cand"))
@@ -466,38 +590,47 @@ def edges_from_raw(raw, sig_ds, cfg: DedupConfig, vsk_provider=None):
 
     # class pairs → member-level id pairs (exactly the pairs the
     # id-level shuffle used to emit: class members share their whole
-    # key vector, so every member pair did co-occur in the buckets)
-    pairs = _expand(pairs_cls, "member_sk").materialize()
-    _tick("expand_pairs")
+    # key vector, so every member pair did co-occur in the buckets).
+    # ``pairs``/``ph_edges`` may already exist from the driver fast
+    # path above — then these distributed arms are skipped entirely.
+    if pairs is None:
+        pairs = _expand(pairs_cls, "member_sk").materialize()
+        _tick("expand_pairs")
 
     # verified-in-bucket pHash class pairs → member-level phash edges
-    ph_edges = _expand(phc, "member_ph", with_score=True,
-                       via_value="phash") \
-        .map_batches(lambda t: t.select(FINAL_COLS),
-                     batch_format="pyarrow", zero_copy_batch=True)
-    _tick("expand_phc")
+    if ph_edges is None:
+        ph_edges = _expand(phc, "member_ph", with_score=True,
+                           via_value="phash") \
+            .map_batches(lambda t: t.select(FINAL_COLS),
+                         batch_format="pyarrow", zero_copy_batch=True)
+        _tick("expand_phc")
 
     # Two verification modes, mirroring kmcp's load-whole vs mmap index
     # modes (reference: kmcp/cmd/search.go:66-83).  The switch keys on
     # the DEDUPLICATED pair count — the quantity that actually bounds
     # the broadcast table — not on corpus rows: a trillion-row corpus
     # with few duplicate candidates still takes the cheap broadcast arm.
-    n_pairs = pairs.count()          # materialized: metadata, no pass
+    # fast path: the volume is known from the expansion arithmetic —
+    # counting the lazy dataset would force the expansion to run twice
+    n_pairs = n_pairs_known if n_pairs_known is not None \
+        else pairs.count()           # materialized: metadata, no pass
     if 2 * n_pairs <= cfg.broadcast_verify_rows:
         from kmcp_ray.broadcast import collect_blob_table, probe_blob_table
 
         # semi-join: only ids that occur in >=1 candidate pair need a
         # verification sketch on the driver (<= 2*n_pairs rows, vs the
-        # whole corpus before) — the filter pass stays distributed
-        import pyarrow.compute as pc
-        id_chunks = [np.empty(0, dtype=object)]
-        for b in pairs.iter_batches(batch_size=1 << 18,
-                                    batch_format="pyarrow"):
-            id_chunks.append(pc.unique(b.column("id_a"))
-                             .to_numpy(zero_copy_only=False))
-            id_chunks.append(pc.unique(b.column("id_b"))
-                             .to_numpy(zero_copy_only=False))
-        need = np.unique(np.concatenate(id_chunks).astype("S"))
+        # whole corpus before) — computed inline by the driver fast
+        # path, or by this distributed scan on the fallback arms
+        if need is None:
+            import pyarrow.compute as pc
+            id_chunks = [np.empty(0, dtype=object)]
+            for b in pairs.iter_batches(batch_size=1 << 18,
+                                        batch_format="pyarrow"):
+                id_chunks.append(pc.unique(b.column("id_a"))
+                                 .to_numpy(zero_copy_only=False))
+                id_chunks.append(pc.unique(b.column("id_b"))
+                                 .to_numpy(zero_copy_only=False))
+            need = np.unique(np.concatenate(id_chunks).astype("S"))
         _tick("need_ids")
 
         if vsk_provider is not None:
@@ -594,18 +727,33 @@ def cc_and_assign(edges_ds, ids_ds, cfg: DedupConfig,
     blocks to spanning forests (distributed, map-only), switch on the
     forest size between driver union-find + broadcast map and
     distributed label propagation + partitioned join."""
+    _timers = os.environ.get("KMCP_STAGE_TIMERS") == "1"
+    import time as _time
+    _t0 = [_time.time()]
+
+    def _tick(name):
+        if _timers:
+            import sys as _sys
+            print(f"[cc {name}] {_time.time() - _t0[0]:.2f}s",
+                  file=_sys.stderr)
+        _t0[0] = _time.time()
+
     forest = edges_ds.select_columns(["id_a", "id_b"]) \
         .map_batches(cc_mod.spanning_forest_batch, batch_format="pyarrow",
                      batch_size=1 << 20).materialize()
+    _tick("forest_mat")
     n_forest = forest.count()
     if n_forest <= cfg.broadcast_assign_edges:
         cluster_map = cc_mod.connected_components_arrays(forest,
                                                          reduce_rounds=0)
+        _tick("driver_uf")
         assignments = assign_stage(ids_ds, cluster_map, id_col=id_col)
+        _tick("emit_plan")
     else:
         cluster_map = (np.empty(0, object), np.empty(0, object))
         labels = cc_mod.labels_via_exchange(forest, cfg.num_partitions)
         assignments = assign_via_join(ids_ds, labels, cfg, id_col=id_col)
+        _tick("labels_join_plan")
     return assignments, cluster_map
 
 
