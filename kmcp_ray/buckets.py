@@ -72,25 +72,39 @@ def empty_edges() -> pa.Table:
                      "score": pa.array([], pa.float64())})
 
 
+#: int8 row classifier carried NEXT TO the ``via`` string (r5): the
+#: driver extraction pass classifies ~10M rows per 3.2M inputs, and an
+#: int8 ``to_numpy`` + integer compare is ~5x cheaper than a string
+#: ``index_in`` scan.  Codes 0-3 are the extraction-relevant kinds;
+#: every star row is 4 (the extractor never distinguishes stars).
+VIA_CAND, VIA_PHASHC, VIA_MEMBER_SK, VIA_MEMBER_PH, VIA_STAR = range(5)
+
+
 def _empty_raw() -> pa.Table:
     return pa.table({"id_a": pa.array([], pa.string()),
                      "id_b": pa.array([], pa.string()),
                      "via": pa.array([], pa.string()),
+                     "via_code": pa.array([], pa.int8()),
                      "score": pa.array([], pa.float64()),
                      "ident_a": pa.array([], pa.uint64()),
                      "ident_b": pa.array([], pa.uint64())})
 
 
-def _raw_table(id_a, id_b, via, score, ident_a, ident_b) -> pa.Table:
-    """Assemble one verifier sub-table; id/ident columns accept None for
-    all-null."""
+def _raw_table(id_a, id_b, via, score, ident_a, ident_b,
+               via_code) -> pa.Table:
+    """Assemble one verifier sub-table; id/ident columns accept None
+    for all-null.  ``via_code``: int scalar or int8 array (see
+    VIA_* constants)."""
     n = len(via)
+    code = np.full(n, via_code, np.int8) if np.isscalar(via_code) \
+        else np.asarray(via_code, np.int8)
     return pa.table({
         "id_a": pa.array(id_a, pa.string()) if id_a is not None
         else pa.nulls(n, pa.string()),
         "id_b": pa.array(id_b, pa.string()) if id_b is not None
         else pa.nulls(n, pa.string()),
         "via": pa.array(via, pa.string()),
+        "via_code": pa.array(code, pa.int8()),
         "score": pa.array(score, pa.float64()),
         "ident_a": pa.array(ident_a, pa.uint64()) if ident_a is not None
         else pa.array(np.zeros(n, np.uint64), pa.uint64()),
@@ -168,13 +182,14 @@ def make_bucket_verifier(cfg: DedupConfig, fresh_gate: bool = False):
         # can still appear in pairs formed in OTHER buckets). ---------
         is_sk2 = (k2 == KIND_MINHASH) | (k2 == KIND_CONTAIN)
         is_ph2 = k2 == KIND_PHASH
-        for mask, via in ((is_sk2, "member_sk"), (is_ph2, "member_ph")):
+        for mask, via, vcode in ((is_sk2, "member_sk", VIA_MEMBER_SK),
+                                 (is_ph2, "member_ph", VIA_MEMBER_PH)):
             if mask.any():
                 nm = int(mask.sum())
                 out_tables.append(_raw_table(
                     ids2[mask], None,
                     np.full(nm, via, dtype=object),
-                    np.zeros(nm), idn2[mask], None))
+                    np.zeros(nm), idn2[mask], None, vcode))
 
         # unified entry view: id-free stream first, designated second.
         # bkey embeds the kind in its top 2 bits, so sorting by bkey IS
@@ -237,7 +252,7 @@ def make_bucket_verifier(cfg: DedupConfig, fresh_gate: bool = False):
                                         "minhash")).astype(object)
                 out_tables.append(_raw_table(
                     uids2[r_rank], uids2[m_rank], via,
-                    np.ones(len(m_rank)), None, None))
+                    np.ones(len(m_rank)), None, None, VIA_STAR))
 
         # ---- class pairs: one representative entry per (bucket, ident)
         # (entries are ident-sorted within segments, so reps are the
@@ -317,7 +332,8 @@ def make_bucket_verifier(cfg: DedupConfig, fresh_gate: bool = False):
                     nph = int(ok.sum())
                     out_tables.append(_raw_table(
                         None, None, np.full(nph, "phashc", dtype=object),
-                        1.0 - ham[ok] / 64.0, pa_i[ok], pb_i[ok]))
+                        1.0 - ham[ok] / 64.0, pa_i[ok], pb_i[ok],
+                        VIA_PHASHC))
 
             # sketch class pairs: dedup within the partition (the same
             # class pair recurs across shared bands), verified later
@@ -331,7 +347,7 @@ def make_bucket_verifier(cfg: DedupConfig, fresh_gate: bool = False):
                 sa, sb = sa[first], sb[first]
                 out_tables.append(_raw_table(
                     None, None, np.full(len(sa), "cand", dtype=object),
-                    np.zeros(len(sa)), sa, sb))
+                    np.zeros(len(sa)), sa, sb, VIA_CAND))
 
         if not out_tables:
             return _empty_raw()

@@ -256,9 +256,17 @@ def _extract_class_pairs_driver(raw, cap: int, member_cap: int):
             # for empty partitions (the Ray 2.49.2 artifact documented
             # below) — nothing to extract from them
             continue
-        code = pc.fill_null(
-            pc.index_in(t["via"], value_set=_VIAS), -1) \
-            .to_numpy(zero_copy_only=False).astype(np.int64)
+        # int8 via_code (buckets.VIA_*, same 0-3 order as _VIAS) — a
+        # zero-copy int read instead of a 10M-row string scan; the
+        # index_in fallback keeps raw tables from older producers
+        # working
+        if "via_code" in t.column_names:
+            code = t.column("via_code") \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+        else:
+            code = pc.fill_null(
+                pc.index_in(t["via"], value_set=_VIAS), -1) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
         ia = t.column("ident_a").to_numpy(zero_copy_only=False)
         m = code == 0
         mp = code == 1
