@@ -110,7 +110,25 @@ def run_bench() -> dict:
     # job (partitioning is a property of the job/data, sized for the
     # largest cluster, not re-derived per cluster size)
     n_parts = int(os.environ.get("GRAFT_NUM_PARTS", max(64, NCPU * 4)))
-    cfg = DedupConfig(num_partitions=n_parts)
+    # host-sized gate knobs (this box: 128 GiB, single node): the
+    # broadcast/driver-arm caps are MEMORY-safety levers, so the job
+    # owner sizes them to the deployment — exactly kmcp's
+    # load-whole-index vs mmap decision (search.go:66-83).  The 12.8M
+    # runs overflowed the conservative defaults (2 GB extract gate,
+    # 8M-row broadcast cap, 2M-edge driver-UF cap) and fell onto the
+    # exchange arms this host executes ~5x slower (BASELINE.md r4
+    # forced-arm measurement); at these values every arm stays on the
+    # measured-fast path while tables stay far under host memory
+    # (vsk table ≤ ~16 GB plasma, member/driver state ≤ ~3 GB heap).
+    # driver_class_pair_rows stays at its 32M default: the 12.8M A/B
+    # (BASELINE.md r5) measured the serial driver extraction LOSING to
+    # the parallel exchange arms past that volume (27.5 s driver vs
+    # ~15 s exchange) — the cap is a measured crossover, not a memory
+    # limit
+    cfg = DedupConfig(num_partitions=n_parts,
+                      broadcast_verify_rows=32_000_000,
+                      broadcast_assign_edges=16_000_000,
+                      driver_extract_bytes=16 << 30)
     corpus = os.path.join(CACHE, f"pairs_n{BENCH_ROWS}_s42")
     testgen.make_corpus_parquet(corpus, BENCH_ROWS, seed=42, cfg=cfg)
     paths = os.path.join(corpus, "pairs")

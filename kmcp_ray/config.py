@@ -120,6 +120,15 @@ class DedupConfig:
     #: barriers are ~2-3 s of n-independent latency; past the cap the
     #: exchange arm runs unchanged (pipeline._extract_class_pairs_driver).
     driver_class_pair_rows: int = 32_000_000
+    #: the driver extraction pass refuses once the materialized
+    #: verifier output exceeds this many bytes: on a multi-node
+    #: cluster the driver would FETCH every block to scan it, so the
+    #: default is conservative; a single-node deployment (or a driver
+    #: co-located with a fat node) can raise it — the scan is
+    #: zero-copy local plasma there (r5: the 12.8M-row bench run
+    #: tripped the old hard-wired 2 GB gate and fell onto the
+    #: exchange arms, which this host executes ~5x slower).
+    driver_extract_bytes: int = 2 << 30
 
     @property
     def rows_per_band(self) -> int:

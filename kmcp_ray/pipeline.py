@@ -212,7 +212,8 @@ def edges_stage(sig_ds, cfg: DedupConfig, enable=ALL_GENERATORS,
     return edges_from_raw(raw, sig_ds, cfg, vsk_provider=vsk_provider)
 
 
-def _extract_class_pairs_driver(raw, cap: int, member_cap: int):
+def _extract_class_pairs_driver(raw, cap: int, member_cap: int,
+                                max_bytes: int = 2 << 30):
     """Small arm of the class-pair + membership extraction: ONE
     projected zero-copy pass over the MATERIALIZED verifier output
     (``to_arrow_refs`` + local-plasma ``ray.get``; no executor run)
@@ -243,7 +244,7 @@ def _extract_class_pairs_driver(raw, cap: int, member_cap: int):
     broadcast/exchange switches)."""
     import pyarrow.compute as pc
 
-    if (raw.size_bytes() or (1 << 62)) > (2 << 30):
+    if (raw.size_bytes() or (1 << 62)) > max_bytes:
         return None
     _VIAS = pa.array(["cand", "phashc", "member_sk", "member_ph"])
     ca, cb, pa_a, pa_b, pa_s = [], [], [], [], []
@@ -466,7 +467,8 @@ def edges_from_raw(raw, sig_ds, cfg: DedupConfig, vsk_provider=None):
     # 102 s vs 16 s at 800k rows).
     extracted = _extract_class_pairs_driver(
         raw, cap=cfg.driver_class_pair_rows,
-        member_cap=cfg.broadcast_verify_rows)
+        member_cap=cfg.broadcast_verify_rows,
+        max_bytes=cfg.driver_extract_bytes)
     _tick("extract_cls")
     # r5 driver fast path (r4 verdict #1 — collapse the barrier tail):
     # when the class pairs fit the driver arm, the SAME zero-copy pass
