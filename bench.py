@@ -283,8 +283,11 @@ def run_scaling() -> dict:
         # query suite would quadruple wall time without adding signal.
         # GRAFT_NUM_PARTS pinned to the HIGH level's P: both levels run
         # the identical job (see run_bench)
+        # partition count sized to DATA, not cores (r5: at 12.8M rows
+        # P=128 OOMs the host — per-group verifier heap × concurrent
+        # tasks; ~50k rows/partition keeps groups bounded)
         hi_p = str(max(64, int(os.environ.get(
-            "GRAFT_SCALING_HI", "32")) * 4))
+            "GRAFT_SCALING_HI", "32")) * 4, rows // 50_000))
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    GRAFT_BENCH_ROWS=str(rows),
                    GRAFT_NUM_PARTS=os.environ.get(
